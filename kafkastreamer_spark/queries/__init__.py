@@ -1,0 +1,6 @@
+"""Query library — importing this package populates the registry."""
+
+from kafkastreamer_spark.queries import (  # noqa: F401
+    events,
+    relational,
+)

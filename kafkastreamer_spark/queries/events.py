@@ -1,0 +1,341 @@
+"""Event-stream queries over the ``events`` fixture (batch views of
+streaming semantics) plus reference-semantics queries (SURVEY.md §2-A).
+
+The reference's entire query surface is keyed running-count plus
+arithmetic stage chains (SURVEY.md §2-A summary); those appear here as
+oracle-checked batch queries so the driver verifies the exact
+semantics. Event-time windowing/sessionization are the §2-B streaming
+extensions, checked in batch form (the streaming runtime reuses the
+same expressions — see kafkastreamer_spark.streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.queries._util import dsum, sql_dsum
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.streaming.stages import apply_stage_chain, parse_value
+from kafkastreamer_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Reference semantics (A4-A10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ref_running_count",
+    oracle="""
+        SELECT CONCAT('Key', CAST(user_id % 4 AS VARCHAR)) AS key,
+               COUNT(*) AS count
+        FROM events
+        GROUP BY 1
+        ORDER BY key
+    """,
+    tags=("reference", "agg", "streaming-semantics"),
+)
+def ref_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A9: per-key count (final state of the running count).
+
+    The reference maintains ``state[key] += 1`` per record
+    (Streamer.java:264-282); its final state after a bounded input
+    equals ``groupBy(key).count()``. Keys mimic the reference source
+    shape ``Key<i % partitions>`` (Producer.java:74) with P=4.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.concat(F.lit("Key"), (F.col("user_id") % 4).cast("string")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("key")
+    )
+
+
+@register(
+    "ref_stage_chain_adder",
+    oracle="""
+        SELECT CONCAT('Key', CAST(user_id % 2 AS VARCHAR)) AS key,
+               CAST(event_id AS VARCHAR) AS input_value,
+               CAST(event_id + 3 AS VARCHAR) AS output_value
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("reference", "scalar", "pipeline"),
+)
+def ref_stage_chain_adder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4+A14: 3-stage ``adder`` chain (template.xml topology).
+
+    Input record i → output i+3 (FIXTURES.md §B golden expectation).
+    String-in/string-out like the reference's Kafka payloads; the
+    chain compiles to a single constant-folded projection.
+    """
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        F.concat(F.lit("Key"), (F.col("user_id") % 2).cast("string")).alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+        F.col("event_id").alias("_order"),
+    )
+    parsed = src.withColumn("value", parse_value(F.col("value")))
+    out = apply_stage_chain(parsed, ["adder", "adder", "adder"])
+    return (
+        out.select(
+            "key",
+            F.col("_order").cast("string").alias("input_value"),
+            F.col("value").cast("string").alias("output_value"),
+            "_order",
+        )
+        .orderBy("_order")
+        .drop("_order")
+    )
+
+
+@register(
+    "ref_stage_functions",
+    oracle="""
+        SELECT event_id,
+               event_id + 1 AS adder,
+               CAST(POW(event_id, 1) AS BIGINT) AS power,
+               event_id - 1 AS diff,
+               event_id AS identity
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("reference", "scalar"),
+)
+def ref_stage_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4-A7: all four stage functions side by side (arg=1)."""
+    ev = _events(spark, sf_dir)
+    v = F.col("event_id")
+    return (
+        ev.select(
+            "event_id",
+            (v + 1).alias("adder"),
+            F.pow(v, F.lit(1)).cast("long").alias("power"),
+            (v - 1).alias("diff"),
+            v.alias("identity"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / semi-structured
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("relational", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction from the ``props`` column."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch form of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window-time", "agg"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate (Spark ``window()`` operator).
+
+    Identical expression works on a streaming DataFrame with
+    ``withWatermark`` — see streaming core tests.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+        WITH win AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
+        FROM win
+        GROUP BY 1
+        ORDER BY window_start
+    """,
+    tags=("streaming", "window-time", "agg"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event in 2 windows)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session,
+                   event_id
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(SUM(CAST(FLOOR((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    tags=("streaming", "window-time", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization (gaps-and-islands; batch equivalent of
+    ``session_window``).
+
+    Scale note: one shuffle on user_id; both window passes reuse the
+    same partitioning (no second exchange).
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            dsum("value", "session_value"),
+        )
+        .select("user_id", F.col("session_id").cast("long").alias("session_id"),
+                "n_events", "session_start", "session_value")
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+               COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+               COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("relational", "agg", "pivot"),
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → per-user counts (explicit value list so the
+    plan is a single aggregate, no distinct-values pre-pass)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_stream_static_join",
+    oracle="""
+        SELECT e.event_type, n.n_name, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR((e.value) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY e.event_type, n.n_name
+        ORDER BY event_type, n_name
+    """,
+    tags=("streaming", "join"),
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch form): events ⋈ customer ⋈
+    nation. In streaming this is the same plan with events as a
+    readStream — static sides are broadcast per micro-batch."""
+    ev = _events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("event_type", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("event_type", "n_name")
+    )

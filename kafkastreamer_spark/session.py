@@ -1,0 +1,81 @@
+"""SparkSession builder tuned for the engine.
+
+The reference runs one JVM per stage x partition (SURVEY.md §3 EP3);
+here a single SparkSession owns the whole DAG and parallelism comes
+from partitioning. Defaults are sized for local[N] testing but every
+knob scales to a multi-executor cluster: AQE handles runtime
+re-planning and skew joins, shuffle partitions are explicit, and the
+session timezone is pinned to UTC so timestamp semantics are stable
+across engines (the DuckDB oracle runs in UTC-naive time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime partition coalescing + skew-join
+    # handling — the scale posture for 100 TB inputs (SURVEY.md §4.3).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics for oracle parity.
+    "spark.sql.session.timeZone": "UTC",
+    # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS)
+    # which Spark cannot read natively; read as long + convert
+    # (tables._load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for any pandas-UDF path (similarity / multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/supplier/part at bench SF) are
+    # broadcast-joined; keep the threshold generous.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "kafkastreamer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 if unset);
+    ``shuffle_partitions`` defaults to the same width so local shuffles
+    use every core without tiny-partition overhead. On a real cluster
+    callers pass their own master/partition count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.setdefault("spark.ui.enabled", "false")
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-built session.
+
+    The verification driver constructs its own SparkSession; queries
+    still need UTC semantics and the nanos-as-long parquet reader.
+    Static confs (driver memory etc.) are skipped — only SQL confs are
+    applied here, and all of ENGINE_CONF's entries are SQL confs.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some build
+            pass
+    return spark

@@ -1,0 +1,59 @@
+"""Loaders for the driver-generated parquet tables (FIXTURES.md §A).
+
+Plain ``spark.read.parquet`` scans — schema comes from the footer, so
+Catalyst gets column pruning and predicate pushdown for free. The one
+wrinkle is ``events.ts``: the fixture stores parquet TIMESTAMP(NANOS)
+which Spark's vectorized reader rejects; with
+``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a long
+nanosecond count and is converted to a microsecond TimestampType
+column here. The DuckDB oracle reads the same column natively as
+TIMESTAMP_NS, so both engines agree after truncation to micros.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    # Runtime-settable SQL conf; required because the driver may build
+    # the session without it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view (for spark.sql use)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
