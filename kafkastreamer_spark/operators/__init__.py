@@ -1,0 +1,11 @@
+"""Training-data-pipeline operators (SURVEY.md §2-B north star):
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Importing this package registers the operator queries."""
+
+from kafkastreamer_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

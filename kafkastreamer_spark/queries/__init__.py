@@ -4,3 +4,4 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     events,
     relational,
 )
+from kafkastreamer_spark import operators  # noqa: F401
