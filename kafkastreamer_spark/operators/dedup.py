@@ -30,7 +30,7 @@ from kafkastreamer_spark.operators._embed import (
     tokens,
 )
 from kafkastreamer_spark.registry import register
-from kafkastreamer_spark.tables import load_table
+from kafkastreamer_spark.tables import load_table, widen
 
 JACCARD_THRESHOLD = 0.2
 MINHASH_PERMS = 12
@@ -41,7 +41,28 @@ SIMHASH_MAX_HAMMING = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return widen(load_table(spark, sf_dir, "documents"))
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with the token column materialized first — an
+    inline split() inside the shingle lambda re-runs the regex per
+    array element (~7x slower, measured) — and persisted, because
+    every near-dup operator fans it into 2-3 join branches and Spark
+    re-executes unpersisted subtrees per branch.
+
+    No size-filter on sh: docs with <3 words get an empty list (which
+    explodes to zero postings and can never join — same output as the
+    oracle's len(w)>=3 guard). An explicit filter(size>0) here gets
+    predicate-pushed below the projection AND the repartition,
+    re-evaluating the whole shingle expression serially on the single
+    scan partition (measured 18x slower)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", tokens("text").alias("w"))
+        .select("doc_id", shingles(F.col("w")).alias("sh"))
+        .persist()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -117,12 +138,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture: avg df 1.6). For skewed corpora add a df cap on the
     posting list — the oracle and Spark side must share the cap.
     """
-    d = _docs(spark, sf_dir)
-    w = tokens("text")
-    sh = (
-        d.select("doc_id", shingles(w).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    sh = _shingle_sets(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     a = posting.alias("a")
@@ -210,9 +226,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) and deterministic across runs/partitionings.
     """
     r = MINHASH_PERMS // MINHASH_BANDS
-    d = _docs(spark, sf_dir)
-    w = tokens("text")
-    sh = d.select("doc_id", shingles(w).alias("sh")).filter(F.size("sh") > 0)
+    sh = _shingle_sets(spark, sf_dir)
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     perms = spark.range(MINHASH_PERMS).select(F.col("id").cast("int").alias("p"))
     minhash = (
@@ -231,6 +245,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|",
             ).alias("sig")
         )
+        .persist()  # self-joined below; without this the 7M-row
+        # minhash aggregation runs once per join branch
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -330,47 +346,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-16 per chunk keeps candidates ∝ true near-dups.
     """
     d = _docs(spark, sf_dir)
-    w = tokens("text")
-    toks = d.select("doc_id", F.explode(F.array_distinct(w)).alias("t")).withColumn(
-        "h", F.md5("t")
+    toks = d.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id", F.explode(F.array_distinct(F.col("w"))).alias("t")
     )
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
-    hexval = (
+    # Bit weights are computed ONCE per distinct vocabulary token (a
+    # 64-element ±1 array from md5 nibbles), then broadcast-joined to
+    # the doc-token stream — md5/substring never run on the exploded
+    # (doc, token, bit) volume. At 100 TB the vocab dim table is the
+    # only place hash arithmetic happens.
+    h = F.md5("t")
+    hexval = lambda b: (  # noqa: E731 - nibble value of bit b's hex char
         F.instr(
             F.lit("0123456789abcdef"),
-            F.substring(F.col("h"), (F.lit(1) + F.floor(F.col("b") / 4)).cast("int"), 1),
+            F.substring(h, (F.lit(1) + F.floor(b / 4)).cast("int"), 1),
         )
         - 1
     )
-    bit = F.floor(hexval / F.pow(F.lit(2), F.lit(3) - F.col("b") % 4)).cast("int") % 2
+    wgt_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: (
+            2 * (F.floor(hexval(b) / F.pow(F.lit(2.0), (F.lit(3) - b % 4).cast("double"))).cast("int") % 2)
+            - 1
+        ),
+    )
+    vocab = toks.select("t").distinct().select("t", wgt_arr.alias("wgt"))
     bitsum = (
-        toks.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", (2 * bit - 1).alias("wgt"))
+        toks.join(F.broadcast(vocab), "t")
+        .select("doc_id", F.posexplode("wgt").alias("b", "wgt"))
         .groupBy("doc_id", "b")
         .agg(F.sum("wgt").alias("s"))
     )
+    bits_arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("b", F.when(F.col("s") >= 0, 1).otherwise(0).alias("v")))
+        ),
+        lambda x: x["v"],
+    )
     sig = (
         bitsum.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "b", F.when(F.col("s") >= 0, "1").otherwise("0").alias("v")
-                            )
-                        )
-                    ),
-                    lambda x: x["v"],
-                ),
-                "",
-            ).alias("simhash")
+        .agg(bits_arr.alias("bits"))
+        # keep both forms: string for chunk keys, int array for the
+        # hamming verify (zip_with on arrays; a regex char-split per
+        # candidate pair was the previous bottleneck at ~1M pairs)
+        .select(
+            "doc_id",
+            "bits",
+            F.array_join(F.transform("bits", lambda v: v.cast("string")), "").alias("simhash"),
         )
+        .persist()  # chunk self-join fans this into two branches
     )
     chunks_idx = spark.range(4).select(F.col("id").cast("int").alias("c"))
     chunks = sig.crossJoin(F.broadcast(chunks_idx)).select(
         "doc_id",
-        "simhash",
+        "bits",
         "c",
         F.substring(F.col("simhash"), (F.lit(1) + F.col("c") * 16).cast("int"), 16).alias(
             "chunk"
@@ -388,23 +416,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
+        .distinct()  # bare id pairs only — the distinct shuffle must
+        # not carry the 64-int signature arrays (measured 2x cost)
     )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
     hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sig_a"), "(?!^)"),
-                F.split(F.col("sig_b"), "(?!^)"),
-                lambda x, y: x != y,
-            ),
-            lambda z: z,
-        )
+        F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda z: z)
     ).cast("long")
     return (
-        cand.withColumn("hamming", hamming)
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
@@ -457,7 +481,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard SimHash-angle bound; the same planes are recomputed from
     md5 in both engines, so the oracle is exact.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = widen(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
@@ -486,6 +510,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("bucket")
         )
+        .persist()  # self-joined below
     )
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -53,6 +53,22 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for the compute that follows.
+
+    The fixture tables are single parquet files → one scan partition,
+    which serializes all downstream work on one core. On a real
+    cluster a 100 TB table scans as many thousands of partitions and
+    this is a no-op (repartitioning there would be a harmful full
+    shuffle — hence the guard, never an unconditional repartition).
+    """
+    spark = df.sparkSession
+    target = min_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every fixture table as a temp view (for spark.sql use)."""
     for name in tables:
