@@ -161,17 +161,21 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cc"), "cent_id"
-    )
+    # argmax via max(struct(score, -cent_id)) aggregation: partial
+    # (map-side) aggregation shuffles one row per vector, where a
+    # row_number window would shuffle the full n x n_centroids score
+    # matrix (measured 2.5x slower at sf0.1).
     assign = (
         e.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cc")
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("cc"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", (-F.col("m.nc")).alias("cent_id"))
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import SQL_TOKENS, tokens
 from kafkastreamer_spark.registry import register
-from kafkastreamer_spark.tables import load_table
+from kafkastreamer_spark.tables import load_table, widen
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language-ID. Deterministic tie-break: first language in this order
@@ -29,7 +29,7 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return widen(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -53,9 +53,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (fixed-point), total token chars. Single narrow scan; at
     100 TB this is embarrassingly parallel with no shuffle."""
     d = _docs(spark, sf_dir)
-    w = tokens("text")
+    w = F.col("w")
     return (
-        d.select(
+        d.select("doc_id", "n_chars", tokens("text").alias("w"))
+        .select(
             "doc_id",
             F.size(w).cast("long").alias("n_tokens"),
             F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
@@ -109,11 +110,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     average token length, combined into a 0-100 score (the standard
     pretraining-corpus filter shape)."""
     d = _docs(spark, sf_dir)
-    w = tokens("text")
+    w = F.col("w")
     nc = F.length("text")
     n_punct = nc - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
     stop = F.size(F.filter(w, lambda t: t.isin(*LANG_STOPWORDS["en"])))
-    feat = d.select(
+    feat = d.select("doc_id", "lang", "text", tokens("text").alias("w")).select(
         "doc_id",
         "lang",
         F.size(w).cast("long").alias("n_tokens"),
@@ -169,7 +170,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID heuristic with deterministic
     preference order en>es>de>fr on ties."""
     d = _docs(spark, sf_dir)
-    w = tokens("text")
+    w = F.col("w")
 
     def score(lang: str):
         return (
@@ -178,7 +179,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"score_{lang}")
         )
 
-    scored = d.select(
+    scored = d.select("doc_id", "lang", tokens("text").alias("w")).select(
         "doc_id", F.col("lang").alias("lang_true"),
         score("en"), score("es"), score("de"), score("fr"),
     )
@@ -208,6 +209,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-insensitive content hash — catches word-order shuffles that
     exact-text dedup misses)."""
     d = _docs(spark, sf_dir)
-    w = tokens("text")
-    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " "))
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("w"))), " "))
+    return (
+        d.select("doc_id", tokens("text").alias("w"))
+        .select("doc_id", fp.alias("fingerprint"))
+        .orderBy("doc_id")
+    )
