@@ -339,3 +339,43 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy("event_type", "n_name")
     )
+
+
+@register(
+    "pipeline_compiled_chain",
+    oracle="""
+        SELECT CONCAT('Key', CAST(event_id % 2 AS VARCHAR)) AS key,
+               event_id + 2 AS value
+        FROM events
+        ORDER BY value
+    """,
+    tags=("reference", "pipeline"),
+)
+def pipeline_compiled_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A14/A15 through the real compiler path: a dict
+    topology (adder, adder, identity, diff, adder) is validated and
+    compiled by kafkastreamer_spark.plans into one projection —
+    Catalyst folds it to value + 2."""
+    from kafkastreamer_spark.plans.pipeline import compile_pipeline, from_dict
+
+    transform = compile_pipeline(
+        from_dict(
+            {
+                "stream_id": "1996",
+                "partitions": 2,
+                "stages": [
+                    {"stage": 0, "operation": "adder"},
+                    {"stage": 1, "operation": "adder"},
+                    {"stage": 2, "operation": "identity"},
+                    {"stage": 3, "operation": "diff"},
+                    {"stage": 4, "operation": "adder"},
+                ],
+            }
+        )
+    )
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        F.concat(F.lit("Key"), (F.col("event_id") % 2).cast("string")).alias("key"),
+        F.col("event_id").alias("value"),
+    )
+    return transform(src).orderBy("value")

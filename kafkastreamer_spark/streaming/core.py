@@ -1,0 +1,153 @@
+"""Streaming core: the reference's stage semantics on Structured
+Streaming (SURVEY.md §2-A A9-A13, §4.3).
+
+One streaming query replaces the reference's chain of per-partition
+JVMs: the stage functions compose into a single projection
+(stages.py), the per-key running count is a streaming aggregation in
+update mode (A9), and recovery/exactly-once come from checkpointing
+instead of hand-rolled Kafka transactions + compacted changelog
+replay (A3/A13). The reference's rollback aliasing bug
+(Streamer.java:265 — old_state aliases live state, so rollback is a
+no-op) is deliberately NOT reproduced: checkpointed state restores
+correctly, which tests assert via stop/restart.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.query import StreamingQuery
+
+from kafkastreamer_spark.streaming.stages import apply_stage_chain, parse_value
+
+
+def stage_transform(
+    stream: DataFrame, ops: Sequence[str], quarantine: bool = True
+) -> DataFrame:
+    """The reference's per-record compute (A10) as a stream transform:
+    parse the string payload, apply the stage chain, keep the key.
+
+    Malformed payloads (the reference crashes: Integer.parseInt,
+    Streamer.java:328) become null values with the raw payload kept in
+    a quarantine column — SURVEY.md §7(d).
+    """
+    parsed = stream.withColumn("_raw", F.col("value")).withColumn(
+        "value", parse_value(F.col("value"))
+    )
+    out = apply_stage_chain(parsed, ops)
+    out = out.select(
+        "key",
+        F.col("value").cast("string").alias("value"),
+        F.when(F.col("value").isNull(), F.col("_raw")).alias("quarantine"),
+    )
+    if not quarantine:
+        out = out.drop("quarantine")
+    return out
+
+
+def running_count(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Reference A9: per-key running count as a streaming aggregation.
+
+    In update output mode each micro-batch emits the keys whose counts
+    changed — the semantic equivalent of the reference's per-record
+    state-changelog append (Streamer.java:277-281), minus the
+    per-record fsync. State lives in the checkpointed state store
+    (RocksDB provider at scale) instead of a compacted topic.
+    """
+    return stream.groupBy(key_col).agg(F.count(F.lit(1)).alias("count"))
+
+
+def keyed_running_count_stateful(stream: DataFrame) -> DataFrame:
+    """A9 generalized through arbitrary-stateful processing
+    (applyInPandasWithState): same counts as running_count, but the
+    state update is user code — the extension point for any custom
+    per-key state machine the reference's Map<String,String> stood for.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"key": [key[0]], "count": [count]})
+
+    return stream.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, count long",
+        stateStructType="count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def to_memory_sink(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Memory sink for tests/inspection (bounded data only)."""
+    writer = stream.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def to_kafka_sink(
+    stream: DataFrame,
+    bootstrap: str,
+    topic: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Reference A11: produce (key, value) to the downstream stage
+    topic. Spark's Kafka sink is at-least-once (duplicates possible on
+    micro-batch replay) — the documented default path (SURVEY.md
+    §4.3(1)); use exactly_once_parquet_sink / an idempotent consumer
+    for strict semantics."""
+    return (
+        stream.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def exactly_once_parquet_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Strict end-to-end exactly-once sink (SURVEY.md §4.3(2)).
+
+    The reference commits consumer offsets and produced records in one
+    Kafka transaction per record (Streamer.java:393-415). Micro-batch
+    Spark can't transact per record, but ``foreachBatch`` + a
+    batchId-keyed idempotent write gives the same end-to-end
+    guarantee at batch granularity: a replayed batch overwrites its
+    own directory instead of duplicating. Readers see each input
+    record's effect exactly once.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        # dynamic overwrite of this batch's partition only → replay-safe
+        batch_df.write.mode("overwrite").parquet(target)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

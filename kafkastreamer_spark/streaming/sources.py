@@ -1,0 +1,85 @@
+"""Streaming source adapters (SURVEY.md §2-A A1/A2).
+
+The reference has two sources: a synthetic keyed-integer generator
+(Producer.java:72-90 — key = "Key" + (i % partitions), value = str(i))
+and a Kafka stage-topic consumer with read-committed isolation
+(Streamer.java:113-120,151-156). Both map to Structured Streaming
+sources producing the engine's canonical stream schema
+``(key string, value string)``; event-time extensions add ``ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def keyed_int_stream(df: DataFrame, partitions: int) -> DataFrame:
+    """Shape any DataFrame with a monotonically increasing ``value``
+    long column (rate source, spark.range) into the reference
+    source's record shape (Producer.java:74-75)."""
+    return df.select(
+        F.concat(F.lit("Key"), (F.col("value") % partitions).cast("string")).alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 1000, partitions: int = 2
+) -> DataFrame:
+    """Reference A1 as a rate stream: unbounded keyed integers.
+
+    The reference throttles with Thread.sleep (Producer.java:86);
+    rowsPerSecond is the declarative equivalent.
+    """
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return keyed_int_stream(raw, partitions)
+
+
+def keyed_int_batch(spark: SparkSession, n: int, partitions: int = 2) -> DataFrame:
+    """Bounded batch fixture with identical semantics (spark.range),
+    for golden tests: record i → (Key<i%P>, str(i))."""
+    return keyed_int_stream(spark.range(n).select(F.col("id").alias("value")), partitions)
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    read_committed: bool = True,
+) -> DataFrame:
+    """Reference A2: subscribe to a stage topic.
+
+    Matches the reference consumer's settings — earliest reset
+    (Streamer.java:119) and read_committed isolation
+    (Streamer.java:118). Kafka source parallelism = topic partitions,
+    exactly as the reference maps one worker per partition.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if read_committed:
+        reader = reader.option("kafka.isolation.level", "read_committed")
+    raw = reader.load()
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def file_source(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-drop stream source (used by the deterministic tests; also
+    the standard pattern for landing-zone ingestion at scale)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
