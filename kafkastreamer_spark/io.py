@@ -1,0 +1,59 @@
+"""Batch sink adapters (SURVEY.md §2-B "Sinks") and bucketed-table
+support for co-located joins.
+
+At 100 TB the expensive part of repeated joins/aggregations on the
+same key is the exchange. Writing a table bucketed on its join key
+materializes that partitioning once: subsequent equi-joins between
+tables bucketed on the same key with the same bucket count run with
+NO shuffle on either side (SortMergeJoin over co-located buckets).
+The plan test asserts the Exchange-free join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Plain columnar sink; optional hive-style partition pruning
+    columns (date/tenant columns at scale — not high-cardinality keys)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) on its
+    join key. Bucket count must match across tables that will join
+    co-located; sorting inside buckets lets SortMergeJoin skip its
+    sort as well."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def cobucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables; with matching bucket spec the plan
+    contains no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

@@ -3,5 +3,6 @@
 from kafkastreamer_spark.queries import (  # noqa: F401
     events,
     relational,
+    relational2,
 )
 from kafkastreamer_spark import operators  # noqa: F401

@@ -1,0 +1,114 @@
+"""Plan-quality assertions (the .explain() discipline as tests) and
+batch-sink / bucketed-join tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.io import write_bucketed_table, write_parquet
+from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
+from kafkastreamer_spark.tables import load_table
+
+_ensure_loaded()
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The shipdate predicate must reach the parquet scan and the scan
+    must not read columns Q1 doesn't use."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    scan_schema = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert "l_orderkey" not in scan_schema  # pruned
+    assert "l_quantity" in scan_schema
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    """supplier/nation/region must broadcast; lineitem never does."""
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_limit_uses_topk_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject."""
+    df = REGISTRY["sort_limit"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _physical_plan(df)
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The banded theta join must broadcast the tiny band table, never
+    shuffle the fact side."""
+    df = REGISTRY["join_range_bands"].fn(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in _physical_plan(df)
+
+
+def test_stage_chain_constant_folds(spark, sf_dir):
+    """A k-stage arithmetic chain must fold to a single increment."""
+    df = REGISTRY["ref_stage_chain_adder"].fn(spark, sf_dir)
+    assert "+ 3" in _optimized(df)
+
+
+def test_approx_agg_bounds(spark, sf_dir):
+    """HLL++/quantile sketches stay within documented error of exact."""
+    rows = {r["l_returnflag"]: r for r in REGISTRY["agg_approx"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, row in rows.items():
+        assert abs(row["approx_orders"] - exact[flag]) / exact[flag] < 0.05
+        p50, p95 = row["price_p50_p95"]
+        assert 0 < p50 < p95
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_out")
+    n = load_table(spark, sf_dir, "nation")
+    write_parquet(n, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == n.count()
+    # partition column usable for pruning
+    assert back.filter(F.col("n_regionkey") == 0).count() == n.filter(
+        F.col("n_regionkey") == 0
+    ).count()
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed tables joined on the bucket key: no Exchange in the
+    plan (the materialized-partitioning scale path)."""
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.sql("DROP TABLE IF EXISTS l_b")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed_table(o, "o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed_table(l, "l_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    # disable broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from kafkastreamer_spark.io import cobucketed_join
+
+        joined = cobucketed_join(spark, "o_b", "l_b", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == l.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS o_b")
+        spark.sql("DROP TABLE IF EXISTS l_b")

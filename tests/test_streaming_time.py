@@ -1,0 +1,185 @@
+"""Event-time streaming semantics (SURVEY.md §2-B "Streaming time",
+"Dedup"): watermarked windowed aggregation with late-data drop,
+streaming dropDuplicates, and a watermarked stream-stream join."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafkastreamer_spark.streaming.sources import file_source
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("key", StringType()),
+    ]
+)
+
+
+def _ts(minute: int, second: int = 0) -> datetime:
+    return datetime(2024, 1, 1, 10, minute, second)
+
+
+def _append(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_windowed(spark, inp, ckpt, out):
+    stream = file_source(spark, inp, SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    q = (
+        agg.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: a record older than the watermark
+    must not resurrect its (already finalized) window."""
+    inp, ckpt, out = (str(tmp_path / x) for x in ("in", "ckpt", "out"))
+
+    # batch 1: window [10:00,10:10) gets 2 events; max ts 10:20 →
+    # watermark after batch = 10:15 → the 10:00 window finalizes.
+    _append(
+        spark,
+        inp,
+        [
+            (1, _ts(1), "a"),
+            (2, _ts(2), "a"),
+            (3, _ts(20), "a"),
+        ],
+    )
+    _run_windowed(spark, inp, ckpt, out)
+
+    # batch 2: one late event at 10:03 (behind watermark 10:15) and
+    # one fresh event at 10:21.
+    _append(spark, inp, [(4, _ts(3), "a"), (5, _ts(21), "a")])
+    _run_windowed(spark, inp, ckpt, out)
+
+    results = {}
+    for b in sorted(os.listdir(out)):
+        for r in spark.read.parquet(os.path.join(out, b)).collect():
+            results[(r["ws"].strftime("%H:%M"), r["key"])] = (
+                results.get((r["ws"].strftime("%H:%M"), r["key"]), 0) + r["n"]
+            )
+    # the 10:00 window emitted exactly 2 — the late event never counted
+    assert results.get(("10:00", "a")) == 2
+
+
+def test_streaming_drop_duplicates(spark, tmp_path):
+    """Streaming exact dedup on event_id within the watermark horizon
+    (the unbounded-stream form of dedup_exact)."""
+    inp, ckpt, out = (str(tmp_path / x) for x in ("in", "ckpt", "out"))
+    _append(
+        spark,
+        inp,
+        [
+            (1, _ts(1), "a"),
+            (1, _ts(1), "a"),  # duplicate in same batch
+            (2, _ts(2), "b"),
+        ],
+    )
+
+    def run():
+        stream = file_source(spark, inp, SCHEMA)
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(
+            ["event_id"]
+        )
+
+        def wb(bdf, bid):
+            bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+        q = (
+            deduped.writeStream.foreachBatch(wb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # cross-batch duplicate (state remembers event_id 2)
+    _append(spark, inp, [(2, _ts(3), "b"), (3, _ts(4), "c")])
+    run()
+
+    rows = []
+    for b in sorted(os.listdir(out)):
+        rows += spark.read.parquet(os.path.join(out, b)).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-bound
+    condition (the stream-stream row of SURVEY.md §2-B)."""
+    left_in, right_in, ckpt, out = (
+        str(tmp_path / x) for x in ("lin", "rin", "ckpt", "out")
+    )
+    _append(spark, left_in, [(1, _ts(1), "a"), (2, _ts(2), "b")])
+    _append(spark, right_in, [(1, _ts(3), "x"), (3, _ts(4), "y")])
+
+    left = (
+        file_source(spark, left_in, SCHEMA)
+        .withColumnRenamed("key", "lkey")
+        .withColumnRenamed("ts", "lts")
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        file_source(spark, right_in, SCHEMA)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("rts"),
+            F.col("key").alias("rkey"),
+        )
+        .withWatermark("rts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    q = (
+        joined.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = []
+    for b in sorted(os.listdir(out)):
+        rows += spark.read.parquet(os.path.join(out, b)).collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 1
+    assert rows[0]["lkey"] == "a" and rows[0]["rkey"] == "x"
