@@ -4,5 +4,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     events,
     relational,
     relational2,
+    relational3,
 )
 from kafkastreamer_spark import operators  # noqa: F401
