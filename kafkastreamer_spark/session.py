@@ -35,11 +35,24 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+ROCKSDB_STATE_CONF = {
+    # Large streaming state (wide key spaces, long watermarks) should
+    # not live on the JVM heap: RocksDB keeps it off-heap + on local
+    # disk with incremental checkpointing — the 100 TB posture
+    # (SURVEY.md §4.3). Config-only; no code changes anywhere.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def get_spark(
     app_name: str = "kafkastreamer-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or get) a SparkSession with engine defaults.
 
@@ -58,6 +71,8 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf.setdefault("spark.ui.enabled", "false")
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if rocksdb_state:
+        conf.update(ROCKSDB_STATE_CONF)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
