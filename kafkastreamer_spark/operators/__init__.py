@@ -5,6 +5,7 @@ Importing this package registers the operator queries."""
 
 from kafkastreamer_spark.operators import (  # noqa: F401
     dedup,
+    skew,
     multimodal,
     similarity,
     text,
