@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for engine invariants:
+stage-chain algebra, topology validation, fixed-point determinism,
+salting equivalence."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.plans import PipelineSpec, StageSpec, compile_pipeline
+from kafkastreamer_spark.plans.pipeline import TopologyError, validate_spec
+from kafkastreamer_spark.streaming.stages import STAGE_FUNCTIONS
+
+OPS = st.sampled_from(["adder", "diff", "identity", "power"])
+
+# Spark jobs per example are expensive — keep example counts small and
+# batch values into a single DataFrame per example.
+FAST = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _net_delta(ops: list[str]) -> int:
+    """adder=+1, diff=-1, identity/power(arg 1)=0 — the reference's
+    whole arithmetic algebra at arg=1 (Streamer.java:166-180)."""
+    return sum(+1 if o == "adder" else -1 if o == "diff" else 0 for o in ops)
+
+
+@FAST
+@given(ops=st.lists(OPS, min_size=1, max_size=8))
+def test_chain_equals_net_delta(spark, ops):
+    spec = validate_spec(
+        PipelineSpec(stages=tuple(StageSpec(i, op) for i, op in enumerate(ops)))
+    )
+    df = spark.range(0, 50).select(F.col("id").alias("value"))
+    out = compile_pipeline(spec)(df)
+    vals = sorted(r["value"] for r in out.collect())
+    d = _net_delta(ops)
+    assert vals == [i + d for i in range(50)]
+
+
+@FAST
+@given(
+    numbers=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=8, unique=True)
+)
+def test_validation_accepts_iff_contiguous(numbers, spark):
+    spec = PipelineSpec(stages=tuple(StageSpec(n, "adder") for n in numbers))
+    contiguous = sorted(numbers) == list(range(len(numbers)))
+    if contiguous:
+        validate_spec(spec)
+    else:
+        try:
+            validate_spec(spec)
+        except TopologyError:
+            pass
+        else:
+            raise AssertionError("non-contiguous stages accepted")
+
+
+@FAST
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+def test_fixed_point_sum_partition_invariant(spark, values, n_parts):
+    """The engine's money-sum discipline must give identical results
+    for ANY partitioning of the data (the property the DuckDB oracle
+    comparison relies on)."""
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    def fp_sum(frame):
+        return (
+            frame.agg(
+                (F.sum(F.floor(F.col("x") * 10000).cast("long")).cast("double") / 10000)
+                .alias("s")
+            ).collect()[0]["s"]
+        )
+    assert fp_sum(df.coalesce(1)) == fp_sum(df.repartition(n_parts))
+
+
+def test_stage_function_registry_closed(spark):
+    """Unknown names must dispatch to identity, not fail (reference
+    fallback, Streamer.java:200-203)."""
+    from kafkastreamer_spark.streaming.stages import stage_function
+
+    fn = stage_function("definitely-not-an-op")
+    col = F.lit(7)
+    df = spark.range(1).select(fn(col, 1).alias("v"))
+    assert df.collect()[0]["v"] == 7
+    assert set(STAGE_FUNCTIONS) == {"adder", "power", "diff", "identity"}
