@@ -5,5 +5,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
 )
 from kafkastreamer_spark import operators  # noqa: F401
