@@ -27,8 +27,11 @@ from kafkastreamer_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q10_returned_items",
+    "q12_priority_shipping",
     "join_range_bands",
     "window_running_frame",
     "events_sessionization",
@@ -57,10 +60,20 @@ def main() -> None:
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python/Arrow worker pool (one-time ~6s spin-up that
+    # would otherwise be attributed to the first pandas-UDF query).
+    import pandas as _pd
+
+    spark.range(0, 1000, 1, 32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        # isolate queries: operator-internal persist() calls otherwise
+        # accumulate cached partitions across the whole run
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
