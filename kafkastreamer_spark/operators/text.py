@@ -215,3 +215,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", fp.alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+WINNOW_WINDOW = 4  # winnowing guarantee window (t = k + w - 1)
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+            FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+        ),
+        winmin AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING)
+                       AS wmin,
+                   COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING)
+                       AS wsize
+            FROM grams
+        ),
+        fps AS (SELECT DISTINCT doc_id, wmin FROM winmin WHERE wsize = {WINNOW_WINDOW})
+        SELECT doc_id, COUNT(*) AS n_fps, MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+        FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm-data", "text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every word 3-gram
+    in position order, keep the minimum hash of each sliding window of
+    {WINNOW_WINDOW} grams, dedupe per document (the Schleimer/Wilkerson/
+    Aiken scheme — guarantees any shared run of window+k-1 tokens
+    yields a shared fingerprint).
+
+    Scale: one posexplode + one window pass partitioned by doc — no
+    cross-doc shuffle until the (tiny) fingerprint sets. The summary
+    output (count/min/max per doc) keeps the driver compare small; a
+    plagiarism join would instead self-join the fps relation.
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = F.col("w")
+    grams = (
+        d.select("doc_id", tokens("text").alias("w"))
+        .filter(F.size(w) >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(w, (i + 1).cast("int")),
+                            F.element_at(w, (i + 2).cast("int")),
+                            F.element_at(w, (i + 3).cast("int")),
+                        )
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
+    winmin = grams.select(
+        "doc_id",
+        F.min("h").over(win).alias("wmin"),
+        F.count(F.lit(1)).over(win).alias("wsize"),
+    )
+    fps = winmin.filter(F.col("wsize") == WINNOW_WINDOW).select("doc_id", "wmin").distinct()
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("wmin").alias("min_fp"),
+            F.max("wmin").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
