@@ -6,5 +6,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
 )
 from kafkastreamer_spark import operators  # noqa: F401
