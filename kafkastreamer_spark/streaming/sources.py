@@ -53,6 +53,7 @@ def kafka_source(
     topic: str,
     starting_offsets: str = "earliest",
     read_committed: bool = True,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Reference A2: subscribe to a stage topic.
 
@@ -69,6 +70,10 @@ def kafka_source(
     )
     if read_committed:
         reader = reader.option("kafka.isolation.level", "read_committed")
+    if max_offsets_per_trigger is not None:
+        # backpressure: cap records per micro-batch (reference maps
+        # its sleep-throttle here, SURVEY.md §4.2)
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     raw = reader.load()
     return raw.select(
         F.col("key").cast("string").alias("key"),
@@ -78,8 +83,21 @@ def kafka_source(
 
 
 def file_source(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-drop stream source (used by the deterministic tests; also
-    the standard pattern for landing-zone ingestion at scale)."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    the standard pattern for landing-zone ingestion at scale).
+
+    ``max_files_per_trigger`` is the backpressure knob — the
+    declarative replacement for the reference's sleep-per-record
+    throttling (Streamer.java:470; SURVEY.md §4.2): bound work per
+    micro-batch instead of slowing the worker.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
