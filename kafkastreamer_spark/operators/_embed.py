@@ -62,6 +62,35 @@ def shingles(words: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def minhash_array(sh: Column, perms: int) -> Column:
+    """Per-row MinHash signature: mh[p] = min over shingles of
+    md5(shingle # p) — array_min over a transform, no row explosion,
+    no shuffle. Empty-shingle docs yield null mins (callers drop).
+
+    This is the shuffle-free form of the classic explode + groupBy
+    minhash: at 100 TB the signature build becomes a pure map stage.
+    MATERIALIZE the result as a column before deriving band
+    signatures — referencing it inside another lambda re-evaluates
+    all perms per band element.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(perms - 1)),
+        lambda p: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), p.cast("string"))))
+        ),
+    )
+
+
+def band_sigs(mh: Column, perms: int, bands: int) -> Column:
+    """Band signatures from a materialized minhash array: band b joins
+    its perms/bands row minhashes with '|' (order = permutation id)."""
+    r = perms // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.array_join(F.slice(mh, b * r + 1, r), "|"),
+    )
+
+
 def sql_shingles(words_var: str = "w", n: int = 3) -> str:
     """DuckDB mirror of shingles(); expects a list column named
     ``words_var`` in scope (1-based list indexing). range(a,b) is

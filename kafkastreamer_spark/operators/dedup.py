@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import (
     SQL_TOKENS,
+    band_sigs,
     cosine,
+    minhash_array,
     shingles,
     sql_shingles,
     tokens,
@@ -225,28 +227,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations keep the whole pipeline engine-portable (exact DuckDB
     oracle) and deterministic across runs/partitionings.
     """
-    r = MINHASH_PERMS // MINHASH_BANDS
     sh = _shingle_sets(spark, sf_dir)
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
-    perms = spark.range(MINHASH_PERMS).select(F.col("id").cast("int").alias("p"))
-    minhash = (
-        posting.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "p")
-        .agg(F.min(F.md5(F.concat_ws("#", "s", "p"))).alias("mh"))
-    )
+    # Per-row signature build (minhash_array): a pure map stage — the
+    # classic explode×perms + groupBy(doc,p) shuffle is gone entirely.
     bands = (
-        minhash.withColumn("band", (F.col("p") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "mh"))), lambda x: x["mh"]
-                ),
-                "|",
-            ).alias("sig")
+        sh.select("doc_id", minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"))
+        .select(
+            "doc_id",
+            F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
+                "band", "sig"
+            ),
         )
-        .persist()  # self-joined below; without this the 7M-row
-        # minhash aggregation runs once per join branch
+        .filter(F.col("sig") != "")  # docs with no shingles
+        .persist()  # self-joined below
     )
     a = bands.alias("a")
     b = bands.alias("b")

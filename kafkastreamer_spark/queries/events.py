@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkastreamer_spark.queries._util import dsum, sql_dsum
+from kafkastreamer_spark.queries._util import dsum
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.streaming.stages import apply_stage_chain, parse_value
 from kafkastreamer_spark.tables import load_table

@@ -1,0 +1,71 @@
+"""Streaming MinHash-LSH dedup: candidates over a two-batch document
+stream must equal the batch self-join candidates, including pairs
+that span the batch boundary."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.streaming.dedup import (
+    band_signature_stream,
+    streaming_minhash_candidates,
+)
+from kafkastreamer_spark.streaming.sources import file_source
+from kafkastreamer_spark.tables import load_table
+
+
+def _batch_candidates(docs):
+    sigs = band_signature_stream(docs).persist()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def test_streaming_candidates_match_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = sorted(map(tuple, _batch_candidates(docs).collect()))
+    assert want, "fixture should contain near-dup candidates"
+
+    # stream the same docs in two files → two micro-batches; planted
+    # duplicate pairs land in different halves (odd/even split keeps
+    # consecutive-id dup pairs apart)
+    inp = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(inp)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = file_source(
+        spark, inp, docs.schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "out")
+    cand = streaming_minhash_candidates(stream)
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    q = (
+        cand.writeStream.foreachBatch(wb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = set()
+    for b in sorted(os.listdir(out)):
+        for r in spark.read.parquet(os.path.join(out, b)).collect():
+            got.add((r["doc_a"], r["doc_b"]))
+    assert sorted(got) == want
+
+    # cross-batch coverage: at least one candidate pair spans the
+    # even/odd split (one id even, one odd)
+    assert any((a % 2) != (b % 2) for a, b in got)
