@@ -31,7 +31,7 @@ from kafkastreamer_spark.operators._embed import (
     sql_shingles,
     tokens,
 )
-from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.registry import REGISTRY, register
 from kafkastreamer_spark.tables import load_table, widen
 
 JACCARD_THRESHOLD = 0.2
@@ -522,4 +522,99 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cos * 10000).alias("cosine4"),
         )
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster consolidation (iterative connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (id,
+    rep_id) with rep = smallest doc id in the component.
+
+    The iterative-algorithm pattern on DataFrames (Pregel-style):
+    each round joins labels to neighbors and takes the min; rounds are
+    driver-coordinated with ``localCheckpoint`` truncating lineage so
+    plan depth stays O(1) per round (at cluster scale use
+    ``checkpoint`` with a reliable dir instead). Converges in
+    O(diameter) rounds — near-dup clusters are shallow.
+    """
+    # materialize the edge list once — every iteration (and the
+    # convergence check) joins against it; without this the entire
+    # upstream candidate pipeline re-executes per round
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _cluster_oracle() -> str:
+    """Recursive-CTE transitive closure over the jaccard pairs: the
+    dedup_ngram_jaccard oracle becomes the ``pairs`` CTE body."""
+    pairs_cte = REGISTRY["dedup_ngram_jaccard"].oracle.replace(
+        "ORDER BY doc_a, doc_b", ""
+    )
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_cte}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
+        FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=_cluster_oracle(),
+    tags=("llm-data", "dedup", "iterative"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster consolidation: near-dup pairs (3-gram Jaccard
+    ≥ 0.2) → connected components → one representative (min doc id)
+    per cluster. The keep/drop decision of a dedup pipeline: drop every
+    doc whose rep_id != doc_id.
+
+    Oracle: recursive-CTE transitive closure over the same pairs
+    (exact — both sides compute min-id-in-component).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep_id"))
+        .orderBy("doc_id")
     )
