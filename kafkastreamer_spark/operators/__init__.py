@@ -4,6 +4,7 @@ dedup, similarity search, text analysis, multimodal plumbing.
 Importing this package registers the operator queries."""
 
 from kafkastreamer_spark.operators import (  # noqa: F401
+    corpus,
     dedup,
     skew,
     multimodal,

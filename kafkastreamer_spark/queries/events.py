@@ -379,3 +379,78 @@ def pipeline_compiled_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("value"),
     )
     return transform(src).orderBy("value")
+
+
+@register(
+    "events_session_funnel",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_type,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM sessions
+            GROUP BY user_id, session_id
+        )
+        SELECT COUNT(*) AS n_sessions,
+               COUNT(first_view) AS sessions_with_view,
+               COUNT(CASE WHEN first_click > first_view THEN 1 END)
+                   AS view_then_click,
+               COUNT(CASE WHEN first_purchase > first_click
+                           AND first_click > first_view THEN 1 END)
+                   AS full_funnel
+        FROM per_session
+    """,
+    tags=("streaming", "session", "funnel"),
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel: within 30-min-gap sessions,
+    count view → click → purchase progressions (ordered by each
+    step's first occurrence). The standard product-analytics shape:
+    sessionize, pivot first-times per step, compare."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("first_view").alias("sessions_with_view"),
+        F.count(F.when(F.col("first_click") > F.col("first_view"), 1)).alias(
+            "view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
