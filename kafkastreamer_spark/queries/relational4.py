@@ -170,3 +170,98 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 10000 AS promo_revenue,
+               CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT))
+                   AS DOUBLE) / 10000 AS total_revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    """,
+    tags=("relational", "join", "agg", "flagship"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promotion revenue share — broadcast join to
+    part, conditional fixed-point sums. (The ratio itself is left to
+    the consumer: dividing the two exact sums is deterministic but the
+    engine reports both components.)"""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    fp = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    promo = F.when(F.col("p_type").startswith("PROMO"), fp).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / 10000).alias("promo_revenue"),
+            (F.sum(fp).cast("double") / 10000).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) > 1400000
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(CAST(FLOOR(l.l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("relational", "join", "agg", "subquery", "flagship"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers with very large orders — HAVING
+    subquery as a semi join on the pre-aggregated order quantities,
+    then re-join for the report columns. Quantity threshold scaled to
+    the fixture (sum qty > 140)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    fpq = F.floor(F.col("l_quantity") * 10000).cast("long")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(fpq).alias("fq"))
+        .filter(F.col("fq") > 1400000)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(fpq).cast("double") / 10000).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
