@@ -7,5 +7,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
 )
 from kafkastreamer_spark import operators  # noqa: F401
