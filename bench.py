@@ -32,7 +32,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q12_priority_shipping",
+    "q7_volume_shipping",
     "join_range_bands",
+    "join_asof_prev_purchase",
     "window_running_frame",
     "events_sessionization",
     "events_type_pivot",

@@ -1,0 +1,160 @@
+"""Deterministic sampling and dataset-split operators for
+training-data pipelines.
+
+Random sampling (``df.sample``, ``TABLESAMPLE``) is non-reproducible
+across engines, partitionings, and reruns — a correctness hazard for
+corpus construction. The operators here use **hash-bucket sampling**:
+bucket = first 8 md5 hex digits of a stable row key, mod 100. The
+decision is a pure per-row function of the key, so it is identical on
+any engine, any partitioning, any scale, and membership is stable
+under re-runs and incremental appends (a doc's bucket never changes).
+md5 is the only hash both Spark and DuckDB compute identically.
+
+Scale shape: all three operators are pure map-side projections plus
+ordinary aggregations — no extra shuffle beyond the final groupBy,
+nothing driver-side. At 100 TB the sample predicate pushes into the
+scan stage and rows are dropped before any exchange.
+
+Reference grounding: the reference has no sampling surface at all
+(SURVEY.md §2 Part A); these are Part-B / north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex digits of
+    the key as an int, mod buckets. Cross-engine exact (md5 hex and
+    integer mod agree between Spark and DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def sql_hash_bucket(key_expr: str, buckets: int = 100) -> str:
+    """DuckDB mirror of hash_bucket()."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+# Per-language keep rates (percent): downsample the dominant language,
+# keep the tail — the canonical corpus-rebalancing move.
+RATES = {"en": 25, "de": 80, "es": 80, "fr": 80, "zh": 80}
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {sql_hash_bucket("doc_id")} AS bucket
+        FROM documents
+        WHERE {sql_hash_bucket("doc_id")} <
+              CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 80
+                        WHEN 'es' THEN 80 WHEN 'fr' THEN 80
+                        WHEN 'zh' THEN 80 ELSE 0 END
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "training-data"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates, decided by a
+    deterministic hash bucket of doc_id instead of a RNG. Unlike
+    ``df.sample``/``sampleBy``, the kept set is identical across
+    engines, partitionings, and reruns, and stays stable when the
+    corpus grows (existing docs never flip in or out)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    rate = F.lit(0)
+    for lang, r in RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    # build CASE from the dict in insertion order: when-chains nest, so
+    # construct via reduce-style fold above (else 0 keeps unknown langs out)
+    return (
+        d.select("doc_id", "lang", b.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang, n_chars,
+                   CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                        WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM assigned
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+    tags=("sampling", "training-data"),
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hash
+    bucket of doc_id, reported as per-(split, lang) counts. Leakage-
+    safe by construction: a document's split is a pure function of its
+    id, so re-running, re-partitioning, or appending new data never
+    moves an old document across splits."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "dedup_exact_keep_best",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars, md5(text) AS h,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY source ASC, doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, n_copies
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "training-data"),
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the *preferred* copy per duplicate group
+    rather than an arbitrary one: rank within each md5(text) group by
+    source priority (then doc_id for a total order) and keep rank 1.
+    This is the keep-best generalization of ``dedup_exact`` (which
+    reduces groups to min(doc_id)) — the pattern used when duplicates
+    differ in provenance quality.
+
+    Scale shape: one shuffle on the 32-hex-char hash key; the window
+    is a SortWithinPartitions after that exchange, and AQE handles
+    skewed duplicate groups."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("h").orderBy(F.asc("source"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars", "n_copies")
+        .orderBy("doc_id")
+    )

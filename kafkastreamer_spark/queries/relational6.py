@@ -491,6 +491,58 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame_trailing",
+    oracle="""
+        WITH o2 AS (
+            SELECT o_custkey, o_orderkey,
+                   date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+                   CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS fp
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, d,
+               CAST(SUM(fp) OVER (PARTITION BY o_custkey ORDER BY d
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000
+                   AS trailing_30d_spend,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_30d_orders
+        FROM o2
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("relational", "window", "range-frame"),
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    the trailing-30-day spend and order count as of each order. The
+    frame is defined on the day offset *value*, so same-day orders
+    include each other symmetrically — semantics a rowsBetween frame
+    cannot express. The fixed-point sum keeps the windowed aggregate
+    order-independent; one shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            d.alias("d"),
+            fixed("o_totalprice").alias("fp"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "d",
+            (F.sum("fp").over(w).cast("double") / 10000).alias("trailing_30d_spend"),
+            F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
     "join_cross_region_segment",
     oracle="""
         WITH seg AS (SELECT DISTINCT c_mktsegment FROM customer)
