@@ -76,6 +76,10 @@ def main() -> None:
         # isolate queries: operator-internal persist() calls otherwise
         # accumulate cached partitions across the whole run
         spark.catalog.clearCache()
+        # nudge the ContextCleaner: without a driver GC, shuffle files
+        # from prior queries pile up for the whole run and later
+        # queries degrade 3-5x (measured on the dedup family)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

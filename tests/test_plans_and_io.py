@@ -112,3 +112,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS o_b")
         spark.sql("DROP TABLE IF EXISTS l_b")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must be one hash shuffle on user_id (the window
+    sort), never a join operator: the union-and-sweep strategy's whole
+    point is that no inequality-join candidate blowup exists."""
+    df = REGISTRY["join_asof_prev_purchase"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Join" not in plan  # no join operator of any kind
+    # exactly one exchange below the final orderBy's range partitioning
+    hash_exchanges = plan.count("hashpartitioning(user_id")
+    assert hash_exchanges == 1, plan
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    """Q7's only shuffle join is lineitem-orders; supplier/customer/
+    nation enrichments must all broadcast."""
+    plan = _physical_plan(REGISTRY["q7_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_sampling_is_map_side(spark, sf_dir):
+    """Hash-bucket sampling must not shuffle before the filter: the
+    keep/drop decision is a pure projection over the scan."""
+    df = REGISTRY["sample_stratified_hash"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    filter_pos = plan.index("Filter")
+    exchange_pos = plan.find("Exchange")
+    assert exchange_pos == -1 or exchange_pos < filter_pos  # only the final sort
