@@ -296,3 +296,54 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_top_bigrams",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM tok
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 30
+    """,
+    tags=("llm-data", "text"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-bigram frequencies, top 30 (count DESC, bigram
+    ASC for a total order). Non-distinct n-grams — frequency analysis,
+    unlike the distinct shingle sets the dedup family uses.
+
+    Scale shape: bigram build is a per-row transform (no shuffle);
+    explode + groupBy is one shuffle with map-side partial counts, and
+    the top-30 compiles to TakeOrderedAndProject, never a global sort.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("w"))  # materialize w
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat(
+                        F.element_at("w", (i + 1).cast("int")),
+                        F.lit(" "),
+                        F.element_at("w", (i + 2).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )

@@ -454,3 +454,80 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+        WITH e AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts) AS hr, value
+            FROM events
+        )
+        SELECT COALESCE(day, '<all>') AS day,
+               COALESCE(hr, -1) AS hr,
+               GROUPING(day, hr) AS lvl,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((day, hr), (day), ())
+        ORDER BY lvl, day, hr
+    """,
+    tags=("streaming", "agg", "rollup", "time"),
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable / continuous-aggregate
+    pattern): hour, day, and grand-total aggregates of the event
+    stream computed in ONE pass via GROUPING SETS — at 100 TB this is
+    one shuffle instead of three separate scans+aggregations, and the
+    partial (map-side) aggregation covers all three granularities.
+    GROUPING() labels the level so downstream consumers can route."""
+    _events(spark, sf_dir).selectExpr(
+        "date_format(ts, 'yyyy-MM-dd') AS day", "hour(ts) AS hr", "value"
+    ).createOrReplaceTempView("events_trunc")
+    return spark.sql(
+        """
+        SELECT COALESCE(day, '<all>') AS day,
+               COALESCE(hr, -1) AS hr,
+               GROUPING_ID(day, hr) AS lvl,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   AS sum_value
+        FROM events_trunc
+        GROUP BY GROUPING SETS ((day, hr), (day), ())
+        ORDER BY lvl, day, hr
+        """
+    )
+
+
+@register(
+    "events_mode_event_type",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS top_event_type, n
+        FROM counts WHERE rn = 1
+        ORDER BY user_id
+    """,
+    tags=("streaming", "agg", "mode"),
+)
+def events_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value): built-in
+    mode()/max_by() break ties arbitrarily — engine-hostile for an
+    exact contract — so the engine ranks (count DESC, value ASC) and
+    keeps rank 1. Two shuffles (count, then per-user window); at scale
+    the window input is already tiny (groups x distinct values)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n")
+        .orderBy("user_id")
+    )
