@@ -146,3 +146,75 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_key", StringType()),
+    ]
+)
+
+_FRAME_STRIDE = 4
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampling: every _FRAME_STRIDE-th frame of
+    each blob, one OUTPUT ROW PER FRAME (1→N row expansion inside
+    mapInPandas — the shape a real ffmpeg keyframe extractor needs).
+    Frame count and keys come from the deterministic fake decoder so
+    the oracle can reproduce them in SQL."""
+    for pdf in batches:
+        ids, idxs, totals, keys = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, n_frames, _ = _fake_decode(payload)
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                totals.append(n_frames)
+                # a real extractor would hash the decoded frame bytes;
+                # the fake keys on (payload, frame index)
+                keys.append(
+                    hashlib.md5(payload + b":" + str(i).encode()).hexdigest()[:8]
+                )
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "n_frames": totals, "frame_key": keys}
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   instr('0123456789abcdef', substr(md5(text), 5, 1)) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(n_frames AS INT) AS n_frames,
+               substr(md5(text || ':' || i), 1, 8) AS frame_key
+        FROM f, UNNEST(range(0, n_frames, {_FRAME_STRIDE})) AS t(i)
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm-data", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via mapInPandas with row expansion: each
+    media blob yields one row per sampled frame (every 4th of its
+    n_frames). Demonstrates the 1→N batch output shape (explode
+    inside the UDF, not after it — frames never materialize as an
+    array column).
+
+    Scale note: output size is rows × frames/stride; keep Arrow
+    batches small (maxRecordsPerBatch) because expansion happens
+    before the batch is flushed. Sampled-frame rows carry only
+    metadata + key here; a real pipeline would add the frame bytes
+    column and write immediately (no wide shuffles on frame rows)."""
+    b = _blobs(spark, sf_dir)
+    return (
+        b.select("doc_id", "payload")
+        .mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )

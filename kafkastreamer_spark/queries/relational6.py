@@ -569,3 +569,116 @@ def join_cross_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "c_mktsegment")
     )
+
+
+@register(
+    "scalar_hash_encode",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS h_md5,
+               sha256(c_name) AS h_sha256,
+               hex(c_name) AS h_hex,
+               base64(encode(c_name)) AS h_b64,
+               octet_length(encode(c_name)) AS n_bytes
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    tags=("relational", "scalar", "hash"),
+)
+def scalar_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash / binary-encoding battery: md5, sha256, hex, base64, byte
+    length — the content-addressing toolbox (cache keys, content
+    dedup, URL-safe ids). All five are bit-identical across engines
+    (verified; hex is uppercase in both)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.md5("c_name").alias("h_md5"),
+            F.sha2("c_name", 256).alias("h_sha256"),
+            F.hex("c_name").alias("h_hex"),
+            F.base64(F.encode("c_name", "UTF-8")).alias("h_b64"),
+            F.octet_length("c_name").cast("long").alias("n_bytes"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "agg_covar_corr_fixedpoint",
+    oracle="""
+        WITH f AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_discount * 10000) AS BIGINT) AS x,
+                   CAST(FLOOR(l_tax * 10000) AS BIGINT) AS y
+            FROM lineitem
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+               COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS covar_num,
+               COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS var_x_num,
+               COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS var_y_num
+        FROM f
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "statistics"),
+)
+def agg_covar_corr_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation moments computed EXACTLY in integer
+    space: covar_pop = covar_num/n², corr = covar_num/sqrt(varx*vary)
+    — the engine reports the integer co-moments (n*Σxy − ΣxΣy etc.)
+    because built-in covar_pop/corr accumulate doubles in partial-
+    aggregation order and are not reproducible bit-for-bit across
+    engines or even across partitionings. One map-side-combined
+    shuffle; the BIGINT moments hold to ~2e18 (≈ sf100 on these
+    0..10^3-scale fixed columns) before needing DECIMAL(38)."""
+    l = _t(spark, sf_dir, "lineitem")
+    x, y = fixed("l_discount"), fixed("l_tax")
+    n = F.count(F.lit(1))
+    return (
+        l.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).alias(
+                "covar_num"
+            ),
+            (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).alias(
+                "var_x_num"
+            ),
+            (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).alias(
+                "var_y_num"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS bin_min,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS bin_max
+        FROM orders
+        GROUP BY 1
+        ORDER BY bin
+    """,
+    tags=("relational", "agg", "histogram"),
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the distributed histogram primitive):
+    integer bin ids from floor division, min/max per bin exact (no
+    sums, so no fixed-point needed). Map-side combine reduces each
+    partition to ≤ #bins rows before the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
