@@ -8,5 +8,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
 )
 from kafkastreamer_spark import operators  # noqa: F401
