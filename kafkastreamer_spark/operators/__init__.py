@@ -11,4 +11,5 @@ from kafkastreamer_spark.operators import (  # noqa: F401
     multimodal,
     similarity,
     text,
+    training,
 )

@@ -531,3 +531,58 @@ def events_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("top_event_type"), "n")
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+        WITH d AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+        )
+        SELECT date_diff('day', DATE '2024-01-01', f.cohort_day) // 7
+                   AS cohort_wk,
+               date_diff('day', f.cohort_day, d.day) // 7 AS offset_wk,
+               COUNT(DISTINCT d.user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM d JOIN first_seen f ON d.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_wk, offset_wk
+    """,
+    tags=("streaming", "agg", "time", "cohort"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    activity counted per week offset since their cohort week — the
+    standard product-analytics rollup (rows (cohort_wk, offset_wk)
+    render as the retention triangle).
+
+    Scale shape: two aggregations on the SAME key — the per-user MIN
+    and the activity join are both hash-partitioned on user_id, so
+    the join after the groupBy reuses the first shuffle's
+    partitioning (no extra exchange; the first-seen side is also far
+    smaller than the event log). The final (cohort_wk, offset_wk)
+    aggregation is over a bounded key space. All date math is integer
+    day arithmetic — engine-portable."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.floor(F.datediff("cohort_day", F.lit("2024-01-01").cast("date")) / 7)
+            .cast("long")
+            .alias("cohort_wk"),
+            F.floor(F.datediff("day", F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("offset_wk"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_wk", "offset_wk")
+    )
