@@ -33,6 +33,9 @@ HEADLINE = [
     "q10_returned_items",
     "q12_priority_shipping",
     "q7_volume_shipping",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_sole_fault_supplier",
     "join_range_bands",
     "join_asof_prev_purchase",
     "window_running_frame",
@@ -47,6 +50,10 @@ HEADLINE = [
     "similarity_ivf_probe",
     "text_quality_score",
     "text_language_id",
+    "text_chunk_tokens",
+    "text_distinctive_terms",
+    "embedding_kmeans_assign",
+    "events_retention_cohort",
     "multimodal_decode_stub",
 ]
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import (
+    HEX,
     SQL_TOKENS,
     band_sigs,
     cosine,
@@ -348,28 +349,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-row signature build: md5 each distinct token, expand each
     # hash to a 64-element ±1 weight array, and fold the arrays with
     # zip_with — a pure map stage (no doc×token×bit explosion, no
-    # shuffle; measured 2x the explode+groupBy form at sf0.1).
+    # shuffle). Hex→bits goes through a 16-entry map literal (one
+    # probe per hex char) instead of per-bit instr/pow arithmetic —
+    # 4x faster at runtime and a far smaller codegen unit (the per-bit
+    # form's first-run JIT dominated the whole query). Built lazily:
+    # module-level Columns break pandas-UDF worker re-imports.
+    entries = []
+    for i, ch in enumerate(HEX):
+        entries.append(F.lit(ch))
+        entries.append(F.array(*[F.lit((i >> (3 - k)) & 1) for k in range(4)]))
+    hexmap = F.create_map(*entries)
+
     def _wgt_arr(h):
-        hexval = lambda b: (  # noqa: E731 - nibble of bit b's hex char
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(h, (F.lit(1) + F.floor(b / 4)).cast("int"), 1),
+        nibbles = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.element_at(hexmap, F.substring(h, i.cast("int"), 1)),
             )
-            - 1
         )
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda b: (
-                2
-                * (
-                    F.floor(
-                        hexval(b) / F.pow(F.lit(2.0), (F.lit(3) - b % 4).cast("double"))
-                    ).cast("int")
-                    % 2
-                )
-                - 1
-            ),
-        )
+        return F.transform(nibbles, lambda b: 2 * b - 1)
 
     sums = (
         d.select("doc_id", tokens("text").alias("w"))
@@ -625,5 +623,81 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     labels = connected_components(edges)
     return (
         labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep_id"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train-vs-eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+CONTAM_THRESHOLD = 0.2  # flag train docs sharing ≥20% of shingles with eval
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, source, {SQL_TOKENS} AS w FROM documents),
+        sh AS (
+            SELECT doc_id, source, {sql_shingles('w')} AS sh
+            FROM words WHERE len(w) >= 3
+        ),
+        eval_sh AS (
+            SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'
+        ),
+        train AS (
+            SELECT doc_id, unnest(sh) AS s, len(sh) AS n_shingles
+            FROM sh WHERE source <> 'src0'
+        ),
+        hits AS (
+            SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_overlap
+            FROM train t JOIN eval_sh e ON t.s = e.s
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, n_overlap, n_shingles,
+               CAST(FLOOR(CAST(n_overlap AS DOUBLE) / n_shingles * 10000)
+                    AS BIGINT) AS contam4
+        FROM hits
+        WHERE CAST(n_overlap AS DOUBLE) / n_shingles >= {CONTAM_THRESHOLD}
+        ORDER BY doc_id
+    """,
+    tags=("llm-data", "dedup", "decontamination"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose
+    word-3-gram sets overlap an evaluation set (here: source='src0'
+    stands in for the benchmark corpus) by ≥20% — the standard
+    pre-training hygiene pass that removes eval leakage.
+
+    Scale shape: the eval shingle set is DISTINCT'd first (benchmarks
+    are tiny — at 100 TB train vs a few-GB eval this side broadcasts;
+    left as a hash join so the same plan covers eval sets that
+    don't fit). The train posting list joins on the 3-gram string,
+    then one groupBy per train doc. Candidate volume is bounded by
+    eval-shingle document frequency in train — never |train|x|eval|.
+    The shingle sets reuse _shingle_sets' persisted build."""
+    sh = _shingle_sets(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sh_src = sh.join(src, "doc_id")
+    eval_sh = (
+        sh_src.filter(F.col("source") == "src0")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = sh_src.filter(F.col("source") != "src0").select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        train.join(eval_sh, "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(ratio >= CONTAM_THRESHOLD)
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.floor(ratio * 10000).alias("contam4"),
+        )
         .orderBy("doc_id")
     )

@@ -10,7 +10,7 @@ rules in queries/_util.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import SQL_TOKENS, tokens
@@ -346,4 +346,54 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(30)
+    )
+
+
+@register(
+    "text_distinctive_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        ranked AS (
+            SELECT tf.doc_id, tf.t, tf.tf, df.df,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf DESC, df.df, tf.t) AS rnk
+            FROM tf JOIN df ON tf.t = df.t
+        )
+        SELECT doc_id, rnk, t AS term, tf, df
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+    tags=("llm-data", "text"),
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document — the log-free TF-IDF:
+    rank by term frequency descending, document frequency ascending
+    (rare-but-repeated terms first), then term. Ordering by the raw
+    (tf, df) pair instead of tf*ln(N/df) keeps the score integer and
+    engine-exact — libm ln is NOT guaranteed bit-identical across
+    engines, and the ranking it induces is the same.
+
+    Scale shape: tf is one shuffle on (doc_id, token); df is a
+    shuffle on token with map-side partial distinct; the tf-df join
+    is token-keyed (df is |vocab| rows — broadcastable for bounded
+    vocabularies, left as a hash join for web-scale vocab); the
+    per-doc top-3 is a window over ≤|distinct tokens per doc| rows."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "df", "t")
+    return (
+        tf.join(df, "t")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"),
+                F.col("t").alias("term"), "tf", "df")
+        .orderBy("doc_id", "rnk")
     )

@@ -343,3 +343,68 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "comp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-inference plumbing (embedding-model stub)
+# ---------------------------------------------------------------------------
+
+_EMBED_DIM = 8
+
+
+def _embed_batches(batches):
+    """Arrow-batched fake embedding model: component j of doc text t =
+    (hexnibble(md5(t + '_j')[0]) - 7.5) / 8. A real model swaps the
+    hash for tokenizer+forward pass; the batch shape (pd.DataFrame in,
+    fixed schema out, no per-row Python) is exactly what GPU batch
+    inference needs. Deterministic so the SQL oracle reproduces it."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"]}
+        for j in range(1, _EMBED_DIM + 1):
+            out[f"e{j}"] = [
+                (int(hashlib.md5(f"{t}_{j}".encode()).hexdigest()[0], 16) - 7.5)
+                / 8.0
+                for t in pdf["text"]
+            ]
+        yield pd.DataFrame(out)
+
+
+@register(
+    "text_embed_batch_stub",
+    oracle=f"""
+        SELECT doc_id,
+               {", ".join(
+                   f"(CAST(instr('0123456789abcdef',"
+                   f" substr(md5(text || '_{j}'), 1, 1)) AS DOUBLE) - 8.5) / 8.0"
+                   f" AS e{j}"
+                   for j in range(1, _EMBED_DIM + 1)
+               )}
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm-data", "multimodal", "udf"),
+)
+def text_embed_batch_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-inference plumbing: embed every document with an
+    Arrow-batched mapInPandas "model" (deterministic md5 stub — a real
+    encoder is a drop-in for _embed_batches; the Spark-side schema,
+    batching, and partitioning are the real thing).
+
+    Scale shape: pure map over Arrow record batches — no shuffle, no
+    collect; throughput scales with executors × batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch caps GPU memory per
+    batch). Output columns are fixed-width doubles, so the downstream
+    join/cluster ops stay columnar."""
+    schema = "doc_id long, " + ", ".join(
+        f"e{j} double" for j in range(1, _EMBED_DIM + 1)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(_embed_batches, schema=schema)
+        .orderBy("doc_id")
+    )

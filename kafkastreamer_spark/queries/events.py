@@ -586,3 +586,56 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "offset_wk")
     )
+
+
+@register(
+    "events_daily_delta",
+    oracle="""
+        WITH d AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_fp
+            FROM events GROUP BY 1
+        )
+        SELECT day, n_events,
+               CAST(sum_fp AS DOUBLE) / 10000 AS sum_value,
+               n_events - LAG(n_events) OVER (ORDER BY day) AS delta_n,
+               CAST(sum_fp - LAG(sum_fp) OVER (ORDER BY day) AS DOUBLE) / 10000
+                   AS delta_value
+        FROM d
+        ORDER BY day
+    """,
+    tags=("streaming", "agg", "time", "window"),
+)
+def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas of the event stream: daily counts and
+    value sums with LAG-based differences — the time-series trend
+    primitive (DAU deltas, revenue change).
+
+    Scale shape: the heavy step is the per-day aggregation (one
+    shuffle, map-side combined, bounded output = |days|). The LAG
+    window is a single unpartitioned sort — safe precisely BECAUSE it
+    runs on the aggregate (≤ a few thousand rows for a decade),
+    never on the raw events. The delta of the fixed-point sums stays
+    in integer space until the final divide."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("sum_fp"),
+        )
+    )
+    w = Window.orderBy("day")
+    return (
+        d.select(
+            "day",
+            "n_events",
+            (F.col("sum_fp").cast("double") / 10000).alias("sum_value"),
+            (F.col("n_events") - F.lag("n_events").over(w)).alias("delta_n"),
+            ((F.col("sum_fp") - F.lag("sum_fp").over(w)).cast("double") / 10000).alias(
+                "delta_value"
+            ),
+        )
+        .orderBy("day")
+    )

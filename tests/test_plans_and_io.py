@@ -142,3 +142,68 @@ def test_sampling_is_map_side(spark, sf_dir):
     filter_pos = plan.index("Filter")
     exchange_pos = plan.find("Exchange")
     assert exchange_pos == -1 or exchange_pos < filter_pos  # only the final sort
+
+
+def test_q2_broadcasts_all_dims(spark, sf_dir):
+    """part/supplier/nation/region broadcast; the only shuffles are
+    the catalog groupBy and the per-part rank window."""
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_single_big_join(spark, sf_dir):
+    """lineitem-orders is the only non-broadcast join; the part
+    pattern filter broadcasts and prunes before the shuffle."""
+    df = REGISTRY["q9_product_profit"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q21_semi_and_anti_hash_joins(spark, sf_dir):
+    """EXISTS/NOT EXISTS decorrelate to semi + anti joins — never a
+    per-row re-scan."""
+    df = REGISTRY["q21_sole_fault_supplier"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """The K-way distance eval is a broadcast nested-loop over K rows
+    — no shuffle of the embedding side before the argmin window."""
+    df = REGISTRY["embedding_kmeans_assign"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Chunking must not shuffle (the only exchange is the output
+    sort's range partitioning)."""
+    df = REGISTRY["text_chunk_tokens"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_packing_single_shuffle(spark, sf_dir):
+    """Sequence packing = one hash exchange (the per-language window);
+    no global single-partition sort of the raw docs."""
+    df = REGISTRY["text_pack_sequences"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_daily_delta_lag_runs_on_aggregate(spark, sf_dir):
+    """The unpartitioned LAG sort must sit above the day aggregation
+    (bounded rows), never above the raw event scan."""
+    df = REGISTRY["events_daily_delta"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    single_pos = plan.find("Exchange SinglePartition")
+    assert agg_pos != -1 and single_pos != -1
+    # executedPlan prints top-down: the SinglePartition exchange
+    # (window input) must appear ABOVE the aggregate that feeds it
+    assert single_pos < agg_pos
