@@ -9,5 +9,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    relational8,
 )
 from kafkastreamer_spark import operators  # noqa: F401

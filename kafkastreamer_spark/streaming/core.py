@@ -151,3 +151,63 @@ def exactly_once_parquet_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def keyed_heavy_hitters_stateful(
+    stream: DataFrame,
+    key_col: str = "key",
+    item_col: str = "value",
+    capacity: int = 4,
+) -> DataFrame:
+    """Streaming heavy hitters per key: a Misra-Gries summary of
+    ``item_col`` values held in per-key state (applyInPandasWithState)
+    — the bounded-memory answer to "top event types per user over an
+    unbounded stream". Each batch emits the key's current candidate
+    set with estimated counts.
+
+    Guarantees (classic Misra-Gries, capacity k): every item with true
+    frequency > n/(k+1) is retained, and true_count - estimate ≤ n/(k+1)
+    where n is the key's stream length. State is two parallel arrays
+    (items, counts) — fixed size k per key regardless of stream length,
+    which is what makes this viable where an exact per-item count map
+    would grow without bound (the reference's Map<String,String> state,
+    Streamer.java:264-282, is the unbounded version of exactly this).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n = list(state.get[0]), list(state.get[1]), state.get[2]
+        else:
+            items, counts, n = [], [], 0
+        mg = dict(zip(items, counts))
+        for pdf in pdfs:
+            for item in pdf[item_col]:
+                n += 1
+                if item in mg:
+                    mg[item] += 1
+                elif len(mg) < capacity:
+                    mg[item] = 1
+                else:
+                    # decrement-all: drop zeroed counters
+                    mg = {i: c - 1 for i, c in mg.items() if c > 1}
+        items = sorted(mg)  # deterministic state/output order
+        counts = [mg[i] for i in items]
+        state.update((items, counts, n))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(items),
+                "item": items,
+                "est_count": counts,
+                "stream_len": [n] * len(items),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, item string, est_count long, stream_len long",
+        stateStructType="items array<string>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -159,3 +159,46 @@ def test_rate_source_shape(spark):
     s = rate_source(spark, rows_per_second=10, partitions=2)
     assert s.isStreaming
     assert [f.name for f in s.schema.fields] == ["key", "value"]
+
+
+def test_heavy_hitters_misra_gries(spark, tdir):
+    """Streaming Misra-Gries vs exact batch counts: every item with
+    frequency > n/(k+1) must be retained, and estimates undershoot by
+    at most n/(k+1) (the MG guarantee)."""
+    from kafkastreamer_spark.streaming.core import keyed_heavy_hitters_stateful
+
+    src_dir = os.path.join(tdir, "hh_in")
+    # skewed item stream: item 'hot' dominates, tail of rare items
+    rows = []
+    for i in range(300):
+        if i % 3 != 2:
+            rows.append(("k0", "hot"))
+        else:
+            rows.append(("k0", f"cold{i % 7}"))
+    spark.createDataFrame(rows, ["key", "value"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    stream = file_source(spark, src_dir, STREAM_SCHEMA, fmt="parquet")
+    q = to_memory_sink(
+        keyed_heavy_hitters_stateful(stream, capacity=4), "hh_out"
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM hh_out WHERE stream_len = 300"
+    ).collect()  # final batch state
+    assert out, "no final-state output rows"
+    est = {r["item"]: r["est_count"] for r in out}
+    n, k = 300, 4
+    exact = {"hot": 200}
+    for i in range(300):
+        if i % 3 == 2:
+            exact[f"cold{i % 7}"] = exact.get(f"cold{i % 7}", 0) + 1
+    # items over the n/(k+1) frequency bound must be present
+    for item, c in exact.items():
+        if c > n / (k + 1):
+            assert item in est, f"frequent item {item} evicted"
+    # estimates never exceed truth and undershoot by ≤ n/(k+1)
+    for item, e in est.items():
+        assert e <= exact[item]
+        assert exact[item] - e <= n / (k + 1)
