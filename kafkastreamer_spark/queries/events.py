@@ -559,13 +559,13 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard product-analytics rollup (rows (cohort_wk, offset_wk)
     render as the retention triangle).
 
-    Scale shape: two aggregations on the SAME key — the per-user MIN
-    and the activity join are both hash-partitioned on user_id, so
-    the join after the groupBy reuses the first shuffle's
-    partitioning (no extra exchange; the first-seen side is also far
-    smaller than the event log). The final (cohort_wk, offset_wk)
-    aggregation is over a bounded key space. All date math is integer
-    day arithmetic — engine-portable."""
+    Scale shape: the first-seen side is one aggregate row per user —
+    far smaller than the event log, so it broadcasts (verified in the
+    plan at test scale); past the broadcast threshold the join
+    hash-partitions on user_id, co-partitioned with the aggregation's
+    own shuffle. The final (cohort_wk, offset_wk) aggregation is over
+    a bounded key space. All date math is integer day arithmetic —
+    engine-portable."""
     ev = _events(spark, sf_dir).select(
         "user_id", F.to_date("ts").alias("day")
     )
@@ -638,4 +638,136 @@ def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "join_time_proximity_bucketed",
+    oracle="""
+        WITH err AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               b.us - a.us AS diff_us
+        FROM err a JOIN err b
+          ON a.event_id < b.event_id
+         AND abs(b.us - a.us) <= 60000000
+        ORDER BY id_a, id_b
+    """,
+    tags=("join", "range", "temporal", "bucketed"),
+)
+def join_time_proximity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error events within 60 s of each other (incident correlation).
+    A pure range self-join with NO equi key — the case where both the
+    broadcast nested-loop (join_range_bands) and a naive theta join
+    die at scale: |errors|² candidate pairs.
+
+    The scalable strategy is BUCKETIZATION: bucket each event by
+    60-s epoch minute; side A keeps its own bucket, side B explodes
+    to {m-1, m, m+1}; join becomes a plain hash equi-join on the
+    bucket, then the exact |Δt| ≤ 60 s predicate filters residually.
+    Every qualifying pair meets in exactly one bucket (A's), so no
+    distinct pass is needed. Candidates drop from n² to
+    Σ_m n_m·(n_{m-1}+n_m+n_{m+1}) — linear in n for time-spread data.
+    The oracle runs the naive theta join, cross-checking the
+    strategy. At 100 TB the bucket width trades shuffle fan-out (3x
+    row copies on one side) against candidate density per bucket."""
+    err = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+    )
+    a = err.select(
+        "event_id", "us", F.floor(F.col("us") / 60_000_000).alias("m")
+    )
+    b = err.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("us") / 60_000_000) - 1,
+                F.floor(F.col("us") / 60_000_000),
+                F.floor(F.col("us") / 60_000_000) + 1,
+            )
+        ).alias("m"),
+    )
+    return (
+        a.join(b, "m")
+        .filter(
+            (F.col("event_id") < F.col("event_id_b"))
+            & (F.abs(F.col("us_b") - F.col("us")) <= 60_000_000)
+        )
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("event_id_b").alias("id_b"),
+            (F.col("us_b") - F.col("us")).alias("diff_us"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "events_value_zscore",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, user_id,
+                   CAST(FLOOR(value * 10000) AS BIGINT) AS x
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+            FROM f GROUP BY 1
+        )
+        SELECT f.event_id, f.user_id,
+               CAST(FLOOR(
+                   (f.x - CAST(sx AS DOUBLE) / n)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          / (CAST(n AS DOUBLE) * n))
+                   * 10000) AS BIGINT) AS z4
+        FROM f JOIN stats USING (user_id)
+        WHERE n >= 2 AND n * sxx - sx * sx > 0
+          AND abs((f.x - CAST(sx AS DOUBLE) / n)
+                  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         / (CAST(n AS DOUBLE) * n))) >= 2.0
+        ORDER BY event_id
+    """,
+    tags=("streaming", "agg", "anomaly", "statistics"),
+)
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection: events whose value is ≥ 2
+    population standard deviations from that user's mean. The
+    monitoring primitive behind outlier alerts.
+
+    Scale shape: moments (n, Σx, Σx²) accumulate as exact BIGINTs in
+    one map-side-combined shuffle; the re-join of the tiny stats side
+    broadcasts. Mean/std only become doubles at the final compare, and
+    both engines derive them from identical integers, so the z-scores
+    (and the ≥2.0 boundary) are bit-identical. Degenerate users
+    (single event or zero variance) are filtered in integer space."""
+    f = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("x"),
+    )
+    stats = f.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) / (F.col("n").cast("double") * F.col("n"))
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        f.join(F.broadcast(stats), "user_id")
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.abs(z) >= 2.0)
+        )
+        .select("event_id", "user_id", F.floor(z * 10000).cast("long").alias("z4"))
+        .orderBy("event_id")
     )
