@@ -211,3 +211,61 @@ def keyed_heavy_hitters_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def merge_upsert_sink(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint: str,
+    key_col: str = "key",
+    delta_col: str = "delta",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch merges its per-key deltas
+    into a parquet base table (read-modify-write via the same
+    full-outer-join plan as the batch merge_upsert_customers query) —
+    the foreachBatch upsert pattern that Delta/Iceberg MERGE sinks
+    run under the hood.
+
+    Idempotence note: the swap write is atomic-rename-free parquet
+    (test scope); a replayed batch re-applies its deltas, so strict
+    exactly-once needs a batchId high-water mark in the base (one
+    extra column, same technique as exactly_once_parquet_sink) or a
+    transactional table format. At scale the base would be
+    key-bucketed so only buckets with changes rewrite.
+    """
+    import shutil
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        changes = batch_df.groupBy(key_col).agg(
+            F.sum(delta_col).alias("_delta")
+        )
+        try:
+            base = spark.read.parquet(base_dir).select(key_col, "total")
+        except Exception:
+            base = changes.select(
+                key_col, F.lit(None).cast("long").alias("total")
+            ).limit(0)
+        merged = (
+            base.alias("b")
+            .join(changes.alias("c"), key_col, "full_outer")
+            .select(
+                F.col(key_col),
+                (
+                    F.coalesce(F.col("b.total"), F.lit(0))
+                    + F.coalesce(F.col("c._delta"), F.lit(0))
+                ).alias("total"),
+            )
+        )
+        tmp = base_dir + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.move(tmp, base_dir)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

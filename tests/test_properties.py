@@ -96,3 +96,94 @@ def test_stage_function_registry_closed(spark):
     df = spark.range(1).select(fn(col, 1).alias("v"))
     assert df.collect()[0]["v"] == 7
     assert set(STAGE_FUNCTIONS) == {"adder", "power", "diff", "identity"}
+
+
+@FAST
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=120), min_size=1, max_size=6
+    )
+)
+def test_chunking_covers_every_token(spark, texts):
+    """Chunk invariants on arbitrary texts: chunk count per doc is
+    ceil(n_tokens/stride); every chunk except the last per doc has
+    exactly CHUNK_TOKENS tokens; token positions are fully covered."""
+    import math
+
+    from kafkastreamer_spark.operators.training import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from kafkastreamer_spark.operators._embed import tokens as tok_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    w = df.select("doc_id", tok_expr("text").alias("w"))
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    chunk = F.slice(F.col("w"), start + 1, F.lit(CHUNK_TOKENS))
+    out = (
+        w.select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n"),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.size("w") - 1) / CHUNK_STRIDE))
+            ).alias("chunk_idx"),
+        )
+        .select("doc_id", "n", "chunk_idx", F.size(chunk).alias("n_tok"))
+        .collect()
+    )
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        n = rows[0]["n"]
+        assert len(rows) == max(1, math.ceil(n / CHUNK_STRIDE))
+        rows.sort(key=lambda r: r["chunk_idx"])
+        for r in rows[:-1]:
+            # non-final chunks are full-size unless the doc is shorter
+            assert r["n_tok"] == min(CHUNK_TOKENS, n - r["chunk_idx"] * CHUNK_STRIDE)
+        last = rows[-1]
+        # final chunk reaches the end of the doc exactly
+        assert last["chunk_idx"] * CHUNK_STRIDE + last["n_tok"] == n
+
+
+@FAST
+@given(
+    n_toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40)
+)
+def test_packing_offsets_contiguous(spark, n_toks):
+    """Packing invariants: offsets are the exclusive prefix sum in
+    doc order; pack_id is monotone non-decreasing; every pack except
+    the last starts within PACK_WINDOW of its id boundary."""
+    from kafkastreamer_spark.operators.training import PACK_WINDOW
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, "x", n) for i, n in enumerate(n_toks)], ["doc_id", "lang", "n_tok"]
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    rows = (
+        df.select(
+            "doc_id",
+            "n_tok",
+            offset.alias("offset"),
+            F.floor(offset / PACK_WINDOW).cast("long").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    run = 0
+    prev_pack = 0
+    for r in rows:
+        assert r["offset"] == run
+        run += r["n_tok"]
+        assert r["pack_id"] == r["offset"] // PACK_WINDOW
+        assert r["pack_id"] >= prev_pack
+        prev_pack = r["pack_id"]

@@ -202,3 +202,33 @@ def test_heavy_hitters_misra_gries(spark, tdir):
     for item, e in est.items():
         assert e <= exact[item]
         assert exact[item] - e <= n / (k + 1)
+
+
+def test_merge_upsert_sink_matches_batch(spark, tdir):
+    """Streaming CDC apply: final base state == one batch groupBy over
+    the whole input (stream-batch parity for the merge sink)."""
+    from kafkastreamer_spark.streaming.core import merge_upsert_sink
+
+    src_dir = os.path.join(tdir, "cdc_in")
+    base_dir = os.path.join(tdir, "cdc_base")
+    rows = [(f"k{i % 5}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["key", "delta"])
+    df.coalesce(2).write.mode("overwrite").parquet(src_dir)
+
+    schema = StructType(
+        [StructField("key", StringType()), StructField("delta", LongType())]
+    )
+    stream = file_source(spark, src_dir, schema, fmt="parquet")
+    q = merge_upsert_sink(
+        stream, base_dir, os.path.join(tdir, "cdc_ckpt"), delta_col="delta"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["key"]: r["total"] for r in spark.read.parquet(base_dir).collect()
+    }
+    want = {
+        r["key"]: r["total"]
+        for r in df.groupBy("key").agg(F.sum("delta").alias("total")).collect()
+    }
+    assert got == want
