@@ -6,7 +6,9 @@ Importing this package registers the operator queries."""
 from kafkastreamer_spark.operators import (  # noqa: F401
     corpus,
     dedup,
+    quality,
     sampling,
+    sketches,
     skew,
     multimodal,
     similarity,

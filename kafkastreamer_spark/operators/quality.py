@@ -1,0 +1,269 @@
+"""Corpus-quality operators: repetition metrics (Gopher-style), C4-style
+global line dedup, and quantile-based quality filtering.
+
+These are north-star training-data extensions (SURVEY.md §2-B); the
+reference has no text-quality surface (its operator set is the keyed
+arithmetic stages, Streamer.java:443-466).
+
+Determinism: every ratio threshold is evaluated by integer
+cross-multiplication (``10*top > n`` instead of ``top/n > 0.1``) so no
+float division enters the comparison; every tie is broken by a total
+order (doc_id, line index).
+
+Scale shape:
+
+* repetition metrics — one explode + one (doc_id, gram) shuffle; the
+  gram stream is map-side combined, so the exchange carries one row
+  per *distinct* gram per doc, not one per occurrence. At 100 TB this
+  is the same shape as a word-count: embarrassingly parallel.
+* line dedup — the dedup decision shuffles md5(line) (32-byte keys),
+  never full text; reconstruction reuses the doc_id partitioning of
+  the pre-exploded rows. Two shuffles total, both on compact keys.
+* quantile filter — one window per language partition; languages are
+  few but large, so the per-lang partitions are the natural skew
+  concern — the rank only needs (lang, n_chars, doc_id), 20 bytes/row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table, widen
+
+LINE_TOKENS = 5  # tokens per "line" for global line dedup
+
+
+@register(
+    "text_repetition_metrics",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, 2 AS g, t[i] || ' ' || t[i+1] AS gram, len(t) AS n
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+            UNION ALL
+            SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2], len(t)
+            FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ),
+        c AS (
+            SELECT doc_id, g, gram, any_value(n) AS n, count(*) AS c
+            FROM grams GROUP BY doc_id, g, gram
+        ),
+        m AS (
+            SELECT doc_id,
+                   any_value(n) AS n_tokens,
+                   max(CASE WHEN g = 2 THEN c END) AS top_bigram_count,
+                   CAST(coalesce(sum(CASE WHEN g = 3 AND c >= 2 THEN c END), 0)
+                        AS BIGINT) AS dup_trigram_occurrences,
+                   CAST(sum(CASE WHEN g = 3 THEN c END) AS BIGINT) AS n_trigrams
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, top_bigram_count, dup_trigram_occurrences,
+               n_trigrams,
+               CAST(10 * top_bigram_count > n_tokens
+                    OR 2 * dup_trigram_occurrences > n_trigrams AS INT)
+                   AS flagged_repetitive
+        FROM m ORDER BY doc_id
+    """,
+    tags=("text", "quality", "training-data"),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per document, the occurrence
+    count of the most frequent bigram and the number of trigram
+    occurrences belonging to repeated trigrams. A doc is flagged when
+    the top bigram covers >10% of tokens or >50% of its trigrams are
+    duplicates — thresholds evaluated in integer space
+    (10*top > n, 2*dup > total) so the flag is engine-exact.
+
+    Both gram orders ride ONE explode and ONE (doc_id, gram) shuffle:
+    the bigram and trigram arrays are concatenated (tagged with g=2/3)
+    before exploding, and partial aggregation collapses repeats
+    map-side."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = widen(d)
+    grams = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> struct(2 as g, concat(toks[i], ' ', toks[i+1]) as gram))"
+                ),
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> struct(3 as g,"
+                    " concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) as gram))"
+                ),
+            )
+        ).alias("e"),
+    )
+    counts = grams.groupBy(
+        "doc_id", F.col("e.g").alias("g"), F.col("e.gram").alias("gram")
+    ).agg(F.max("n_tokens").alias("n"), F.count(F.lit(1)).alias("c"))
+    m = counts.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.max(F.when(F.col("g") == 2, F.col("c"))).alias("top_bigram_count"),
+        F.coalesce(
+            F.sum(F.when((F.col("g") == 3) & (F.col("c") >= 2), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup_trigram_occurrences"),
+        F.sum(F.when(F.col("g") == 3, F.col("c"))).cast("long").alias("n_trigrams"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_count",
+        "dup_trigram_occurrences",
+        "n_trigrams",
+        (
+            (10 * F.col("top_bigram_count") > F.col("n_tokens"))
+            | (2 * F.col("dup_trigram_occurrences") > F.col("n_trigrams"))
+        )
+        .cast("int")
+        .alias("flagged_repetitive"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_lines_global",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i AS li,
+                   array_to_string(t[(i-1)*{LINE_TOKENS}+1 : i*{LINE_TOKENS}], ' ')
+                       AS line
+            FROM toks,
+                 unnest(range(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) + 1))
+                     AS u(i)
+        ),
+        kept AS (
+            SELECT doc_id, li, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, li) AS rk
+            FROM lines
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   count(*) FILTER (WHERE rk = 1) AS n_lines_kept,
+                   count(*) AS n_lines_total,
+                   coalesce(string_agg(line, ' ' ORDER BY li)
+                                FILTER (WHERE rk = 1), '')
+                       AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT doc_id, n_lines_kept, n_lines_total, md5(clean_text) AS clean_fp
+        FROM rebuilt ORDER BY doc_id
+    """,
+    tags=("dedup", "text", "training-data"),
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line deduplication: split every document into
+    consecutive 5-token lines, keep each distinct line's FIRST
+    occurrence corpus-wide (ordered by doc_id, then position), drop
+    every other copy, and reassemble the documents. Output is the
+    per-doc kept/total line counts and an md5 fingerprint of the
+    cleaned text (so the comparison payload stays 32 bytes however
+    long the document is).
+
+    The global first-occurrence decision is a window over md5(line) —
+    the shuffle carries 32-byte digests + two small ints, never the
+    line text twice. Reconstruction groups by doc_id and re-sorts the
+    few surviving lines per doc inside the aggregate
+    (``array_sort(collect_list(struct(li, line)))``), avoiding a
+    second global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = widen(d)
+    n_lines = F.ceil(F.size("toks") / F.lit(float(LINE_TOKENS))).cast("int")
+    lines = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_lines)).alias("li"),
+        "toks",
+    ).select(
+        "doc_id",
+        "li",
+        F.array_join(
+            F.slice(F.col("toks"), (F.col("li") - 1) * LINE_TOKENS + 1, LINE_TOKENS),
+            " ",
+        ).alias("line"),
+    )
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "li")
+    kept = lines.select(
+        "doc_id", "li", "line", F.row_number().over(w).alias("rk")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.when(F.col("rk") == 1, 1)).alias("n_lines_kept"),
+        F.count(F.lit(1)).alias("n_lines_total"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") == 1, F.struct("li", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_lines_total",
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_quality_quantile",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars
+        FROM ranked WHERE 4 * rk <= cnt
+        ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "quality", "training-data"),
+)
+def sample_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality gate: keep the top quartile of documents
+    by n_chars *within each language* (per-stratum quantiles, so a
+    verbose language doesn't crowd out a terse one). The quartile
+    membership test is the integer comparison ``4*rank <= count`` on
+    an exactly-ranked window — no percentile interpolation, no
+    floats, identical on any engine and any partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    return (
+        ranked.filter(4 * F.col("rk") <= F.col("cnt"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+    )

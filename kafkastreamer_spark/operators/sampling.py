@@ -158,3 +158,96 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "n_copies")
         .orderBy("doc_id")
     )
+
+
+SOURCE_CAP = 15  # max docs kept per source
+TEMP_C = 4  # temperature-mix scale: keep floor(sqrt(count)*C) per lang
+
+
+@register(
+    "sample_source_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source FROM ranked
+        WHERE rn <= {SOURCE_CAP}
+        ORDER BY source, doc_id
+    """,
+    tags=("sampling", "training-data"),
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every web-corpus
+    pipeline applies so no single site dominates the mixture. Keeps at
+    most SOURCE_CAP docs per source, chosen by ranking on
+    md5(doc_id): a deterministic uniform draw, so the kept subset is
+    an unbiased per-source sample yet identical across engines,
+    partitionings, and reruns (unlike a RNG-backed reservoir).
+
+    Scale shape: one shuffle on source for the window; rank state is
+    O(1) per partition. A skewed mega-domain makes one heavy
+    partition — the projection is narrowed to (doc_id, source, md5)
+    before the exchange so even a billion-doc domain moves only ~48
+    bytes/row."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked
+        WHERE rn <= least(cnt, CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * {TEMP_C})
+                                    AS BIGINT))
+        ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "training-data"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-corpus
+    move: sample language l proportionally to count^alpha, alpha=0.5,
+    which upweights tail languages relative to their raw share). Each
+    language keeps its first floor(sqrt(count)*C) docs in
+    md5(doc_id) order — a deterministic uniform subsample.
+
+    sqrt and a single multiply are IEEE correctly-rounded, so the
+    per-language target is bit-identical across engines with NO
+    cross-language float summation (a normalized-weights formulation
+    would sum doubles in engine-dependent order; this one never
+    combines floats across groups)."""
+    d = load_table(spark, sf_dir, "documents")
+    wl = Window.partitionBy("lang")
+    w = wl.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    target = F.least(
+        F.col("cnt"),
+        F.floor(F.sqrt(F.col("cnt").cast("double")) * TEMP_C).cast("long"),
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wl))
+        .filter(F.col("rn") <= target)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

@@ -207,3 +207,87 @@ def test_daily_delta_lag_runs_on_aggregate(spark, sf_dir):
     # executedPlan prints top-down: the SinglePartition exchange
     # (window input) must appear ABOVE the aggregate that feeds it
     assert single_pos < agg_pos
+
+
+def test_cms_estimate_dominates_exact_and_broadcasts_cells(spark, sf_dir):
+    """CMS guarantee: estimate >= exact count for every key; the
+    256-cell sketch must come back via a broadcast join (the only
+    full-data shuffle is the per-key pre-aggregation)."""
+    df = REGISTRY["agg_countmin_sketch"].fn(spark, sf_dir)
+    assert "BroadcastHashJoin" in _physical_plan(df)
+    rows = df.collect()
+    assert rows, "cms output empty"
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt
+        assert r.overcount == r.cms_estimate - r.exact_cnt
+
+
+def test_line_dedup_keeps_each_distinct_line_once(spark, sf_dir):
+    """Global invariant: total kept lines == number of distinct lines
+    in the corpus (each distinct line survives exactly once)."""
+    from kafkastreamer_spark.operators.quality import LINE_TOKENS
+
+    df = REGISTRY["dedup_lines_global"].fn(spark, sf_dir)
+    kept_total = df.agg(F.sum("n_lines_kept")).first()[0]
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    n_lines = F.ceil(F.size("toks") / F.lit(float(LINE_TOKENS))).cast("int")
+    distinct_lines = (
+        d.select(F.explode(F.sequence(F.lit(1), n_lines)).alias("li"), "toks")
+        .select(
+            F.array_join(
+                F.slice(
+                    F.col("toks"), (F.col("li") - 1) * LINE_TOKENS + 1, LINE_TOKENS
+                ),
+                " ",
+            ).alias("line")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_lines
+
+
+def test_temperature_mix_hits_per_lang_targets(spark, sf_dir):
+    """Kept count per language must equal min(cnt, floor(sqrt(cnt)*C))
+    computed independently driver-side."""
+    import math
+
+    from kafkastreamer_spark.operators.sampling import TEMP_C
+
+    counts = {
+        r.lang: r.cnt
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    kept = {
+        r.lang: r.cnt
+        for r in REGISTRY["sample_temperature_mix"]
+        .fn(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for lang, cnt in counts.items():
+        target = min(cnt, math.floor(math.sqrt(cnt) * TEMP_C))
+        assert kept.get(lang, 0) == target, (lang, cnt, target, kept.get(lang))
+
+
+def test_repetition_metrics_bounds(spark, sf_dir):
+    """Structural invariants: n_trigrams == n_tokens-2, the top bigram
+    occurs at least once and at most n_tokens-1 times, duplicate
+    trigram occurrences never exceed the total."""
+    rows = REGISTRY["text_repetition_metrics"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_trigrams == r.n_tokens - 2
+        assert 1 <= r.top_bigram_count <= r.n_tokens - 1
+        assert 0 <= r.dup_trigram_occurrences <= r.n_trigrams
+        expect = int(
+            10 * r.top_bigram_count > r.n_tokens
+            or 2 * r.dup_trigram_occurrences > r.n_trigrams
+        )
+        assert r.flagged_repetitive == expect
