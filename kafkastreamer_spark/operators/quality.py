@@ -35,9 +35,7 @@ from kafkastreamer_spark.tables import load_table, widen
 LINE_TOKENS = 5  # tokens per "line" for global line dedup
 
 
-@register(
-    "text_repetition_metrics",
-    oracle="""
+_REPETITION_ORACLE = """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
         ),
@@ -67,21 +65,12 @@ LINE_TOKENS = 5  # tokens per "line" for global line dedup
                     OR 2 * dup_trigram_occurrences > n_trigrams AS INT)
                    AS flagged_repetitive
         FROM m ORDER BY doc_id
-    """,
-    tags=("text", "quality", "training-data"),
-)
-def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters: per document, the occurrence
-    count of the most frequent bigram and the number of trigram
-    occurrences belonging to repeated trigrams. A doc is flagged when
-    the top bigram covers >10% of tokens or >50% of its trigrams are
-    duplicates — thresholds evaluated in integer space
-    (10*top > n, 2*dup > total) so the flag is engine-exact.
+    """
 
-    Both gram orders ride ONE explode and ONE (doc_id, gram) shuffle:
-    the bigram and trigram arrays are concatenated (tagged with g=2/3)
-    before exploding, and partial aggregation collapses repeats
-    map-side."""
+
+def repetition_metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-doc repetition metrics (shared by the metrics
+    query and the corpus-prep capstone)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -129,7 +118,27 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("flagged_repetitive"),
-    ).orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "quality", "training-data"),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per document, the occurrence
+    count of the most frequent bigram and the number of trigram
+    occurrences belonging to repeated trigrams. A doc is flagged when
+    the top bigram covers >10% of tokens or >50% of its trigrams are
+    duplicates — thresholds evaluated in integer space
+    (10*top > n, 2*dup > total) so the flag is engine-exact.
+
+    Both gram orders ride ONE explode and ONE (doc_id, gram) shuffle:
+    the bigram and trigram arrays are concatenated (tagged with g=2/3)
+    before exploding, and partial aggregation collapses repeats
+    map-side."""
+    return repetition_metrics_df(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -266,4 +275,148 @@ def sample_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(4 * F.col("rk") <= F.col("cnt"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("lang", "doc_id")
+    )
+
+
+def _corpus_prep_oracle() -> str:
+    from kafkastreamer_spark.operators.sampling import (
+        SOURCE_CAP,
+        TEMP_C,
+        sql_hash_bucket,
+    )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, 2 AS g, t[i] || ' ' || t[i+1] AS gram, len(t) AS n
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+            UNION ALL
+            SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2], len(t)
+            FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ),
+        c AS (
+            SELECT doc_id, g, gram, any_value(n) AS n, count(*) AS c
+            FROM grams GROUP BY doc_id, g, gram
+        ),
+        flags AS (
+            SELECT doc_id,
+                   CAST(10 * max(CASE WHEN g = 2 THEN c END) > any_value(n)
+                        OR 2 * coalesce(sum(CASE WHEN g = 3 AND c >= 2
+                                             THEN c END), 0)
+                            > sum(CASE WHEN g = 3 THEN c END) AS INT) AS flagged
+            FROM c GROUP BY doc_id
+        ),
+        clean AS (
+            SELECT d.* FROM documents d JOIN flags f USING (doc_id)
+            WHERE f.flagged = 0
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) AS rn
+                FROM clean
+            ) WHERE rn = 1
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+                FROM deduped
+            ) WHERE crn <= {SOURCE_CAP}
+        ),
+        mixed AS (
+            SELECT * FROM (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS lrn,
+                       COUNT(*) OVER (PARTITION BY lang) AS lcnt
+                FROM capped
+            ) WHERE lrn <= least(lcnt,
+                    CAST(floor(sqrt(CAST(lcnt AS DOUBLE)) * {TEMP_C}) AS BIGINT))
+        )
+        SELECT CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                    WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM mixed
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=_corpus_prep_oracle(),
+    tags=("pipeline", "quality", "training-data", "flagship"),
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation capstone — the full hygiene chain
+    a pretraining pipeline runs, composed from this engine's operators
+    in their production order:
+
+      1. repetition filter  (drop flagged docs — Gopher rules)
+      2. exact dedup        (first copy per md5(text) wins)
+      3. per-source cap     (no domain dominates)
+      4. temperature mix    (count^0.5 language rebalancing)
+      5. deterministic train/valid/test split (md5 buckets 80/10/10)
+
+    reported as per-(split, language) document and character counts.
+
+    Every stage is a deterministic function of content hashes, so the
+    final mixture is reproducible across engines, partitionings, and
+    reruns end to end — the property that makes a 100 TB corpus build
+    auditable. Scale shape: each stage is one narrow-key window or
+    join and strictly shrinks the data; the heavy explode (grams)
+    happens once, on the raw input, and only (doc_id, flag) survives
+    it into the join."""
+    from kafkastreamer_spark.operators.sampling import (
+        SOURCE_CAP,
+        TEMP_C,
+        hash_bucket,
+    )
+
+    flags = repetition_metrics_df(spark, sf_dir).select(
+        "doc_id", "flagged_repetitive"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    clean = d.join(flags, "doc_id").filter(F.col("flagged_repetitive") == 0)
+
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
+    )
+
+    wcap = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = (
+        deduped.withColumn("crn", F.row_number().over(wcap))
+        .filter(F.col("crn") <= SOURCE_CAP)
+    )
+
+    wl = Window.partitionBy("lang")
+    wmix = wl.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    target = F.least(
+        F.col("lcnt"),
+        F.floor(F.sqrt(F.col("lcnt").cast("double")) * TEMP_C).cast("long"),
+    )
+    mixed = (
+        capped.withColumn("lrn", F.row_number().over(wmix))
+        .withColumn("lcnt", F.count(F.lit(1)).over(wl))
+        .filter(F.col("lrn") <= target)
+    )
+
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split")
+    )
+    return (
+        mixed.select(split, "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
     )

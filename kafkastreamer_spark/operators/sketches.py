@@ -129,3 +129,169 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_estimate"), "user_id")
         .limit(TOP_N)
     )
+
+
+BLOOM_BITS = 4096  # m: filter size in bits
+WORD_BITS = 62  # bits packed per BIGINT word (62 dodges the sign bit:
+#   DuckDB raises on 1<<63 while Spark wraps — 62 is safe in both)
+BLOOM_WORDS = -(-BLOOM_BITS // WORD_BITS)
+BLOOM_K = 3  # independent hash functions
+ACCTBAL_MIN = 7500.0  # build-side predicate: "high-value customers"
+
+
+def _bloom_pos_sql(i_expr: str, key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i_expr} AS VARCHAR) || ':' ||"
+        f" CAST({key_expr} AS VARCHAR)), 1, 12)) AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+        WITH build AS (
+            SELECT c_custkey FROM customer WHERE c_acctbal > {ACCTBAL_MIN}
+        ),
+        build_bits AS (
+            SELECT {_bloom_pos_sql("i", "c_custkey")} AS pos
+            FROM build, unnest(range(0, {BLOOM_K})) AS u(i)
+        ),
+        bloom AS (
+            SELECT pos // {WORD_BITS} AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % {WORD_BITS} AS INT)) AS mask
+            FROM build_bits GROUP BY pos // {WORD_BITS}
+        ),
+        probe_keys AS (
+            SELECT DISTINCT o_custkey FROM orders
+        ),
+        probe_bits AS (
+            SELECT o_custkey, {_bloom_pos_sql("i", "o_custkey")} AS pos
+            FROM probe_keys, unnest(range(0, {BLOOM_K})) AS u(i)
+        ),
+        verdict AS (
+            SELECT p.o_custkey,
+                   CAST(count(*) FILTER (WHERE
+                       (b.mask & (CAST(1 AS BIGINT) << CAST(p.pos % {WORD_BITS} AS INT)))
+                       <> 0) = {BLOOM_K} AS INT) AS bloom_pass
+            FROM probe_bits p LEFT JOIN bloom b ON p.pos // {WORD_BITS} = b.word
+            GROUP BY p.o_custkey
+        ),
+        truth AS (
+            SELECT v.o_custkey, v.bloom_pass,
+                   CAST(v.o_custkey IN (SELECT c_custkey FROM build) AS INT)
+                       AS true_match
+            FROM verdict v
+        )
+        SELECT count(*) AS probe_orders,
+               CAST(sum(t.bloom_pass) AS BIGINT) AS bloom_pass_orders,
+               CAST(sum(t.true_match) AS BIGINT) AS true_match_orders,
+               CAST(sum(t.bloom_pass) - sum(t.true_match) AS BIGINT)
+                   AS false_positive_orders
+        FROM orders o JOIN truth t ON o.o_custkey = t.o_custkey
+    """,
+    tags=("join", "sketch", "scale"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the shuffle-avoidance pattern
+    for joining a 100 TB fact table against a selective dimension
+    subset: hash the build side's keys into a 4096-bit Bloom bitset
+    (k=3 md5-derived probes, bit_or-aggregated into 62-bit BIGINT words),
+    broadcast the words, and test every probe key against the bitset
+    BEFORE any fact-table shuffle. Rows failing the filter never cross
+    the network; false positives (reported here) are culled by the
+    real join afterwards.
+
+    The whole filter is deterministic md5 arithmetic, so build, probe,
+    and the false-positive count are engine-exact — unlike Spark's
+    internal runtime bloom filter (whose binary state is not
+    reproducible), this one is oracle-checkable bit for bit.
+
+    Scale shape: probe keys are DISTINCT'd before hashing (custkey
+    cardinality << order count), the bitset is 512 bytes, and the
+    final stats aggregation joins orders to per-key verdicts with a
+    broadcast hash join — zero event-scale shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > ACCTBAL_MIN).select("c_custkey")
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            key,
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+        ).withColumn(
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col(key).cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_BITS,
+        )
+
+    bloom = (
+        positions(build, "c_custkey")
+        .select(
+            F.expr(f"pos div {WORD_BITS}").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {WORD_BITS} as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+
+    orders = widen(load_table(spark, sf_dir, "orders")).select("o_custkey")
+    probe_keys = orders.distinct()
+    verdict = (
+        positions(probe_keys, "o_custkey")
+        .join(F.broadcast(bloom), F.expr(f"pos div {WORD_BITS}") == F.col("word"), "left")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("mask").bitwiseAND(
+                            F.expr(
+                                f"shiftleft(cast(1 as bigint),"
+                                f" cast(pos % {WORD_BITS} as int))"
+                            )
+                        )
+                        != 0,
+                        1,
+                    )
+                )
+                == BLOOM_K
+            )
+            .cast("int")
+            .alias("bloom_pass")
+        )
+    )
+    truth = verdict.join(
+        F.broadcast(build.withColumn("true_match", F.lit(1))),
+        verdict.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select(
+        "o_custkey",
+        "bloom_pass",
+        F.coalesce(F.col("true_match"), F.lit(0)).alias("true_match"),
+    )
+    return (
+        orders.join(F.broadcast(truth), "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("probe_orders"),
+            F.sum("bloom_pass").cast("long").alias("bloom_pass_orders"),
+            F.sum("true_match").cast("long").alias("true_match_orders"),
+            (F.sum("bloom_pass") - F.sum("true_match"))
+            .cast("long")
+            .alias("false_positive_orders"),
+        )
+    )

@@ -291,3 +291,65 @@ def test_repetition_metrics_bounds(spark, sf_dir):
             or 2 * r.dup_trigram_occurrences > r.n_trigrams
         )
         assert r.flagged_repetitive == expect
+
+
+def test_bloom_prefilter_never_misses_and_reports_fp(spark, sf_dir):
+    """Bloom guarantee: no false negatives (pass set ⊇ true-match
+    set), false positives are exactly the difference, and every order
+    is accounted for."""
+    r = REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir).first()
+    orders = load_table(spark, sf_dir, "orders").count()
+    assert r.probe_orders == orders
+    assert r.bloom_pass_orders >= r.true_match_orders
+    assert r.false_positive_orders == r.bloom_pass_orders - r.true_match_orders
+    assert r.false_positive_orders >= 0
+
+
+def test_cms_cells_merge_additively(spark, sf_dir):
+    """CMS mergeability: sketch(cells) of the full stream equals the
+    cell-wise sum of sketches built on disjoint halves — the property
+    that lets per-partition / per-batch sketches combine without
+    rescanning."""
+    from kafkastreamer_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def cells(df):
+        exact = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        salted = exact.select(
+            "user_id",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        ).withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("d").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH,
+        )
+        return {
+            (r.d, r.bucket): r.cell
+            for r in salted.groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cell"))
+            .collect()
+        }
+
+    full = cells(ev)
+    even = cells(ev.filter(F.col("event_id") % 2 == 0))
+    odd = cells(ev.filter(F.col("event_id") % 2 == 1))
+    merged = dict(even)
+    for k, v in odd.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
