@@ -55,6 +55,7 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "events_retention_cohort",
     "multimodal_decode_stub",
+    "pipeline_corpus_prep",
 ]
 
 

@@ -136,3 +136,51 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "status")
     )
+
+
+@register(
+    "scalar_regexp",
+    oracle=r"""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(sum(CAST(regexp_matches(props, '[02468]}') AS INT))
+                    AS BIGINT) AS n_even_end,
+               count(DISTINCT regexp_replace(props, '\d', '#', 'g'))
+                   AS n_masked_shapes
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression battery: extract (capture group → int),
+    boolean match, and global replace, aggregated per event_type so
+    the answer is a compact engine-exact summary. Patterns stay inside
+    the RE2-compatible subset (no backreferences, no lookaround) —
+    the portable dialect across Spark's java.util.regex and DuckDB's
+    RE2, and the subset that stays in whole-stage codegen.
+
+    Scale: all three regexps evaluate map-side in the scan stage;
+    only (event_type, partial aggregates) reach the exchange. The
+    count-distinct adds the usual expand-shuffle; everything else is
+    one aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"),
+            F.col("props").rlike(r"[02468]}").cast("int").alias("even_end"),
+            F.regexp_replace("props", r"\d", "#").alias("masked"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("even_end").cast("long").alias("n_even_end"),
+            F.countDistinct("masked").alias("n_masked_shapes"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,91 @@
+"""Streaming sketch maintenance: Count-Min cells merged per micro-batch.
+
+The CMS built in ``operators/sketches.py`` merges by cell-wise
+addition, which makes it the natural streaming aggregate: each
+micro-batch contributes its own d×w cell table and the sink folds it
+into a persistent base with one tiny full-outer join. State is
+permanently bounded at d*w rows — unlike the reference's exact per-key
+Map state, which grows with key cardinality forever
+(v1/src/main/java/Stream/Streamer.java:323-344).
+
+The same foreachBatch read-merge-swap pattern as
+``streaming.core.merge_upsert_sink``; at scale the base is d*w rows
+(kilobytes) regardless of stream volume, so the merge is driver-cheap
+and the only real work is each batch's map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafkastreamer_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+
+def cms_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """(d, bucket, cell) Count-Min cells for a (micro-)batch — md5
+    bucket hashes, identical to the batch operator's layout."""
+    salted = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH,
+    )
+    return salted.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+
+def cms_merge_sink(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint: str,
+    key_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a persistent Count-Min sketch over a stream: per
+    micro-batch, build the batch's cells and add them into the parquet
+    base cell-wise (full-outer join + coalesced sum). Replay caveat
+    matches merge_upsert_sink: a batchId high-water mark (or a
+    transactional format) upgrades at-least-once to exactly-once."""
+    import shutil
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cells = cms_cells(batch_df, key_col)
+        try:
+            base = spark.read.parquet(base_dir).select("d", "bucket", "cell")
+        except Exception:
+            base = batch_cells.limit(0)
+        merged = (
+            base.alias("b")
+            .join(batch_cells.alias("c"), ["d", "bucket"], "full_outer")
+            .select(
+                "d",
+                "bucket",
+                (
+                    F.coalesce(F.col("b.cell"), F.lit(0))
+                    + F.coalesce(F.col("c.cell"), F.lit(0))
+                ).alias("cell"),
+            )
+        )
+        tmp = base_dir + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.move(tmp, base_dir)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

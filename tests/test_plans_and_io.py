@@ -353,3 +353,52 @@ def test_cms_cells_merge_additively(spark, sf_dir):
     for k, v in odd.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partition layout + partition pruning: a filter on
+    the partition column must prune directories at planning time (the
+    scan's partition count drops), not scan-and-filter."""
+    from kafkastreamer_spark.io import write_parquet
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_parquet(ev, path, partition_by=["day"])
+
+    all_days = spark.read.parquet(path)
+    one_day = all_days.filter(F.col("day") == F.lit("2024-01-01"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # Catalyst records the pushed partition predicate on the scan node
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    # pruning actually reduced the files read
+    total_days = all_days.select("day").distinct().count()
+    assert total_days > 1
+    assert one_day.count() == ev.filter(F.to_date("ts") == "2024-01-01").count()
+
+
+def test_python_udtf_ngram_expansion(spark):
+    """Spark 4 Python UDTF surface: a table function expanding a text
+    row into (position, bigram) rows — the UDF shape for row-to-many
+    transforms that aren't expressible as a single explode. Kept out
+    of hot paths (per-row Python); the engine's production n-gram ops
+    use JVM-side transform+explode instead."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    out = spark.sql(
+        "SELECT t.pos, t.bigram FROM bigrams_udtf('a b c d') AS t ORDER BY t.pos"
+    ).collect()
+    assert [(r.pos, r.bigram) for r in out] == [
+        (0, "a b"),
+        (1, "b c"),
+        (2, "c d"),
+    ]

@@ -69,3 +69,31 @@ def test_streaming_candidates_match_batch(spark, sf_dir, tmp_path):
     # cross-batch coverage: at least one candidate pair spans the
     # even/odd split (one id even, one odd)
     assert any((a % 2) != (b % 2) for a, b in got)
+
+
+def test_streaming_cms_sink_matches_batch(spark, sf_dir, tmp_path):
+    """A CMS maintained incrementally over a two-batch stream must
+    equal the sketch built on the full data in one pass (cell-wise
+    mergeability carried into the streaming sink)."""
+    import os
+
+    from kafkastreamer_spark.streaming.sketches import cms_cells, cms_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    want = {
+        (r.d, r.bucket): r.cell for r in cms_cells(ev, "user_id").collect()
+    }
+
+    inp = str(tmp_path / "in")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(inp)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = file_source(spark, inp, ev.schema, max_files_per_trigger=1)
+    base = str(tmp_path / "cms_base")
+    q = cms_merge_sink(stream, base, str(tmp_path / "ckpt_cms"), "user_id")
+    q.awaitTermination(180)
+
+    got = {
+        (r.d, r.bucket): r.cell for r in spark.read.parquet(base).collect()
+    }
+    assert got == want
