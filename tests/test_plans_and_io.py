@@ -402,3 +402,71 @@ def test_python_udtf_ngram_expansion(spark):
         (1, "b c"),
         (2, "c d"),
     ]
+
+
+def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
+    from kafkastreamer_spark.io import compact_small_files
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.count()
+    path = str(tmp_path / "shattered")
+    ev.repartition(32).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) >= 16
+    files_after = compact_small_files(spark, path, target_files=2)
+    assert files_after <= 2
+    assert spark.read.parquet(path).count() == n
+
+
+def test_merge_schema_reads_evolved_batches(spark, sf_dir, tmp_path):
+    from kafkastreamer_spark.io import read_merged_schema
+
+    path = str(tmp_path / "evolving")
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_id", "user_id").write.mode("append").parquet(path)
+    ev.select(
+        "event_id", "user_id", F.col("value").alias("score")
+    ).write.mode("append").parquet(path)
+    df = read_merged_schema(spark, path)
+    assert set(df.columns) == {"event_id", "user_id", "score"}
+    assert df.count() == 2 * ev.count()
+    # old batch surfaces null for the new column
+    assert df.filter(F.col("score").isNull()).count() == ev.count()
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Optimizer-control surface: strategy hints must switch the
+    physical join operator (broadcast / shuffle-hash / sort-merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    bhj = o.join(c.hint("BROADCAST"), o.o_custkey == c.c_custkey)
+    shj = o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+    smj = o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in _physical_plan(bhj)
+    assert "ShuffledHashJoin" in _physical_plan(shj)
+    assert "SortMergeJoin" in _physical_plan(smj)
+
+
+def test_observe_collects_pipeline_metrics(spark, sf_dir):
+    """df.observe(): accumulate audit metrics (row counts, sums) as a
+    side effect of the normal action — the cheap way to get pipeline
+    telemetry without a second scan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum("user_id").alias("uid_sum")
+    )
+    n = ev.count()
+    assert obs.get["rows"] == n
+    assert obs.get["uid_sum"] > 0
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+    assert dict(back.dtypes) == dict(ev.dtypes)
