@@ -19,7 +19,7 @@ order array functions) — whole-stage codegen, no Python in the path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import (
@@ -699,5 +699,60 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shingles",
             F.floor(ratio * 10000).alias("contam4"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH old AS (
+            SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+        ),
+        new_batch AS (
+            SELECT doc_id, md5(text) AS h, source
+            FROM documents WHERE doc_id % 10 >= 8
+        ),
+        within AS (
+            SELECT doc_id, h, source,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM new_batch
+        )
+        SELECT w.doc_id, w.source
+        FROM within w
+        WHERE w.rn = 1
+          AND NOT EXISTS (SELECT 1 FROM old o WHERE o.h = w.h)
+        ORDER BY w.doc_id
+    """,
+    tags=("dedup", "training-data", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape production ingestion actually
+    runs: an arriving batch (here the deterministic 20% slice
+    doc_id%10>=8) is deduplicated (a) against the already-ingested
+    corpus and (b) within itself, and only genuinely new documents
+    survive. Admission is first-wins, so re-running the pipeline
+    admits the same set (idempotent ingest).
+
+    Scale shape: the corpus side reduces to its DISTINCT md5 set
+    (32 bytes/doc — at 100 TB this hash index is ~3 GB/10^8 docs and
+    lives as its own bucketed table, appended per batch, never
+    rescanned from raw text); the anti-join then shuffles only hash
+    keys. Within-batch first-wins is a window over the same key, so
+    both decisions reuse one partitioning."""
+    d = _docs(spark, sf_dir)
+    old_hashes = (
+        d.filter(F.col("doc_id") % 10 < 8).select(F.md5("text").alias("h")).distinct()
+    )
+    new_batch = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("h"), "source"
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    first_in_batch = (
+        new_batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        first_in_batch.join(old_hashes, "h", "left_anti")
+        .select("doc_id", "source")
         .orderBy("doc_id")
     )
