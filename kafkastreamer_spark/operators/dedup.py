@@ -756,3 +756,74 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        sh AS (SELECT doc_id, {sql_shingles('w')} AS sh FROM words WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(CAST(n_common AS DOUBLE) / sa.n * 10000) AS BIGINT)
+                   AS cont_a_in_b4,
+               CAST(FLOOR(CAST(n_common AS DOUBLE) / sb.n * 10000) AS BIGINT)
+                   AS cont_b_in_a4
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 2 * n_common >= least(sa.n, sb.n)
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-data", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the partial-duplication case
+    Jaccard misses: a short document wholly embedded in a longer one
+    (boilerplate wrapping, quoted articles) has low Jaccard but high
+    containment |A∩B| / |A|. Pairs where either side is ≥50%
+    contained in the other, with both direction ratios reported.
+
+    The admission test is exact integer arithmetic
+    (2*common ≥ min(|A|,|B|)); the reported ratios are single
+    correctly-rounded divisions, so output is engine-exact. Same
+    inverted-index join shape (candidates ∝ Σ df²) and therefore the
+    same df-cap escape hatch as ``dedup_ngram_jaccard`` at skew."""
+    sh = _shingle_sets(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(2 * F.col("n_common") >= F.least(F.col("sa.n"), F.col("sb.n")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("n_common").cast("double") / F.col("sa.n") * 10000)
+            .cast("long")
+            .alias("cont_a_in_b4"),
+            F.floor(F.col("n_common").cast("double") / F.col("sb.n") * 10000)
+            .cast("long")
+            .alias("cont_b_in_a4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
