@@ -26,7 +26,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.registry import register
@@ -420,3 +420,58 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("split", "lang")
     )
+
+
+def with_repetition_flag(
+    df: DataFrame, text_col: str = "text", flag_col: str = "flag"
+) -> DataFrame:
+    """Map-only repetition flag — the streaming-friendly twin of
+    ``repetition_metrics_df``.
+
+    The shuffle-based explode+groupBy form scales to arbitrarily long
+    documents; this form is O(distinct·n) per row, the better trade
+    for bounded-length records (≤ a few hundred tokens): zero
+    exchanges, usable as a plain stateless filter in a streaming map
+    stage where an aggregation would force update-mode state. Same
+    integer thresholds, bit-identical flags (parity-tested against
+    the metrics query).
+
+    The gram arrays are materialized as real columns BEFORE the
+    counting lambdas touch them: an expression referenced inside a
+    higher-order-function lambda re-evaluates per element, which
+    turns O(n²) into O(n³) with a giant codegen unit (measured ~50x
+    on the fixture) — a column reference is a cheap lookup."""
+    staged = (
+        df.withColumn("_toks", F.split(text_col, " "))
+        .withColumn(
+            "_bg",
+            F.expr(
+                "transform(sequence(0, size(_toks)-2),"
+                " i -> concat(_toks[i], ' ', _toks[i+1]))"
+            ),
+        )
+        .withColumn(
+            "_tg",
+            F.expr(
+                "transform(sequence(0, size(_toks)-3),"
+                " i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2]))"
+            ),
+        )
+    )
+
+    def counts(col_name: str) -> Column:
+        g = F.col(col_name)
+        return F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
+
+    top_bigram = F.array_max(counts("_bg"))
+    dup_tri = F.aggregate(
+        counts("_tg"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
+    )
+    n = F.size("_toks")
+    flag = ((10 * top_bigram > n) | (2 * dup_tri > (n - 2))).cast("int")
+    return staged.withColumn(flag_col, flag).drop("_toks", "_bg", "_tg")

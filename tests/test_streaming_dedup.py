@@ -97,3 +97,50 @@ def test_streaming_cms_sink_matches_batch(spark, sf_dir, tmp_path):
         (r.d, r.bucket): r.cell for r in spark.read.parquet(base).collect()
     }
     assert got == want
+
+
+def test_streaming_quality_gate_matches_batch_flags(spark, sf_dir, tmp_path):
+    """The map-only repetition flag must (a) agree bit-for-bit with
+    the shuffle-based metrics query on every document and (b) run as
+    a plain stateless filter on a stream (no aggregation state)."""
+    import os
+
+    from kafkastreamer_spark.operators.quality import (
+        repetition_metrics_df,
+        with_repetition_flag,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr_flags = {
+        r.doc_id: r.flag
+        for r in with_repetition_flag(docs).select("doc_id", "flag").collect()
+    }
+    agg_flags = {
+        r.doc_id: r.flagged_repetitive
+        for r in repetition_metrics_df(spark, sf_dir)
+        .select("doc_id", "flagged_repetitive")
+        .collect()
+    }
+    assert expr_flags == agg_flags
+
+    inp = str(tmp_path / "qin")
+    docs.coalesce(1).write.mode("append").parquet(inp)
+    stream = file_source(spark, inp, docs.schema, max_files_per_trigger=1)
+    gated = with_repetition_flag(stream).select("doc_id", "flag").filter(
+        F.col("flag") == 0
+    )
+    out = str(tmp_path / "qout")
+
+    def wb(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        gated.writeStream.foreachBatch(wb)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {d for d, fl in agg_flags.items() if fl == 0}
+    assert len(kept) < len(agg_flags)  # gate actually dropped docs
