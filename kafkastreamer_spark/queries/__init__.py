@@ -2,6 +2,7 @@
 
 from kafkastreamer_spark.queries import (  # noqa: F401
     events,
+    governance,
     relational,
     relational2,
     relational3,

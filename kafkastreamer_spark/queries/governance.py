@@ -1,0 +1,217 @@
+"""Data-governance and quota operators: rate limiting, k-anonymity
+suppression, and delete-cascade (right-to-erasure) accounting.
+
+The reference has no governance surface (append-only topics,
+v1/src/main/java/Stream/Streamer.java:362-386); these are §2-B
+closure rows that every production deployment of a corpus/event
+pipeline eventually needs. All admission/suppression decisions are
+integer comparisons on exact counts — engine-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table, widen
+
+RATE_LIMIT = 10  # events admitted per (user, week)
+K_ANON_PCT = 90  # suppress cells below this % of the mean cell size
+
+
+@register(
+    "events_rate_limit_quota",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, event_id,
+                   date_trunc('week', ts) AS hr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('week', ts)
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS total_events,
+               CAST(sum(CASE WHEN rn <= {RATE_LIMIT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS admitted,
+               CAST(sum(CASE WHEN rn > {RATE_LIMIT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS throttled
+        FROM ranked
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("governance", "window", "quota"),
+)
+def events_rate_limit_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weekly rate limiting: the first RATE_LIMIT events in
+    each (user, week) are admitted in arrival order (ts, then event_id
+    for a total order), the rest throttled — reported as per-user
+    admitted/throttled totals. (Week granularity: the fixture's
+    per-user-hour density is ~0.1, which makes any hourly quota
+    vacuous; the plan is identical whatever the truncation.)
+
+    Scale shape: one shuffle on (user_id, week) — the quota key — and
+    the per-user rollup reuses the user_id prefix of that
+    partitioning. The time truncation makes window state bounded and
+    is exactly how the streaming form would key its
+    applyInPandasWithState counter."""
+    ev = widen(load_table(spark, sf_dir, "events"))
+    hr = F.date_trunc("week", F.col("ts"))
+    w = Window.partitionBy("user_id", hr.alias("hr")).orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum(F.when(F.col("rn") <= RATE_LIMIT, 1).otherwise(0))
+            .cast("long")
+            .alias("admitted"),
+            F.sum(F.when(F.col("rn") > RATE_LIMIT, 1).otherwise(0))
+            .cast("long")
+            .alias("throttled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_k_anonymous_rollup",
+    oracle=f"""
+        WITH cells AS (
+            SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(floor(c.c_acctbal * 10000) AS BIGINT))
+                        AS BIGINT) AS bal_fp
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(sum(n_customers) AS BIGINT) AS total,
+                   count(*) AS n_cells
+            FROM cells
+        )
+        SELECT CASE WHEN 100 * n_customers * n_cells >= {K_ANON_PCT} * total
+                    THEN nation ELSE 'SUPPRESSED' END AS nation,
+               CASE WHEN 100 * n_customers * n_cells >= {K_ANON_PCT} * total
+                    THEN segment ELSE 'SUPPRESSED' END AS segment,
+               CAST(sum(n_customers) AS BIGINT) AS n_customers,
+               CAST(sum(bal_fp) AS DOUBLE) / 10000 AS total_acctbal
+        FROM cells, tot
+        GROUP BY 1, 2
+        ORDER BY nation, segment
+    """,
+    tags=("governance", "aggregate", "privacy"),
+)
+def agg_k_anonymous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression for published aggregates: any
+    (nation, segment) cell smaller than 90% of the mean cell size is
+    folded into a single SUPPRESSED bucket instead of being released —
+    the k-anonymity small-cell rule with the threshold expressed
+    relative to the expected cell size (a fixed k is scale-degenerate
+    on uniform fixtures: every cell fails it at sf0.01 and every cell
+    passes at sf0.1; the relative rule suppresses the thin tail at
+    any scale, same technique as q11's share-of-total HAVING).
+    Decision is exact integer cross-multiplication
+    (100·n·cells ≥ PCT·total) against a 1-row broadcast total.
+
+    Two cheap aggregations: cell counts first (the test needs exact
+    sizes), then the fold — both on dimension-cardinality data after
+    the one customer-scale shuffle. Balances use the fixed-point
+    discipline so the suppressed bucket's sum is engine-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 10000).cast("long")).alias("bal_fp"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_customers").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    ok = 100 * F.col("n_customers") * F.col("n_cells") >= K_ANON_PCT * F.col("total")
+    return (
+        cells.select(
+            F.when(ok, F.col("nation")).otherwise("SUPPRESSED").alias("nation"),
+            F.when(ok, F.col("segment")).otherwise("SUPPRESSED").alias("segment"),
+            "n_customers",
+            "bal_fp",
+        )
+        .groupBy("nation", "segment")
+        .agg(
+            F.sum("n_customers").cast("long").alias("n_customers"),
+            (F.sum("bal_fp").cast("double") / 10000).alias("total_acctbal"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+@register(
+    "delete_cascade_accounting",
+    oracle="""
+        WITH tombstones AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+        ),
+        doomed_orders AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM tombstones)
+        )
+        SELECT
+            (SELECT count(*) FROM tombstones) AS customers_deleted,
+            (SELECT count(*) FROM doomed_orders) AS orders_deleted,
+            (SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders))
+                AS lineitems_deleted,
+            (SELECT count(*) FROM orders) -
+            (SELECT count(*) FROM doomed_orders) AS orders_surviving
+    """,
+    tags=("governance", "join", "maintenance"),
+)
+def delete_cascade_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade: a deterministic tombstone set
+    (custkey % 37 = 0 stands in for deletion requests) propagates
+    customer → orders → lineitem, reporting how many rows each level
+    would delete plus the surviving order count. The real delete is
+    the same plan with the counts replaced by anti-join writes
+    (``merge_upsert_sink`` shape, or a format-level DELETE).
+
+    Scale shape: the tombstone and doomed-order key sets are tiny
+    relative to the facts, so both cascades are broadcast semi-joins —
+    the fact tables are scanned but never shuffled."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    tomb = c.filter(F.col("c_custkey") % 37 == 0).select("c_custkey")
+    doomed = o.join(
+        F.broadcast(tomb), o.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    # single-row aggregates composed by cross join — one lazy plan,
+    # no driver-side actions at build time
+    a_tomb = tomb.agg(F.count(F.lit(1)).alias("customers_deleted"))
+    a_orders = o.agg(F.count(F.lit(1)).alias("_orders_total"))
+    a_doomed = doomed.agg(F.count(F.lit(1)).alias("orders_deleted"))
+    a_lines = li.join(
+        F.broadcast(doomed), li.l_orderkey == doomed.o_orderkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("lineitems_deleted"))
+    return (
+        a_tomb.crossJoin(a_doomed)
+        .crossJoin(a_lines)
+        .crossJoin(a_orders)
+        .select(
+            "customers_deleted",
+            "orders_deleted",
+            "lineitems_deleted",
+            (F.col("_orders_total") - F.col("orders_deleted")).alias(
+                "orders_surviving"
+            ),
+        )
+    )
