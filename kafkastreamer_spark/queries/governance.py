@@ -215,3 +215,159 @@ def delete_cascade_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+N_FP_BUCKETS = 64  # fingerprint tree fan-out
+
+
+@register(
+    "table_fingerprint",
+    oracle=f"""
+        WITH rows_h AS (
+            SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       AS BIGINT) % {N_FP_BUCKETS} AS bucket,
+                   md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       CAST(CAST(floor(o_totalprice * 10000) AS BIGINT)
+                            AS VARCHAR)) AS h
+            FROM orders
+        ),
+        buckets AS (
+            SELECT bucket, count(*) AS n_rows,
+                   md5(string_agg(h, '' ORDER BY h)) AS bucket_fp
+            FROM rows_h GROUP BY bucket
+        )
+        SELECT bucket, n_rows, bucket_fp FROM buckets ORDER BY bucket
+    """,
+    tags=("governance", "integrity", "maintenance"),
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table fingerprint — the integrity primitive for
+    verifying a replica/migration without moving data: each row
+    hashes its content (keys + fixed-point money) to md5, rows land
+    in md5-derived buckets, and each bucket publishes an
+    order-insensitive digest (md5 over its sorted row hashes) plus a
+    row count. Two replicas compare 64 digest rows instead of the
+    table; a mismatched bucket narrows re-sync to 1/64 of the data
+    (recurse for a Merkle tree).
+
+    Scale shape: one shuffle of (bucket, 32-byte hash); the sort that
+    canonicalizes each bucket happens inside the aggregate on
+    collected hashes. At 100 TB, raise N_FP_BUCKETS so each bucket's
+    hash list fits an executor (the tree depth is the knob, the plan
+    is unchanged)."""
+    o = widen(load_table(spark, sf_dir, "orders"))
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.floor(F.col("o_totalprice") * 10000).cast("long").cast("string"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % N_FP_BUCKETS
+    )
+    return (
+        o.select(bucket.alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("h")), "")).alias(
+                "bucket_fp"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        ),
+        v2 AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 103 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey % 101 <> 0
+        ),
+        j AS (
+            SELECT v1.k AS k1, v2.k AS k2,
+                   v1.price AS p1, v2.price AS p2
+            FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        )
+        SELECT
+            CAST(sum(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS added,
+            CAST(sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS removed,
+            CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS changed,
+            CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND p1 = p2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS unchanged
+        FROM j
+    """,
+    tags=("governance", "join", "maintenance"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — classify two table versions into added /
+    removed / changed / unchanged counts with one full-outer join on
+    the key (the audit companion to the CDC merge: merge applies a
+    diff, this measures one). The second version is derived
+    deterministically from the fixture (drop keys %101=0, perturb
+    price on %103=0) so the expected classes are non-empty at any
+    scale.
+
+    Scale shape: one co-partitioned shuffle join on the key; with
+    both snapshots bucketed on the key (io.py) the exchange
+    disappears entirely. Counting is map-side partial — the join
+    output never materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p1"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 103 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p2"),
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("a.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("added"),
+        F.sum(F.when(F.col("b.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("removed"),
+        F.sum(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("p1") != F.col("p2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("changed"),
+        F.sum(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("p1") == F.col("p2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("unchanged"),
+    )
