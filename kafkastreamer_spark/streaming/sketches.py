@@ -89,3 +89,59 @@ def cms_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rate_limit_stateful(
+    stream: DataFrame, key_col: str, ts_col: str, limit: int
+) -> DataFrame:
+    """Streaming admission control — the stateful twin of the batch
+    ``events_rate_limit_quota``: per (key, week) the first ``limit``
+    rows (in stream arrival order) are admitted, later ones emit as
+    throttled. State per key is one (week_start, count) pair — it
+    RESETS when the key's stream moves to a new week, so state size is
+    O(active keys), not O(keys × weeks); a real deployment adds an
+    idle timeout to drop keys that go quiet.
+
+    Batch parity caveat (tested): arrival order within a micro-batch
+    follows the input order, so parity with the batch quota holds when
+    the stream is time-ordered per key — the Kafka-partition-per-key
+    delivery the reference assumes (Streamer.java:113-120).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        week, count = state.get if state.exists else (None, 0)
+        admitted = 0
+        throttled = 0
+        for pdf in pdfs:
+            weeks = pdf[ts_col].dt.to_period("W").dt.start_time
+            for w in weeks:
+                wk = str(w.date())
+                if wk != week:
+                    week, count = wk, 0
+                if count < limit:
+                    count += 1
+                    admitted += 1
+                else:
+                    throttled += 1
+        state.update((week, count))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "admitted": [admitted],
+                "throttled": [throttled],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, admitted long, throttled long",
+        stateStructType="week string, count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -144,3 +144,51 @@ def test_streaming_quality_gate_matches_batch_flags(spark, sf_dir, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {d for d, fl in agg_flags.items() if fl == 0}
     assert len(kept) < len(agg_flags)  # gate actually dropped docs
+
+
+def test_streaming_rate_limit_matches_batch_quota(spark, sf_dir, tmp_path):
+    """The stateful streaming rate limiter must reproduce the batch
+    weekly-quota admitted/throttled totals when events arrive in
+    (ts, event_id) order per key — quota state carries across
+    micro-batch boundaries."""
+    import os
+
+    from kafkastreamer_spark.queries.governance import RATE_LIMIT
+    from kafkastreamer_spark.registry import REGISTRY
+    from kafkastreamer_spark.streaming.sketches import rate_limit_stateful
+
+    want = {
+        r.user_id: (r.admitted, r.throttled)
+        for r in REGISTRY["events_rate_limit_quota"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    inp = str(tmp_path / "rin")
+    for half in (
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+    ):
+        half.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(inp)
+
+    stream = file_source(spark, inp, ev.schema, max_files_per_trigger=1)
+    limited = rate_limit_stateful(stream, "user_id", "ts", RATE_LIMIT)
+    out = str(tmp_path / "rout")
+
+    def wb(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        limited.writeStream.foreachBatch(wb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got: dict = {}
+    for r in spark.read.parquet(out).collect():
+        a, t = got.get(r.user_id, (0, 0))
+        got[r.user_id] = (a + r.admitted, t + r.throttled)
+    assert got == want
