@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import cosine
-from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.registry import REGISTRY, register
 from kafkastreamer_spark.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -208,4 +208,66 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def _recall_oracle() -> str:
+    bf = REGISTRY["similarity_topk_bruteforce"].oracle
+    ivf = REGISTRY["similarity_ivf_probe"].oracle
+    return f"""
+        WITH bf AS ({bf}),
+        ivf AS ({ivf})
+        SELECT bf.query_id,
+               count(*) AS k,
+               CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+               CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) * 10000 // count(*)
+                    AS BIGINT) AS recall4
+        FROM bf LEFT JOIN ivf
+          ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+        GROUP BY bf.query_id
+        ORDER BY bf.query_id
+    """
+
+
+@register(
+    "similarity_recall_at_k",
+    oracle=_recall_oracle(),
+    tags=("llm-data", "similarity", "evaluation"),
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF probe path against
+    the brute-force ground truth, per query — the metric that decides
+    whether an approximate index is admissible for a given corpus.
+    Both inputs are this engine's own deterministic operators, so the
+    evaluation itself is engine-exact (recall in fixed-point via
+    integer division, never a float ratio).
+
+    Scale: ground truth on a sampled query set (as here) is how recall
+    is estimated in production too — the brute-force side costs one
+    corpus stream for Q queries; the join/aggregation is Q×k rows."""
+    bf = REGISTRY["similarity_topk_bruteforce"].fn(spark, sf_dir)
+    ivf = REGISTRY["similarity_ivf_probe"].fn(spark, sf_dir)
+    hit = F.col("i.neighbor_id").isNotNull()
+    return (
+        bf.alias("b")
+        .join(
+            ivf.alias("i"),
+            (F.col("b.query_id") == F.col("i.query_id"))
+            & (F.col("b.neighbor_id") == F.col("i.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(hit.cast("long")).alias("hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "hits",
+            F.expr("hits * 10000 div k").alias("recall4"),
+        )
+        .orderBy("query_id")
     )
