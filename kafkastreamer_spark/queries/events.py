@@ -771,3 +771,77 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.floor(z * 10000).cast("long").alias("z4"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                       AS v_fp
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+        grid AS (
+            SELECT u.user_id,
+                   unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY))::DATE
+                       AS day
+            FROM (SELECT DISTINCT user_id FROM daily) u, b
+        ),
+        j AS (
+            SELECT g.user_id, g.day, d.v_fp
+            FROM grid g LEFT JOIN daily d
+              ON d.user_id = g.user_id AND d.day = g.day
+        )
+        SELECT user_id, day,
+               CAST(last_value(v_fp IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / 10000 AS value_filled,
+               CAST(v_fp IS NULL AS INT) AS is_gap
+        FROM j
+        ORDER BY user_id, day
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill — the gap-filling
+    primitive (timescale/hypertable territory): per user, align daily
+    value sums onto the complete calendar grid between the corpus's
+    first and last day, carrying the last observation forward across
+    missing days (flagged via is_gap). Leading gaps before a user's
+    first observation stay NULL in both engines.
+
+    Scale shape: the grid is users × days built by exploding a
+    per-user date sequence against a 1-row broadcast bounds table —
+    no range join; the fill is one LAST_VALUE IGNORE NULLS window
+    over the (user, day)-partitioned join output, which reuses the
+    daily aggregate's partitioning. Daily sums use the fixed-point
+    discipline, so filled values are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("v_fp"))
+    bounds = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    users = daily.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dmin"), F.col("dmax"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (F.last("v_fp", ignorenulls=True).over(w).cast("double") / 10000).alias(
+            "value_filled"
+        ),
+        F.col("v_fp").isNull().cast("int").alias("is_gap"),
+    ).orderBy("user_id", "day")
