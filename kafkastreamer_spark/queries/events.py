@@ -845,3 +845,112 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("v_fp").isNull().cast("int").alias("is_gap"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "events_sliding_topk_trending",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        contrib AS (
+            SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY))::DATE AS win_end,
+                   event_type, c
+            FROM daily
+        ),
+        windowed AS (
+            SELECT win_end, event_type,
+                   CAST(sum(c) AS BIGINT) AS c7,
+                   ROW_NUMBER() OVER (PARTITION BY win_end
+                                      ORDER BY sum(c) DESC, event_type) AS rk
+            FROM contrib GROUP BY win_end, event_type
+        )
+        SELECT win_end, event_type, c7, rk
+        FROM windowed WHERE rk <= 3
+        ORDER BY win_end, rk
+    """,
+    tags=("events", "timeseries", "window", "topk"),
+)
+def events_sliding_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 event types per trailing 7-day window,
+    sliding daily. Computed by the replication trick — aggregate to
+    days FIRST (the only event-scale shuffle), then each (day, type)
+    partial contributes itself to the 7 window-ends it falls in via an
+    exploded date sequence. The replication factor is window/step = 7,
+    but applied to day-granularity partials, not raw events — at
+    100 TB the exploded stream is |days|×|types|×7 rows, independent
+    of event volume. Ties rank deterministically by event_type.
+
+    (Structured Streaming's native sliding window does the same
+    replication on raw rows pre-aggregation; pre-aggregating to the
+    step granularity is the batch-side optimization.)"""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("win_end"),
+        "event_type",
+        "c",
+    )
+    windowed = contrib.groupBy("win_end", "event_type").agg(
+        F.sum("c").cast("long").alias("c7")
+    )
+    w = Window.partitionBy("win_end").orderBy(F.desc("c7"), "event_type")
+    return (
+        windowed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("win_end", "event_type", "c7", F.col("rk").cast("long").alias("rk"))
+        .orderBy("win_end", "rk")
+    )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+        WITH binned AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+            FROM orders
+        )
+        SELECT bin, count(*) AS n,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    tags=("aggregate", "histogram", "statistics"),
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram: 10 bins of equal row count
+    over order totals with exact boundaries — the statistics a
+    cost-based optimizer keeps per column, and the partner of the
+    fixed-width `agg_histogram_bins`. ntile over a total order
+    (price, then orderkey so ties split deterministically) makes bin
+    membership engine-exact — no percentile interpolation.
+
+    Scale note: the global ntile needs a total sort (one range
+    exchange); at 100 TB you'd sample-estimate boundaries instead
+    (approx_percentile) — kept exact here because exactness is this
+    engine's oracle contract, and flagged as the known global-sort
+    spot alongside the PLANS.md inventory."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select(F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
+        .orderBy("bin")
+    )
