@@ -184,3 +184,126 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+    tags=("join", "sql-surface", "topk"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-customer top-2 orders
+    expressed as a lateral join (the SQL-standard form of
+    top-N-per-group). Catalyst decorrelates it to the same
+    window-rank plan as the explicit DataFrame formulation
+    (`topk_per_group`), so the surface is free: one shuffle on the
+    correlation key, rank inside partitions, no per-customer
+    subquery execution. Both engines run the identical SQL text."""
+    from kafkastreamer_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )
+
+
+@register(
+    "join_null_safe_groups",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 7 = 0 THEN NULL
+                        ELSE o_custkey % 5 END AS grp,
+                   o_totalprice
+            FROM orders
+        ),
+        g AS (
+            SELECT grp, count(*) AS n,
+                   CAST(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS total_fp
+            FROM t GROUP BY grp
+        )
+        SELECT a.grp, a.n,
+               CAST(a.total_fp AS DOUBLE) / 10000 AS total_price,
+               b.n AS n_mirror
+        FROM g a JOIN g b ON a.grp IS NOT DISTINCT FROM b.grp
+        ORDER BY a.grp NULLS FIRST
+    """,
+    tags=("join", "sql-surface", "null-semantics"),
+)
+def join_null_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a
+    derived nullable group key (custkey%7=0 → NULL) is aggregated and
+    self-joined null-safely, so the NULL group matches itself — the
+    semantics plain `=` silently drops. Verifies the engine's
+    null-key join path end to end: group-by already treats NULL as a
+    key; the join must agree."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 5)
+        .alias("grp"),
+        "o_totalprice",
+    )
+    g = t.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias("total_fp"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+        .select(
+            F.col("a.grp").alias("grp"),
+            F.col("a.n").alias("n"),
+            (F.col("a.total_fp").cast("double") / 10000).alias("total_price"),
+            F.col("b.n").alias("n_mirror"),
+        )
+        .orderBy(F.asc_nulls_first("grp"))
+    )
+
+
+@register(
+    "audit_first_digit_distribution",
+    oracle="""
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS first_digit,
+               count(*) AS n
+        FROM orders
+        WHERE o_totalprice >= 1
+        GROUP BY 1
+        ORDER BY first_digit
+    """,
+    tags=("audit", "aggregate", "data-quality"),
+)
+def audit_first_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford-style) distribution of order totals — the
+    data-quality audit that flags fabricated or truncated numeric
+    columns by their leading-digit histogram. Pure map-side digit
+    extraction on integers (no float formatting, which engines render
+    differently) plus one 9-group aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            ).alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("first_digit")
+    )
