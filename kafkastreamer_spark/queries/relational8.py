@@ -307,3 +307,84 @@ def audit_first_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("first_digit")
     )
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey AS custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS monetary_fp
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT custkey,
+                   ntile(5) OVER (ORDER BY last_order DESC, custkey) AS r,
+                   ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f,
+                   ntile(5) OVER (ORDER BY monetary_fp DESC, custkey) AS m
+            FROM rfm
+        )
+        SELECT r, f, m, count(*) AS n_customers,
+               CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+                    WHEN r >= 4 AND f <= 2 THEN 'at_risk_loyal'
+                    WHEN r >= 4 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        GROUP BY r, f, m
+        ORDER BY r, f, m
+    """,
+    tags=("relational", "window", "analytics"),
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintile
+    scores per customer, rolled up to segment cells with business
+    labels (champion / at-risk / hibernating / regular). The standard
+    CRM partitioning of a customer base.
+
+    All three ntiles rank with a custkey tie-break so quintile
+    membership is deterministic; monetary ranks on the fixed-point
+    integer so float order never decides a boundary. Scale note: the
+    three global ntile sorts share one input (the per-customer
+    aggregate, |customers| rows, 3 columns) — at 100 TB the
+    aggregate is the event-scale shuffle and the ntiles rank a table
+    4-5 orders of magnitude smaller; sample-based boundaries replace
+    them only if customers alone outgrow a sort."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias(
+            "monetary_fp"
+        ),
+    )
+    scored = rfm.select(
+        "custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_fp"), F.asc("custkey")))
+        .alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1), "champion")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "at_risk_loyal")
+        .when(F.col("r") >= 4, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("r", "f", "m", "n_customers", seg.alias("segment"))
+        .orderBy("r", "f", "m")
+    )
