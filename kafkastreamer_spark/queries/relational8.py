@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kafkastreamer_spark.queries._util import fixed, sql_fixed
 from kafkastreamer_spark.registry import register
-from kafkastreamer_spark.tables import load_table
+from kafkastreamer_spark.tables import load_table, widen
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -388,3 +388,48 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r", "f", "m", "n_customers", seg.alias("segment"))
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "basket_pair_cooccurrence",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey % 50 AS item
+            FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_orders
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.item < b.item
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_orders
+        FROM pairs
+        ORDER BY n_orders DESC, item_a, item_b
+        LIMIT 20
+    """,
+    tags=("relational", "join", "market-basket"),
+)
+def basket_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 item-category pairs by
+    number of orders containing both (support counts). Items are
+    DISTINCT'd within the order first, so the within-order self-join
+    generates at most C(items_per_order, 2) candidates per order —
+    bounded by basket size (~7 here), never by catalog size. This is
+    the frequent-itemset k=2 pass; higher k iterates the same shape
+    on surviving pairs.
+
+    Scale: one shuffle on orderkey co-locates each basket; the pair
+    explosion and count are map-side from there, and the top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.desc("n_orders"), "item_a", "item_b").limit(20)
