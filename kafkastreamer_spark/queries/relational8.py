@@ -433,3 +433,76 @@ def basket_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return pairs.orderBy(F.desc("n_orders"), "item_a", "item_b").limit(20)
+
+
+@register(
+    "customer_abc_pareto",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey AS custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_fp
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT custkey, rev_fp,
+                   sum(rev_fp) OVER (ORDER BY rev_fp DESC, custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_fp,
+                   sum(rev_fp) OVER () AS total_fp
+            FROM rev
+        ),
+        classed AS (
+            SELECT custkey, rev_fp,
+                   CASE WHEN cum_fp * 100 <= total_fp * 80 THEN 'A'
+                        WHEN cum_fp * 100 <= total_fp * 95 THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM ranked
+        )
+        SELECT cls, count(*) AS n_customers,
+               CAST(sum(rev_fp) AS DOUBLE) / 10000 AS revenue
+        FROM classed GROUP BY cls ORDER BY cls
+    """,
+    tags=("relational", "window", "analytics"),
+)
+def customer_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers ranked by revenue,
+    class A = those inside the first 80% of cumulative revenue,
+    B = to 95%, C = the tail — the 80/20 inventory-analysis pattern.
+    Class boundaries are integer cross-multiplications on exact
+    fixed-point cumulative sums (cum·100 ≤ total·80), so membership
+    never rides a float ratio.
+
+    Scale: the running sum is one global-ordered window over the
+    per-customer aggregate (small table, same argument as RFM); the
+    grand total reuses the same window input via an unbounded frame
+    rather than a second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias("rev_fp")
+    )
+    wcum = (
+        Window.orderBy(F.desc("rev_fp"), F.asc("custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "custkey",
+        "rev_fp",
+        F.sum("rev_fp").over(wcum).alias("cum_fp"),
+        F.sum("rev_fp").over(wall).alias("total_fp"),
+    )
+    cls = (
+        F.when(F.col("cum_fp") * 100 <= F.col("total_fp") * 80, "A")
+        .when(F.col("cum_fp") * 100 <= F.col("total_fp") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("cls"), "rev_fp")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("rev_fp").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("cls")
+    )
