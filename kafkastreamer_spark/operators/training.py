@@ -408,3 +408,99 @@ def text_embed_batch_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_embed_batches, schema=schema)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_kmeans_two_iter",
+    oracle=f"""
+        WITH {_sql_assign_cte()},
+        means AS (
+            SELECT cluster, i AS comp,
+                   CAST(SUM(CAST(FLOOR(v[CAST(i AS INT)] * {SCALE}) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / {SCALE} AS m
+            FROM assign, UNNEST(range(1, {DIM + 1})) AS t(i)
+            GROUP BY 1, 2
+        ),
+        cent2 AS (
+            SELECT cluster AS c2, list(m ORDER BY comp) AS cv
+            FROM means GROUP BY cluster
+        ),
+        d2 AS (
+            SELECT a.vec_id, c2,
+                   CAST(FLOOR(list_dot_product(
+                       list_transform(range(1, {DIM + 1}),
+                                      i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]),
+                       list_transform(range(1, {DIM + 1}),
+                                      i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                   ) * {SCALE}) AS BIGINT) AS d4
+            FROM (SELECT vec_id, v FROM assign) a, cent2
+        ),
+        assign2 AS (
+            SELECT vec_id, c2 AS cluster, d4
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d4, c2) AS rn
+                  FROM d2)
+            WHERE rn = 1
+        )
+        SELECT cluster, COUNT(*) AS n_members,
+               CAST(SUM(d4) AS BIGINT) AS inertia4
+        FROM assign2 GROUP BY cluster ORDER BY cluster
+    """,
+    tags=("llm-data", "similarity", "clustering", "iterative"),
+)
+def embedding_kmeans_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full k-means iterations — seed centroids → assign → Lloyd
+    update → REASSIGN against the data-derived centroids — reported
+    as iteration-2 cluster sizes and exact fixed-point inertia. This
+    closes the iterative loop the single-step operators expose: the
+    updated centroid table (K×DIM, built by sorting each cluster's
+    component means into an array inside the aggregate) broadcasts
+    back into the same map-side distance/argmin shape as iteration 1,
+    which is exactly how iteration N+1 always consumes iteration N
+    (driver-coordinated, lineage truncated via localCheckpoint in
+    long loops — see dedup_cluster_representatives).
+
+    Exactness across the iteration boundary: means are
+    exact-integer-sum / count (one correctly-rounded division per
+    component), and the iteration-2 distances fold with
+    ``F.aggregate(zip_with(...))`` == DuckDB list_dot_product, so
+    even the data-dependent second iteration hashes identically."""
+    a1 = _assign(spark, sf_dir)
+    means = (
+        a1.select("cluster", F.transform("v", lambda x: fixed(x)).alias("vfp"))
+        .select("cluster", F.posexplode("vfp").alias("comp0", "xfp"))
+        .groupBy("cluster", F.col("comp0").alias("comp"))
+        .agg(
+            (F.sum("xfp").cast("double") / F.count(F.lit(1)) / SCALE).alias("m")
+        )
+    )
+    cent2 = means.groupBy(F.col("cluster").alias("c2")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("comp", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+    diff = F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y)
+    d2 = (
+        a1.select("vec_id", "v")
+        .crossJoin(F.broadcast(cent2))
+        .select(
+            "vec_id",
+            "c2",
+            F.floor(dot(diff, diff) * SCALE).cast("long").alias("d4"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d4", "c2")
+    assign2 = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c2").alias("cluster"), "d4")
+    )
+    return (
+        assign2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d4").cast("long").alias("inertia4"),
+        )
+        .orderBy("cluster")
+    )
