@@ -827,3 +827,69 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _edit_refine_oracle() -> str:
+    lsh = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+        WITH cand AS ({lsh})
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(da.text, db.text) AS edit_dist,
+               CAST(levenshtein(da.text, db.text) * 10000
+                    // greatest(da.n_chars, db.n_chars) AS BIGINT)
+                   AS edit_ratio4
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+        WHERE 2 * levenshtein(da.text, db.text)
+              <= greatest(da.n_chars, db.n_chars)
+        ORDER BY c.doc_a, c.doc_b
+    """
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=_edit_refine_oracle(),
+    tags=("llm-data", "dedup", "verification"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage near-dup verification: MinHash-LSH candidate
+    pairs re-scored by character-level Levenshtein distance, keeping
+    pairs whose edit distance is ≤ half the longer document — the
+    expensive-but-precise metric applied only AFTER cheap blocking,
+    never across the corpus (edit distance is O(n·m) per pair; the
+    candidate set is what makes it affordable). Both engines compute
+    the identical Wagner-Fischer metric; the admission test is
+    integer (2·dist ≤ max(n_chars)).
+
+    This is the canonical two-stage shape every production dedup
+    runs: recall from LSH, precision from exact verification."""
+    cand = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    da = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    mx = F.greatest("nc_a", "nc_b")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(2 * lev <= mx)
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_dist"),
+            F.expr(
+                "levenshtein(text_a, text_b) * 10000"
+                " div greatest(nc_a, nc_b)"
+            ).alias("edit_ratio4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -954,3 +954,60 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
         .orderBy("bin")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+            FROM trans GROUP BY prev_type
+        )
+        SELECT t.prev_type, t.next_type, t.n,
+               CAST(t.n * 10000 // o.row_total AS BIGINT) AS prob4
+        FROM trans t JOIN tot o ON t.prev_type = o.prev_type
+        ORDER BY t.prev_type, t.next_type
+    """,
+    tags=("events", "window", "sequence-mining"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LAG pairs (ordered by ts, event_id) counted into a
+    type×type matrix with fixed-point row-normalized probabilities
+    (integer division — no float ratio). The sequence-mining
+    primitive behind next-event prediction and anomalous-flow
+    detection.
+
+    Scale shape: one shuffle on user_id for the LAG window (the
+    event-scale cost), then the matrix is |types|² rows; row totals
+    come from re-aggregating the matrix, not rescanning events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 10000 div row_total").alias("prob4"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
