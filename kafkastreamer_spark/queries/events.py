@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from kafkastreamer_spark.queries._util import dsum
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.streaming.stages import apply_stage_chain, parse_value
-from kafkastreamer_spark.tables import load_table
+from kafkastreamer_spark.tables import load_table, widen
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,4 +1010,75 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 10000 div row_total").alias("prob4"),
         )
         .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+        WITH membership AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, count(*) AS n FROM membership GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_common
+            FROM membership a JOIN membership b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, i.n_common,
+               sa.n + sb.n - i.n_common AS n_union,
+               CAST(i.n_common * 10000 // (sa.n + sb.n - i.n_common) AS BIGINT)
+                   AS jaccard4
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+        ORDER BY i.type_a, i.type_b
+    """,
+    tags=("events", "aggregate", "set-cardinality"),
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: for every pair of event types, the exact
+    intersection / union cardinality of their user sets and the
+    fixed-point Jaccard — the segment-overlap matrix ad-tech computes
+    with theta sketches, exact here because the oracle contract
+    demands it (the sketch version is the bounded-memory drop-in at
+    scale, same shape as agg_approx).
+
+    Scale shape: memberships are DISTINCT'd first (one shuffle on
+    (type, user)); the pair join fans out each user's memberships —
+    bounded by |types| per user, so candidates ≤ C(|types|,2)·|users|,
+    independent of raw event volume. Sizes broadcast back."""
+    ev = widen(load_table(spark, sf_dir, "events"))
+    membership = ev.select("event_type", "user_id").distinct()
+    sizes = membership.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = membership.alias("a"), membership.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union"),
+            F.expr("n_common * 10000 div (na + nb - n_common)").alias("jaccard4"),
+        )
+        .orderBy("type_a", "type_b")
     )
