@@ -397,3 +397,63 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("t").alias("term"), "tf", "df")
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        nd AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_docs FROM documents),
+        firsts AS (
+            SELECT s AS token, min(doc_id) AS first_doc
+            FROM words, unnest(w) AS t(s)
+            GROUP BY s
+        ),
+        decile AS (
+            SELECT least(CAST(first_doc * 10 // n_docs AS BIGINT), 9) AS bucket,
+                   count(*) AS new_tokens
+            FROM firsts, nd GROUP BY 1
+        )
+        SELECT bucket, new_tokens,
+               CAST(sum(new_tokens) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_size
+        FROM decile ORDER BY bucket
+    """,
+    tags=("llm-data", "text", "statistics"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law audit): distinct-token
+    count after each decile of the corpus, computed in ONE pass by
+    recording each token's FIRST document (min doc_id per token) and
+    bucketing those first occurrences — never re-scanning the prefix
+    per checkpoint (the naive formulation is 10 scans + 10
+    distincts). The curve's flattening rate is the standard check
+    that a corpus keeps contributing novel content as it grows.
+
+    Scale shape: one explode + one (token) shuffle with map-side
+    min; the decile rollup and running sum act on ≤10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
+    toks = widen(d.select("doc_id", tokens(F.col("text")).alias("w")))
+    firsts = (
+        toks.select("doc_id", F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    decile = (
+        firsts.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.least(
+                F.expr("first_doc * 10 div n_docs"), F.lit(9).cast("long")
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return decile.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("bucket")
