@@ -3,6 +3,7 @@
 from kafkastreamer_spark.queries import (  # noqa: F401
     events,
     governance,
+    graph,
     relational,
     relational2,
     relational3,
