@@ -457,3 +457,90 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
     ).orderBy("bucket")
+
+
+@register(
+    "text_trigram_lm_counts",
+    oracle=f"""
+        WITH tok AS (SELECT {SQL_TOKENS} AS w FROM documents),
+        tri AS (
+            SELECT unnest(list_transform(range(1, len(w) - 1),
+                          i -> struct_pack(
+                              ctx := w[i] || ' ' || w[i+1],
+                              nxt := w[i+2]))) AS g
+            FROM tok
+        ),
+        tric AS (
+            SELECT g.ctx AS ctx, g.nxt AS nxt, count(*) AS n_tri
+            FROM tri GROUP BY 1, 2
+        ),
+        ctxc AS (SELECT ctx, sum(n_tri) AS n_ctx FROM tric GROUP BY ctx)
+        SELECT t.ctx || ' ' || t.nxt AS trigram, t.n_tri,
+               CAST(c.n_ctx AS BIGINT) AS n_ctx,
+               (t.n_tri * 1000000) // CAST(c.n_ctx AS BIGINT) AS cond_prob_ppm
+        FROM tric t JOIN ctxc c ON c.ctx = t.ctx
+        ORDER BY n_tri DESC, trigram
+        LIMIT 50
+    """,
+    tags=("llm-data", "text", "ngram-lm"),
+)
+def text_trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model count table: top-50 trigrams with their
+    count, their 2-word context's continuation count, and the MLE
+    conditional probability P(w3 | w1 w2) in exact parts-per-million
+    ((n_tri · 1e6) div n_ctx — integer arithmetic, no float division
+    to disagree on).  The context denominator counts trigram
+    CONTINUATIONS (Σ n_tri per ctx), so probabilities per context sum
+    to ≤ 1e6 exactly — the n-gram-LM building block (KenLM-style
+    count collection) and the perplexity-free fluency signal for
+    corpus QA.
+
+    Each trigram is generated as a (context, next-word) struct so the
+    context needs no string re-parsing downstream; context totals
+    roll up from the trigram counts themselves (second aggregation is
+    vocabulary-sized, not corpus-sized).
+
+    Scale shape: per-row array transform (no shuffle) → explode →
+    one corpus-wide groupBy with map-side combine; the ctx rollup and
+    join act on the distinct-trigram relation, and top-50 compiles to
+    TakeOrderedAndProject, never a global sort."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select(tokens("text").alias("w"))  # materialize before lambda
+    tri = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.struct(
+                        F.concat(
+                            F.element_at("w", (i + 1).cast("int")),
+                            F.lit(" "),
+                            F.element_at("w", (i + 2).cast("int")),
+                        ).alias("ctx"),
+                        F.element_at("w", (i + 3).cast("int")).alias("nxt"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
+        ).alias("g")
+    )
+    tric = (
+        tri.select("g.ctx", "g.nxt")
+        .groupBy("ctx", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .persist()  # feeds both the ctx rollup and the final join
+    )
+    ctxc = tric.groupBy(F.col("ctx").alias("cctx")).agg(
+        F.sum("n_tri").cast("long").alias("n_ctx")
+    )
+    return (
+        tric.join(ctxc, tric.ctx == ctxc.cctx)
+        .select(
+            F.concat_ws(" ", "ctx", "nxt").alias("trigram"),
+            "n_tri",
+            "n_ctx",
+            F.expr("(n_tri * 1000000) div n_ctx").alias("cond_prob_ppm"),
+        )
+        .orderBy(F.desc("n_tri"), "trigram")
+        .limit(50)
+    )

@@ -2,6 +2,7 @@
 
 from kafkastreamer_spark.queries import (  # noqa: F401
     events,
+    events2,
     governance,
     graph,
     relational,

@@ -1,0 +1,239 @@
+"""Event-stream analytics, continued: user-growth accounting,
+inter-arrival distributions, and robust (median/MAD) anomaly
+detection.
+
+All three reduce unbounded raw-event volume to bounded outputs with
+one or two key-partitioned shuffles, and keep every cross-engine
+comparison in exact integer space (epoch microseconds, fixed-point
+value units) so the DuckDB oracles hash identically.
+
+Reference grounding: the reference's analytics surface is keyed
+running aggregation over event streams (v1/src/main/java/Stream/
+Streamer.java); these extend that family with the growth/latency/
+outlier questions any production event pipeline answers next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (SELECT day, count(*) AS new_users FROM firsts GROUP BY day)
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+        FROM daily ORDER BY day
+    """,
+    tags=("streaming", "time", "distinct", "growth"),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts and the running distinct-user total —
+    the DAU/growth curve — in ONE pass via the first-occurrence
+    trick: the cumulative distinct count at day D equals the number
+    of users whose FIRST event is ≤ D, so a per-user min(day) plus a
+    tiny running sum replaces a per-day COUNT(DISTINCT) rescan (the
+    naive form is |days| passes over the stream, or an expensive
+    multi-distinct cube).  Same decomposition as text_vocab_growth.
+
+    Scale shape: one user_id-keyed shuffle with map-side min, one
+    |days|-sized rollup; the window runs on ≤ thousands of rows."""
+    ev = _events(spark, sf_dir)
+    firsts = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+_GAP_BUCKET_SQL = """
+    CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+         WHEN gap_us < 60000000 THEN '1_lt_1m'
+         WHEN gap_us < 600000000 THEN '2_lt_10m'
+         WHEN gap_us < 3600000000 THEN '3_lt_1h'
+         WHEN gap_us < 86400000000 THEN '4_lt_1d'
+         ELSE '5_ge_1d' END
+"""
+
+
+@register(
+    "events_interarrival_histogram",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        SELECT {_GAP_BUCKET_SQL} AS bucket,
+               count(*) AS n_gaps,
+               min(gap_us) AS min_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("streaming", "time", "distribution"),
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps in log-spaced time
+    buckets (<1s, <1m, <10m, <1h, <1d, ≥1d) — the arrival-process
+    profile behind session-timeout tuning and bot detection.  Gaps
+    are exact epoch-microsecond differences (Spark unix_micros ==
+    DuckDB epoch_us), bucketed by integer CASE thresholds — no float
+    or log() anywhere, so both engines agree exactly.
+
+    Scale shape: one user_id shuffle for the LAG sort (same
+    partitioning every sessionization query already pays), then a
+    6-group aggregate with map-side combine."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    bucket = (
+        F.when(F.col("gap_us") < 1_000_000, "0_lt_1s")
+        .when(F.col("gap_us") < 60_000_000, "1_lt_1m")
+        .when(F.col("gap_us") < 600_000_000, "2_lt_10m")
+        .when(F.col("gap_us") < 3_600_000_000, "3_lt_1h")
+        .when(F.col("gap_us") < 86_400_000_000, "4_lt_1d")
+        .otherwise("5_ge_1d")
+    )
+    return (
+        gaps.select(bucket.alias("bucket"), "gap_us")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _lower_median_sql(src: str, val: str, tiebreak: str, out: str) -> str:
+    """Rank-based lower median of an integer column — engine-exact
+    (no interpolation): the element at row (n+1)//2 in (value,
+    tiebreak) order within each event_type."""
+    return f"""
+        {out} AS (
+            SELECT event_type, {val} AS {out}_v FROM (
+                SELECT event_type, {val},
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY {val}, {tiebreak}) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM {src}
+            ) WHERE rn = (cnt + 1) // 2
+        )"""
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(FLOOR(value * 10000) AS BIGINT) AS v_fp
+            FROM events
+        ),
+        {_lower_median_sql("v", "v_fp", "event_id", "med")},
+        dev AS (
+            SELECT v.event_type, v.event_id,
+                   abs(v.v_fp - med.med_v) AS d_fp
+            FROM v JOIN med USING (event_type)
+        ),
+        {_lower_median_sql("dev", "d_fp", "event_id", "mad")}
+        SELECT d.event_type,
+               CAST(min(med.med_v) AS DOUBLE) / 10000 AS median_value,
+               CAST(min(mad.mad_v) AS DOUBLE) / 10000 AS mad_value,
+               count(*) AS n_total,
+               CAST(count(*) FILTER (WHERE d.d_fp > 3 * mad.mad_v)
+                    AS BIGINT) AS n_anomalies
+        FROM dev d
+        JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    tags=("streaming", "anomaly", "robust-statistics"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) with the classic |x − med| > 3·MAD outlier
+    rule — the heavy-tail-safe alternative to z-scores
+    (events_value_zscore), where one large outlier can't inflate its
+    own threshold.  Both medians are rank-based LOWER medians over
+    fixed-point BIGINT values (row (n+1)//2 in (value, event_id)
+    order), so every comparison is exact integer arithmetic on both
+    engines — interpolated percentiles would differ in the last ulp
+    and flip threshold comparisons.
+
+    Scale shape: two window passes partitioned by the same
+    event_type key (one exchange, reused), each reduced to a
+    |types|-sized median relation that broadcasts back onto the
+    deviations; the final rollup is one map-side-combined aggregate.
+    """
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type", "event_id", F.floor(F.col("value") * 10000).cast("long").alias("v_fp")
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(val),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("cnt"),
+            )
+            .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = lower_median(v, "v_fp", "med_v")
+    dev = (
+        v.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("v_fp") - F.col("med_v")).alias("d_fp"),
+        )
+        .persist()  # feeds both the MAD median and the final rollup
+    )
+    mad = lower_median(dev, "d_fp", "mad_v")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.min("med_v").cast("double") / 10000).alias("median_value"),
+            (F.min("mad_v").cast("double") / 10000).alias("mad_value"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("d_fp") > 3 * F.col("mad_v"), 1).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
