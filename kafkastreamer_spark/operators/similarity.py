@@ -271,3 +271,97 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "embedding_pq_assign",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 4),
+        sub AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        pairs AS (
+            SELECT e.vec_id, sub.s, cent.code,
+                   list_dot_product(e.emb[sub.s*16+1 : sub.s*16+16],
+                                    e.emb[sub.s*16+1 : sub.s*16+16])
+                   - 2 * list_dot_product(e.emb[sub.s*16+1 : sub.s*16+16],
+                                          cent.cemb[sub.s*16+1 : sub.s*16+16])
+                   + list_dot_product(cent.cemb[sub.s*16+1 : sub.s*16+16],
+                                      cent.cemb[sub.s*16+1 : sub.s*16+16])
+                       AS d2
+            FROM e, sub, cent
+        ),
+        best AS (
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, code) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        )
+        SELECT s AS subspace, code, count(*) AS n_vectors,
+               min(vec_id) AS min_vec_id
+        FROM best GROUP BY s, code ORDER BY subspace, code
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: split each 64-dim vector
+    into 4 subspaces of 16 dims and assign every subvector to its
+    nearest of 4 deterministic codebook centroids (the slices of
+    vectors 0–3), reporting the code histogram per subspace.  PQ is
+    the memory-bound ANN workhorse (an IVF-PQ index stores 4 bytes
+    here instead of 256) — this op is the "encode" half; the
+    codebook-training half is embedding_kmeans_step on the subspace
+    slices.
+
+    Distances use the dot-product identity |x−c|² = x·x − 2x·c + c·c
+    with each term a sequential-left-fold double (bit-exact vs DuckDB
+    list_dot_product), combined in one fixed expression order, so the
+    argmin — ties to the lowest code — matches the oracle exactly.
+
+    Scale shape: the codebook (4 codes × 4 subspaces) broadcasts; the
+    16-way candidate fan-out is map-side only, and the argmin is a
+    vec-local window over 4 rows — no shuffle touches the full
+    embedding table until the final 16-group histogram."""
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
+    )
+    sub = e.select(
+        "vec_id", "v", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("s")
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("v", F.col("s") * 16 + 1, 16).alias("xs"),
+    )
+    pairs = sub.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "s",
+        "code",
+        F.slice("cv", F.col("s") * 16 + 1, 16).alias("cs"),
+        "xs",
+    )
+    from kafkastreamer_spark.operators._embed import dot
+
+    d2 = (
+        dot(F.col("xs"), F.col("xs"))
+        - 2 * dot(F.col("xs"), F.col("cs"))
+        + dot(F.col("cs"), F.col("cs"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    best = (
+        pairs.select("vec_id", "s", "code", d2.alias("d2"))
+        .select("vec_id", "s", "code", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy(F.col("s").alias("subspace"), "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("subspace", "code")
+    )

@@ -13,5 +13,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational6,
     relational7,
     relational8,
+    relational9,
 )
 from kafkastreamer_spark import operators  # noqa: F401
