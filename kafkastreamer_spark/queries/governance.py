@@ -371,3 +371,168 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unchanged"),
     )
+
+
+@register(
+    "profile_table_columns",
+    oracle="""
+        SELECT 'o_custkey' AS col_name,
+               count(*) AS n_rows,
+               count(*) - count(o_custkey) AS n_null,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_val,
+               CAST(max(o_custkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               strftime(min(o_orderdate), '%Y-%m-%d'),
+               strftime(max(o_orderdate), '%Y-%m-%d')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(CAST(FLOOR(min(o_totalprice) * 10000) AS BIGINT) AS VARCHAR),
+               CAST(CAST(FLOOR(max(o_totalprice) * 10000) AS BIGINT) AS VARCHAR)
+        FROM orders
+        ORDER BY col_name
+    """,
+    tags=("governance", "profiling", "data-quality"),
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiler over orders: per column, row
+    count, null count, distinct cardinality, and min/max rendered to
+    engine-portable strings (integers verbatim, dates as yyyy-MM-dd,
+    doubles through the fixed-point BIGINT rendering — never raw
+    float formatting, which differs between engines).  This is the
+    first stage of any data-quality pipeline: schema-wide stats that
+    feed anomaly thresholds and constraint suggestions.
+
+    Scale shape: ONE pass per column expressed as a single aggregate
+    each, unioned — Spark executes the five scans share-nothing, and
+    each is a map-side-combined global aggregate with no shuffle of
+    raw rows.  (A single-pass multi-column variant would use one agg
+    with 5×4 expressions but loses per-column COUNT(DISTINCT)
+    exactness at scale; spelled per-column here to keep distinct
+    counts exact.)"""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            minmax(F.min(col)).alias("min_val"),
+            minmax(F.max(col)).alias("max_val"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    as_fp = lambda c: F.floor(c * 10000).cast("long").cast("string")  # noqa: E731
+    return (
+        prof("o_custkey", as_str)
+        .unionByName(prof("o_orderdate", as_date))
+        .unionByName(prof("o_orderpriority", as_str))
+        .unionByName(prof("o_orderstatus", as_str))
+        .unionByName(prof("o_totalprice", as_fp))
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "quality_constraint_checks",
+    oracle="""
+        SELECT 'orderkey_unique' AS check_name,
+               (SELECT count(*) FROM (
+                    SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING count(*) > 1)) AS n_violations
+        UNION ALL
+        SELECT 'custkey_ref_integrity',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'totalprice_positive',
+               (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+        UNION ALL
+        SELECT 'orderdate_in_range',
+               (SELECT count(*) FROM orders
+                WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                   OR o_orderdate > TIMESTAMP '2030-01-01')
+        UNION ALL
+        SELECT 'status_in_domain',
+               (SELECT count(*) FROM orders
+                WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        UNION ALL
+        SELECT 'lineitem_orphans',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        ORDER BY check_name
+    """,
+    tags=("governance", "data-quality", "constraints"),
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite: uniqueness, referential
+    integrity (both directions of the orders⋈lineitem/customer star),
+    value positivity, date sanity range, and domain membership — each
+    check reported as its violation count (0 = pass), the
+    contract-testing layer that gates a corpus/warehouse publish.
+
+    Scale shape: uniqueness is one groupBy-HAVING (map-side combined);
+    referential checks are LEFT ANTI joins (the orders side shuffles
+    once; broadcast when the dimension fits); range/domain checks are
+    scan-local filter counts with predicate pushdown into parquet.
+    Each check is a tiny independent job — embarrassingly parallel
+    across a validation fleet."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ref = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pos = o.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("n"))
+    rng = o.filter(
+        (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+        | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp"))
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dom = o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    orphan = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        one("custkey_ref_integrity", ref)
+        .unionByName(one("lineitem_orphans", orphan))
+        .unionByName(one("orderdate_in_range", rng))
+        .unionByName(one("orderkey_unique", dup))
+        .unionByName(one("status_in_domain", dom))
+        .unionByName(one("totalprice_positive", pos))
+        .orderBy("check_name")
+    )

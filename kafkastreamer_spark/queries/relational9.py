@@ -136,3 +136,168 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "agg_percentile_disc_battery",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 10000) AS BIGINT) AS v_fp,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, v_fp,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v_fp, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM v
+        )
+        SELECT event_type,
+               CAST(max(CASE WHEN rn = (cnt * 25 + 99) // 100 THEN v_fp END)
+                    AS DOUBLE) / 10000 AS p25,
+               CAST(max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN v_fp END)
+                    AS DOUBLE) / 10000 AS p50,
+               CAST(max(CASE WHEN rn = (cnt * 75 + 99) // 100 THEN v_fp END)
+                    AS DOUBLE) / 10000 AS p75,
+               CAST(max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN v_fp END)
+                    AS DOUBLE) / 10000 AS p95
+        FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def agg_percentile_disc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles p25/p50/p75/p95 per event type — the
+    PERCENTILE_DISC(p) = element at rank ceil(p·n) definition, spelled
+    out as an explicit rank filter so both engines pick the IDENTICAL
+    element (engine-native quantile_disc/percentile implementations
+    differ in tie and interpolation conventions; a shared rank
+    formula sidesteps all of it).  ceil(p·n) is computed in integer
+    space as (n·100p + 99) div 100.  One ranked pass feeds all four
+    percentiles via conditional aggregation — not four sorts.
+
+    Scale shape: one event_type-partitioned sort (same exchange every
+    windowed query on this key reuses) + one map-side-combined
+    rollup.  At extreme group sizes the rank filter swaps for the
+    fixed-width-histogram percentile (agg_equidepth_histogram), which
+    needs no per-group sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("v_fp"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "v_fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+
+    def pick(p: int, alias: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(cnt * {p} + 99) div 100"),
+                    F.col("v_fp"),
+                )
+            ).cast("double")
+            / 10000
+        ).alias(alias)
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(pick(25, "p25"), pick(50, "p50"), pick(75, "p75"), pick(95, "p95"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_weighted_avg_exact",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                        * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS wsum_fp,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS wtotal,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                        * CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE)
+                   / (100 * SUM(CAST(FLOOR(l_quantity) AS BIGINT)))
+                   AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "fixed-point"),
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag in exact
+    arithmetic: Σ(price_fp·qty) / Σqty as integer sums with ONE final
+    float division — the only engine-portable way to weighted-average
+    doubles (naive SUM(price*qty) is order-dependent float summation).
+    Price scales at 100 and integral quantities keep the per-row
+    product ≤ ~5e9, so BIGINT sums hold exactly past sf100; the
+    weighted mean itself is a single correctly-rounded IEEE division
+    on both engines.
+
+    Scale shape: plain one-shuffle aggregation with map-side partial
+    integer sums — identical cost to an unweighted SUM/GROUP BY."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_fp = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price_fp * qty).alias("wsum_fp"),
+            F.sum(qty).alias("wtotal"),
+            (
+                F.sum(price_fp * qty).cast("double")
+                / (100 * F.sum(qty))
+            ).alias("weighted_avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_bitwise_battery",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+               CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+               CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+               CAST(bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                                 AS BIGINT)) AS BIGINT) AS md5_xor_checksum
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("relational", "agg", "bitwise"),
+)
+def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate battery (AND/OR/XOR) per order priority,
+    plus an order-independent md5-XOR set checksum — the anti-entropy
+    primitive that detects membership drift between replicas without
+    sorting (XOR is commutative/associative, so partial aggregation
+    in any partition order yields the same digest; 60-bit md5 prefix
+    keeps the value positive BIGINT on both engines).
+
+    Scale shape: one map-side-combined shuffle; the checksum variant
+    is what table_fingerprint's Merkle leaves reduce to when page
+    structure isn't needed."""
+    o = load_table(spark, sf_dir, "orders")
+    md5_60 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.bit_xor(md5_60).alias("md5_xor_checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
