@@ -365,3 +365,58 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+        WITH e AS (
+            SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        dims AS (
+            SELECT label, dim, emb[dim] AS x
+            FROM e, unnest(range(1, len(emb) + 1)) AS t(dim)
+        )
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               count(*) AS n_vectors,
+               CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_fp,
+               CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE)
+                   / (1000000 * count(*)) AS centroid
+        FROM dims GROUP BY label, dim
+        ORDER BY label, dim
+    """,
+    tags=("similarity", "clustering", "statistics"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding table, one row per
+    (label, dimension) — the supervised-cluster quality primitive
+    (label separability, centroid drift between snapshots, nearest-
+    centroid classification).  Each dimension's mean is an exact
+    fixed-point integer sum with one final double division — naive
+    array-mean aggregation is cross-row float summation, which no
+    engine pair reproduces bit-identically.
+
+    Scale shape: posexplode fans each vector into 64 (dim, value)
+    rows map-side, then ONE shuffle aggregates |labels|×64 groups
+    with partial integer sums — the dimension axis parallelizes
+    instead of serializing into a per-partition array fold.  Output
+    is bounded by |labels|·dims, independent of table size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dims = e.select(
+        "label", F.posexplode("emb").alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("sum_fp"),
+            (
+                F.sum(F.floor(F.col("x") * 1000000).cast("long")).cast("double")
+                / (1000000 * F.count(F.lit(1)))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -237,3 +237,95 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_ks_drift",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 10000) AS BIGINT) AS v_fp,
+                   CASE WHEN event_id * 2 <
+                        (SELECT max(event_id) + 1 FROM events)
+                        THEN 1 ELSE 2 END AS period
+            FROM events
+        ),
+        perval AS (
+            SELECT event_type, v_fp,
+                   count(*) FILTER (WHERE period = 1) AS d1,
+                   count(*) FILTER (WHERE period = 2) AS d2
+            FROM v GROUP BY event_type, v_fp
+        ),
+        cdf AS (
+            SELECT event_type, v_fp,
+                   CAST(sum(d1) OVER w AS BIGINT) AS c1,
+                   CAST(sum(d2) OVER w AS BIGINT) AS c2,
+                   CAST(sum(d1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+                   CAST(sum(d2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+            FROM perval
+            WINDOW w AS (PARTITION BY event_type ORDER BY v_fp
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, min(n1) AS n1, min(n2) AS n2,
+               max(abs(c1 * n2 - c2 * n1)) AS ks_num,
+               CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                   / (min(n1) * min(n2)) AS ks_stat
+        FROM cdf GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "drift", "statistics"),
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event type,
+    comparing the value distribution of the stream's first half
+    against its second half (split by event_id midpoint) — the
+    distribution-shift gate a training pipeline runs before admitting
+    a new data batch.  The KS statistic D = max|F̂₁(v) − F̂₂(v)| is
+    computed EXACTLY: over the common denominator n₁·n₂ the numerator
+    max|c₁·n₂ − c₂·n₁| is pure integer arithmetic on running counts,
+    so both engines agree to the bit; the only float op is the final
+    single division.  CDFs step at every distinct value with ties
+    pre-aggregated, so the max scans each distinct value once.
+
+    Scale shape: one (type,value) pre-aggregation with map-side
+    combine collapses the stream to distinct values; the CDF pass is
+    one event_type-partitioned sort over that collapsed relation; the
+    final rollup is map-side combined.  No per-row window over raw
+    events anywhere."""
+    ev = _events(spark, sf_dir)
+    nmax = ev.agg((F.max("event_id") + 1).alias("nall"))
+    v = ev.crossJoin(F.broadcast(nmax)).select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("v_fp"),
+        F.when(F.col("event_id") * 2 < F.col("nall"), 1).otherwise(2).alias("period"),
+    )
+    perval = v.groupBy("event_type", "v_fp").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("v_fp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cdf = perval.select(
+        "event_type",
+        F.sum("d1").over(wrun).cast("long").alias("c1"),
+        F.sum("d2").over(wrun).cast("long").alias("c2"),
+        F.sum("d1").over(wall).cast("long").alias("n1"),
+        F.sum("d2").over(wall).cast("long").alias("n2"),
+    )
+    diff = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        cdf.select("event_type", "n1", "n2", diff.alias("diff"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+            F.max("diff").alias("ks_num"),
+            (
+                F.max("diff").cast("double") / (F.min("n1") * F.min("n2"))
+            ).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )

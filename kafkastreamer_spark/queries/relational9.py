@@ -301,3 +301,67 @@ def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS rev_fp
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n ON c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region, nation,
+               CAST(rev_fp AS DOUBLE) / 10000 AS revenue,
+               CAST(rev_fp AS DOUBLE)
+                   / CAST(sum(rev_fp) OVER (PARTITION BY region) AS DOUBLE)
+                   AS region_share
+        FROM rev ORDER BY region, nation
+    """,
+    tags=("relational", "window", "ratio"),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the windowed x/Σx pattern behind every contribution/mix report.
+    Numerator and denominator are both exact fixed-point BIGINT sums;
+    the share is ONE double division of two integers, identical on
+    both engines (cross-row float summation never happens).
+
+    Scale shape: the star join broadcasts all dimensions; one shuffle
+    produces the (region, nation) aggregate — bounded at |nations| —
+    and the share window runs on that tiny relation, not on facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("rev_fp")
+        )
+    )
+    wreg = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("rev_fp").cast("double") / 10000).alias("revenue"),
+        (
+            F.col("rev_fp").cast("double")
+            / F.sum("rev_fp").over(wreg).cast("double")
+        ).alias("region_share"),
+    ).orderBy("region", "nation")
