@@ -108,3 +108,65 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return s.join(r, on=[key, "_salt"]).drop("_salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT s.s_name AS supplier,
+               COUNT(*) AS n_items,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name ORDER BY supplier
+    """,
+    tags=("skew", "join", "salting"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe join via salting, oracle-checked to be
+    result-identical to the plain join: the probe side (lineitem)
+    gets a deterministic salt in [0, 8); the build side (supplier)
+    replicates 8× with every salt value; the join key becomes
+    (suppkey, salt), so a hot supplier's rows spread over 8 tasks
+    instead of one.  The post-join aggregation re-collapses on the
+    natural key — revenue sums are fixed-point, so the salted plan
+    hashes identically to the unsalted oracle.
+
+    Scale shape: this is the manual fix for the skew AQE cannot touch
+    (a hot key inside one shuffle partition, or a broadcast-too-big
+    build side).  Cost model: build side ×8 replication (still tiny)
+    buys ×8 parallelism on the hottest probe key; salt count scales
+    with observed skew ratio.  With AQE skew-join enabled the
+    unsalted plan is often enough — this operator is for the
+    deterministic-layout cases (bucketed tables, stateful streaming)
+    where runtime splitting isn't available."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n_salts = 8
+    probe = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)).alias(
+            "_salt"
+        ),
+    )
+    build = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
+    )
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        probe.join(
+            F.broadcast(build),
+            (probe.l_suppkey == build.s_suppkey) & (probe._salt == build._salt),
+        )
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_fp).cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("supplier")
+    )

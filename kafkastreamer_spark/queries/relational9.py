@@ -365,3 +365,44 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_fp").over(wreg).cast("double")
         ).alias("region_share"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "orders_seasonality_matrix",
+    oracle="""
+        SELECT CAST(strftime(o_orderdate, '%m') AS BIGINT) AS month,
+               CAST(strftime(o_orderdate, '%w') AS BIGINT) AS weekday,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                    AS DOUBLE) / 10000 AS total_value
+        FROM orders
+        GROUP BY 1, 2 ORDER BY month, weekday
+    """,
+    tags=("relational", "time", "seasonality"),
+)
+def orders_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × weekday seasonality matrix of order volume and value —
+    the calendar-feature table behind demand forecasting and
+    anomaly baselining.  Weekday uses the 0=Sunday convention on both
+    engines (Spark dayofweek−1 == DuckDB strftime %w); sums are
+    fixed-point exact.
+
+    Scale shape: single map-side-combined aggregation bounded at
+    12×7 output groups regardless of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.month("o_orderdate").cast("long").alias("month"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("weekday"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("total_value"),
+        )
+        .orderBy("month", "weekday")
+    )
