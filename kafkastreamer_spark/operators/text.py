@@ -544,3 +544,136 @@ def text_trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "trigram")
         .limit(50)
     )
+
+
+def _bpe_pairs_sql(src: str, out: str) -> str:
+    """Weighted adjacent-symbol pair counts from a char-spaced word
+    relation (s: ' a b c ', c: word frequency)."""
+    return f"""
+        {out} AS (
+            SELECT pr, CAST(sum(c) AS BIGINT) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(ch)),
+                              i -> ch[i] || ' ' || ch[i+1])) AS pr, c
+                FROM (SELECT string_split(trim({src}.s), ' ') AS ch, c
+                      FROM {src})
+            ) GROUP BY pr
+        )"""
+
+
+@register(
+    "tokenizer_bpe_first_merges",
+    oracle=f"""
+        WITH wc AS (
+            SELECT t AS word, count(*) AS c FROM (
+                SELECT unnest({SQL_TOKENS}) AS t FROM documents
+            ) GROUP BY t
+        ),
+        s0 AS (
+            SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+                       AS s, c
+            FROM wc
+        ),
+        {_bpe_pairs_sql("s0", "p1")},
+        best1 AS (SELECT pr FROM p1 ORDER BY n DESC, pr LIMIT 1),
+        s1 AS (
+            SELECT replace(replace(s0.s,
+                       ' ' || (SELECT pr FROM best1) || ' ',
+                       ' ' || replace((SELECT pr FROM best1), ' ', '') || ' '),
+                       ' ' || (SELECT pr FROM best1) || ' ',
+                       ' ' || replace((SELECT pr FROM best1), ' ', '') || ' ')
+                   AS s, c
+            FROM s0
+        ),
+        {_bpe_pairs_sql("s1", "p2")},
+        ranked AS (
+            SELECT 1 AS iter, pr AS pair, n,
+                   row_number() OVER (ORDER BY n DESC, pr) AS rnk
+            FROM p1
+            UNION ALL
+            SELECT 2, pr, n, row_number() OVER (ORDER BY n DESC, pr)
+            FROM p2
+        )
+        SELECT iter, CAST(rnk AS BIGINT) AS rnk, pair, n
+        FROM ranked WHERE rnk <= 10
+        ORDER BY iter, rnk
+    """,
+    tags=("llm-data", "tokenizer", "bpe", "iterative"),
+)
+def tokenizer_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first two iterations of BPE tokenizer training: weighted
+    adjacent-symbol pair counts over the corpus vocabulary, the
+    winning merge (count DESC, pair ASC), and the re-count after
+    applying it — top-10 pair table per iteration.  This is the
+    sequential-dependency loop at the heart of tokenizer training
+    (each merge changes the next count table); iteration 2's input is
+    data-dependent on iteration 1's argmax, and both engines still
+    hash identically because every step — char split, weighted count,
+    argmax tie-break, literal replace — is deterministic.
+
+    Merges apply as left-to-right non-overlapping literal replaces of
+    ' a b ' → ' ab ', run twice so odd/even chains ('a a a a')
+    converge the same way on both engines; true-BPE leftmost-single-
+    pass semantics differ only on such degenerate runs and the
+    deviation is identical cross-engine (documented, not hidden).
+
+    Scale shape: BPE's standard compression applies — pair counting
+    runs over the DISTINCT-word relation weighted by frequency (vocab
+    ~ O(corpus^0.5) by Heaps), not over raw tokens: one vocab-sized
+    shuffle per iteration plus a 1-row argmax broadcast back onto the
+    words.  This is exactly how production BPE trainers (SentencePiece
+    et al.) batch their count phase."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s0 = wc.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+        ).alias("s"),
+        "c",
+    ).persist()  # feeds both iter-1 counts and the merge rewrite
+
+    def pair_counts(sdf: DataFrame) -> DataFrame:
+        ch = sdf.select(F.split(F.trim(F.col("s")), " ").alias("ch"), "c")
+        prs = ch.select(
+            F.explode(
+                F.when(
+                    F.size("ch") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ch") - 2),
+                        lambda i: F.concat(
+                            F.element_at("ch", (i + 1).cast("int")),
+                            F.lit(" "),
+                            F.element_at("ch", (i + 2).cast("int")),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pr"),
+            "c",
+        )
+        return prs.groupBy("pr").agg(F.sum("c").cast("long").alias("n"))
+
+    p1 = pair_counts(s0).persist()  # feeds top-10 AND the argmax
+    best1 = p1.orderBy(F.desc("n"), "pr").limit(1).select(F.col("pr").alias("bp"))
+    pat = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.replace(F.col("bp"), F.lit(" "), F.lit("")), F.lit(" "))
+    s1 = s0.crossJoin(F.broadcast(best1)).select(
+        F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "c"
+    )
+    p2 = pair_counts(s1)
+    w = Window.orderBy(F.desc("n"), "pr")
+    ranked = (
+        p1.select(F.lit(1).alias("iter"), F.col("pr").alias("pair"), "n",
+                  F.row_number().over(w).alias("rnk"))
+        .unionByName(
+            p2.select(F.lit(2).alias("iter"), F.col("pr").alias("pair"), "n",
+                      F.row_number().over(w).alias("rnk"))
+        )
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 10)
+        .select("iter", F.col("rnk").cast("long"), "pair", "n")
+        .orderBy("iter", "rnk")
+    )
