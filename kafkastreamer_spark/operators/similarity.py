@@ -420,3 +420,112 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+_L2_SQL = (
+    "list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c})"
+    " + list_dot_product({c}, {c})"
+)
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        d1 AS (
+            SELECT e.vec_id, {_L2_SQL.format(x="e.v", c="c.v")} AS dd
+            FROM e, (SELECT v FROM e WHERE vec_id = 0) c
+        ),
+        c2 AS (SELECT vec_id FROM d1 ORDER BY dd DESC, vec_id LIMIT 1),
+        d2 AS (
+            SELECT e.vec_id,
+                   least(d1.dd, {_L2_SQL.format(x="e.v", c="c.v")}) AS dd
+            FROM e
+            JOIN d1 USING (vec_id),
+                 (SELECT v FROM e
+                  WHERE vec_id = (SELECT vec_id FROM c2)) c
+        ),
+        c3 AS (SELECT vec_id FROM d2 ORDER BY dd DESC, vec_id LIMIT 1),
+        d3 AS (
+            SELECT d2.vec_id,
+                   least(d2.dd, {_L2_SQL.format(x="e.v", c="c.v")}) AS dd
+            FROM e
+            JOIN d2 USING (vec_id),
+                 (SELECT v FROM e
+                  WHERE vec_id = (SELECT vec_id FROM c3)) c
+        )
+        SELECT 1 AS step, CAST(0 AS BIGINT) AS center_id,
+               (SELECT max(dd) FROM d1) AS max_min_d2
+        UNION ALL
+        SELECT 2, (SELECT vec_id FROM c2), (SELECT max(dd) FROM d2)
+        UNION ALL
+        SELECT 3, (SELECT vec_id FROM c3), (SELECT max(dd) FROM d3)
+        ORDER BY step
+    """,
+    tags=("similarity", "coreset", "iterative"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    k=3): seed with vector 0, then twice pick the point FARTHEST from
+    the chosen set (squared-L2 via the dot-product identity, argmax
+    ties to the lowest vec_id) — the 2-approximation coreset behind
+    diverse-subset selection for labeling budgets and k-means++-style
+    seeding.  Each step reports the chosen center and the covering
+    radius max-min-d² AFTER adding it, so the output doubles as the
+    coverage-curve audit.  Every selection is data-dependent on the
+    previous argmax; determinism holds because the distance folds are
+    bit-identical cross-engine and ties break on integer ids.
+
+    Scale shape: per round, one broadcast of the (1-row) new center
+    onto the points, a map-side least() with the carried min-distance
+    column, and a TakeOrdered argmax — no shuffle of the point set,
+    the same per-round cost profile as embedding_kmeans_step.  The
+    min-distance column is persisted and refined in place (classic
+    Gonzalez bookkeeping) rather than recomputed against all
+    centers."""
+    e = _emb(spark, sf_dir)
+
+    def l2(x, c):
+        from kafkastreamer_spark.operators._embed import dot
+
+        return dot(x, x) - 2 * dot(x, c) + dot(c, c)
+
+    c1v = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
+    d1 = (
+        e.crossJoin(F.broadcast(c1v))
+        .select("vec_id", "v", l2(F.col("v"), F.col("cv")).alias("dd"))
+        .persist()  # argmax + refinement both read it
+    )
+    c2 = d1.orderBy(F.desc("dd"), "vec_id").limit(1).select("vec_id")
+    c2v = e.join(c2, "vec_id").select(F.col("v").alias("cv"))
+    d2 = (
+        d1.crossJoin(F.broadcast(c2v))
+        .select(
+            "vec_id",
+            "v",
+            F.least("dd", l2(F.col("v"), F.col("cv"))).alias("dd"),
+        )
+        .persist()
+    )
+    c3 = d2.orderBy(F.desc("dd"), "vec_id").limit(1).select("vec_id")
+    c3v = e.join(c3, "vec_id").select(F.col("v").alias("cv"))
+    d3 = d2.crossJoin(F.broadcast(c3v)).select(
+        "vec_id", F.least("dd", l2(F.col("v"), F.col("cv"))).alias("dd")
+    )
+
+    def step(n: int, cid: DataFrame, dists: DataFrame) -> DataFrame:
+        return cid.crossJoin(dists.agg(F.max("dd").alias("max_min_d2"))).select(
+            F.lit(n).alias("step"),
+            F.col("vec_id").cast("long").alias("center_id"),
+            "max_min_d2",
+        )
+
+    one = spark.range(1).select(F.lit(0).cast("long").alias("vec_id"))
+    return (
+        step(1, one, d1)
+        .unionByName(step(2, c2, d2))
+        .unionByName(step(3, c3, d3))
+        .orderBy("step")
+    )

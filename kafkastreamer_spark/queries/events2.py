@@ -329,3 +329,41 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+QUOTA_N = 20
+
+
+@register(
+    "events_quota_sample",
+    oracle=f"""
+        SELECT user_id, event_id, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rk
+            FROM events
+        ) WHERE rk <= {QUOTA_N}
+        ORDER BY user_id, rk
+    """,
+    tags=("sampling", "quota", "streaming"),
+)
+def events_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-sampling quota, batch form: the first QUOTA_N events per user
+    in (ts, event_id) order, each with its admission rank — the batch
+    twin of streaming ``quota_sample_stateful`` (tested equal when
+    the stream arrives ordered).  Head sampling is the cheap
+    per-source cap used before heavier scoring; contrast
+    sample_stratified_hash, which samples uniformly rather than
+    temporally.
+
+    Scale shape: one user_id-partitioned sort (rank + filter —
+    TakeOrdered per group semantics), output bounded at keys×N."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= QUOTA_N)
+        .orderBy("user_id", "rk")
+    )

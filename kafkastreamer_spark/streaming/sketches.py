@@ -145,3 +145,48 @@ def rate_limit_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quota_sample_stateful(
+    stream: DataFrame, key_col: str, id_col: str, limit: int
+) -> DataFrame:
+    """Streaming head-sampling quota: admit the FIRST ``limit`` rows
+    per key over the whole stream (arrival order), emitting each
+    admitted row with its admission rank — the stateful "take the
+    first N examples per source/user" sampler a training-data intake
+    applies before expensive downstream processing.  State per key is
+    a single admitted-count (compare rate_limit_stateful, whose quota
+    resets per window); rows beyond the quota are dropped, not
+    flagged, so downstream volume is hard-capped at keys×limit.
+
+    Batch parity (tested): when the stream arrives ordered per key,
+    the admitted set equals the batch row_number()<=N head sample
+    (``events_quota_sample``)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (count,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            take = max(0, min(limit - count, len(pdf)))
+            if take > 0:
+                out = pdf.iloc[:take][[id_col]].copy()
+                out[key_col] = key[0]
+                out["rk"] = range(count + 1, count + take + 1)
+                count += take
+                yield out[[key_col, id_col, "rk"]]
+            else:
+                count += 0
+        state.update((count,))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, {id_col} long, rk long",
+        stateStructType="count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

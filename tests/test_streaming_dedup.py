@@ -192,3 +192,48 @@ def test_streaming_rate_limit_matches_batch_quota(spark, sf_dir, tmp_path):
         a, t = got.get(r.user_id, (0, 0))
         got[r.user_id] = (a + r.admitted, t + r.throttled)
     assert got == want
+
+
+def test_streaming_quota_sample_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming head-sampler must admit exactly the batch
+    row_number()<=N head sample (same ids, same ranks) when rows
+    arrive ordered per key, with the admitted count carried across
+    micro-batch boundaries."""
+    from kafkastreamer_spark.queries.events2 import QUOTA_N
+    from kafkastreamer_spark.registry import REGISTRY
+    from kafkastreamer_spark.streaming.sketches import quota_sample_stateful
+
+    want = {
+        (r.user_id, r.event_id, r.rk)
+        for r in REGISTRY["events_quota_sample"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    inp = str(tmp_path / "qin")
+    for half in (
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+    ):
+        half.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(inp)
+
+    stream = file_source(spark, inp, ev.schema, max_files_per_trigger=1)
+    sampled = quota_sample_stateful(stream, "user_id", "event_id", QUOTA_N)
+    out = str(tmp_path / "qout")
+
+    def wb(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        sampled.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.event_id, r.rk) for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
