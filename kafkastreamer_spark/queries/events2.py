@@ -367,3 +367,67 @@ def events_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QUOTA_N)
         .orderBy("user_id", "rk")
     )
+
+
+@register(
+    "events_burst_detection",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT event_type, hr, n,
+                   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                        AS BIGINT) AS trail7,
+                   count(*) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS w
+            FROM hourly
+        )
+        SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+               n, trail7,
+               CAST(w AS BIGINT) AS n_baseline_windows
+        FROM base
+        WHERE w = 7 AND n * 7 > 3 * trail7
+        ORDER BY event_type, hour
+    """,
+    tags=("streaming", "anomaly", "burst", "window"),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours where an event type's count exceeds 3×
+    its trailing-7-hour average — the ops-alerting primitive (error
+    storms, traffic spikes).  The threshold comparison is the exact
+    cross-multiplication n·7 > 3·Σtrail (no float division), and
+    warm-up hours with fewer than 7 trailing windows are excluded
+    explicitly rather than diluted.
+
+    Scale shape: raw events collapse to (type, hour) counts in one
+    map-side-combined shuffle; the trailing frame then runs on the
+    calendar-bounded hourly rollup, never the raw stream."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-7, -1)
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(wt).cast("long").alias("trail7"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("w"),
+    )
+    return (
+        base.filter((F.col("w") == 7) & (F.col("n") * 7 > 3 * F.col("trail7")))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "trail7",
+            F.col("w").alias("n_baseline_windows"),
+        )
+        .orderBy("event_type", "hour")
+    )

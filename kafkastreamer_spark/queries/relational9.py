@@ -406,3 +406,132 @@ def orders_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "weekday")
     )
+
+
+@register(
+    "orders_cohort_ltv_triangle",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey AS cust,
+                   min(strftime(o_orderdate, '%Y')) AS cohort_year
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT f.cohort_year,
+               CAST(strftime(o.o_orderdate, '%Y') AS BIGINT)
+                   - CAST(f.cohort_year AS BIGINT) AS year_offset,
+               count(DISTINCT o.o_custkey) AS n_active_customers,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT))
+                    AS DOUBLE) / 10000 AS cohort_value
+        FROM orders o JOIN first_order f ON f.cust = o.o_custkey
+        GROUP BY 1, 2 ORDER BY cohort_year, year_offset
+    """,
+    tags=("relational", "cohort", "ltv"),
+)
+def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: acquisition-year cohorts ×
+    years-since-acquisition, with active customers, order counts and
+    exact fixed-point cohort revenue — the finance-side companion to
+    events_retention_cohort (which counts activity, not value).  The
+    triangle's diagonal decay is the standard LTV forecasting input.
+
+    Scale shape: the cohort dimension derives from a per-customer min
+    (one custkey shuffle), broadcasts back onto orders, and the
+    triangle rollup is bounded at years² groups."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(F.date_format("o_orderdate", "yyyy")).alias("cohort_year")
+    )
+    return (
+        o.join(F.broadcast(first), o.o_custkey == first.cust)
+        .groupBy(
+            "cohort_year",
+            (
+                F.date_format("o_orderdate", "yyyy").cast("long")
+                - F.col("cohort_year").cast("long")
+            ).alias("year_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("cohort_value"),
+        )
+        .orderBy("cohort_year", "year_offset")
+    )
+
+
+@register(
+    "supplier_market_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS rev_fp
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        shares AS (
+            SELECT nk, sk,
+                   (rev_fp * 10000)
+                       // CAST(sum(rev_fp) OVER (PARTITION BY nk) AS BIGINT)
+                       AS share_bp
+            FROM rev
+        )
+        SELECT n.n_name AS nation,
+               count(*) AS n_suppliers,
+               CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+               max(share_bp) AS top_share_bp
+        FROM shares JOIN nation n ON n.n_nationkey = shares.nk
+        GROUP BY n.n_name ORDER BY nation
+    """,
+    tags=("relational", "statistics", "concentration"),
+)
+def supplier_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per supplier
+    nation: each supplier's revenue share in basis points (integer
+    division against the exact fixed-point nation total), HHI as the
+    integer sum of squared shares (10000 bp² = monopoly) plus the top
+    share — the skew/concentration audit for marketplaces, and the
+    same math that flags hot-key concentration in a shuffle.
+
+    Scale shape: one (nation, supplier) aggregation with map-side
+    combine, a nation-partitioned share window on the supplier-sized
+    rollup, and a |nations| final rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("rev_fp")
+        )
+    )
+    wn = Window.partitionBy("nk")
+    shares = rev.select(
+        "nk",
+        F.expr("(rev_fp * 10000) div sum(rev_fp) over (partition by nk)").alias(
+            "share_bp"
+        ),
+    )
+    return (
+        shares.join(F.broadcast(n), shares.nk == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("long")
+            .alias("hhi_bp2"),
+            F.max("share_bp").alias("top_share_bp"),
+        )
+        .orderBy("nation")
+    )
