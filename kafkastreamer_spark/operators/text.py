@@ -677,3 +677,100 @@ def tokenizer_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("iter", F.col("rnk").cast("long"), "pair", "n")
         .orderBy("iter", "rnk")
     )
+
+
+@register(
+    "text_cooccurrence_lift",
+    oracle=f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        dt AS (
+            SELECT DISTINCT doc_id, s AS token
+            FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+                 unnest(w) AS t(s)
+        ),
+        top AS (
+            SELECT token, count(*) AS df
+            FROM dt GROUP BY token
+            ORDER BY df DESC, token LIMIT 20
+        ),
+        filtered AS (
+            SELECT dt.doc_id, dt.token FROM dt JOIN top USING (token)
+        ),
+        pairs AS (
+            SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+            FROM filtered a JOIN filtered b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2
+        )
+        SELECT p.tok_a, p.tok_b, p.n_ab,
+               ta.df AS df_a, tb.df AS df_b,
+               CAST(p.n_ab * (SELECT n_docs FROM nd) AS DOUBLE)
+                   / (ta.df * tb.df) AS lift
+        FROM pairs p
+        JOIN top ta ON ta.token = p.tok_a
+        JOIN top tb ON tb.token = p.tok_b
+        ORDER BY lift DESC, tok_a, tok_b
+        LIMIT 30
+    """,
+    tags=("llm-data", "text", "association"),
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token association mining over documents: document-level
+    co-occurrence LIFT — P(a,b)/(P(a)·P(b)) = n_ab·N/(df_a·df_b) —
+    for pairs of the top-20 document-frequency tokens, top-30 by
+    lift.  Lift is PMI without the logarithm (same ranking,
+    monotone), which keeps the statistic a ratio of exact integers
+    with ONE final division — engine-identical, where log-based PMI
+    would drift in the last ulp.  The text-side sibling of
+    basket_pair_cooccurrence (which mines order baskets).
+
+    Scale shape: the vocabulary is pruned to the top-20 tokens
+    BEFORE any pairing (broadcast semi-join), so the quadratic step
+    is bounded at C(20,2) pairs per doc regardless of corpus size;
+    df lookups broadcast; one doc_id-keyed equi-self-join does the
+    pairing."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dt = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .distinct()
+        .persist()  # df counts + two pairing branches
+    )
+    top = (
+        dt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(20)
+    )
+    filtered = dt.join(F.broadcast(top.select("token")), "token").select(
+        "doc_id", "token"
+    )
+    b = filtered.select(
+        F.col("doc_id").alias("doc_b"), F.col("token").alias("tok_b")
+    )
+    pairs = (
+        filtered.withColumnRenamed("token", "tok_a")
+        .join(b, (F.col("doc_id") == F.col("doc_b")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = top.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    tb = top.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(ta), "tok_a")
+        .join(F.broadcast(tb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(30)
+    )
