@@ -470,3 +470,37 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == ev.count()
     assert dict(back.dtypes) == dict(ev.dtypes)
+
+
+def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    """Each PageRank superstep must join the (tiny) rank vector to the
+    edge list as a broadcast — never shuffling edges by rank key — and
+    the big lineitem⋈orders edge build is the only sort-merge join."""
+    from kafkastreamer_spark.queries.graph import graph_pagerank_two_iter
+
+    plan = _physical_plan(graph_pagerank_two_iter(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 8  # dims + 2 iters × (rank, deg)
+    assert plan.count("SortMergeJoin") <= 2  # only the fact-fact edge build
+
+
+def test_cooccurrence_lift_prunes_before_pairing(spark, sf_dir):
+    """The quadratic token-pairing self-join must run AFTER the
+    top-20 vocabulary prune (broadcast semi/hash join on the pruned
+    token set), so no O(vocab²) pairing appears in the plan."""
+    from kafkastreamer_spark.registry import REGISTRY
+
+    plan = _physical_plan(REGISTRY["text_cooccurrence_lift"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcenter_never_shuffles_points(spark, sf_dir):
+    """Gonzalez refinement: each round broadcasts the 1-row new
+    center; the point set itself is never exchanged by key."""
+    from kafkastreamer_spark.registry import REGISTRY
+
+    plan = _physical_plan(REGISTRY["embedding_kcenter_coreset"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # point-set joins by vec_id exist only for tiny center lookups;
+    # no sort-merge join over the full point table:
+    assert "SortMergeJoin" not in plan
