@@ -251,3 +251,65 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+        WITH sizes AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        target AS (SELECT min(n) AS n_min FROM sizes),
+        ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(min(rk) AS BIGINT) AS min_rk,
+               CAST(max(rk) AS BIGINT) AS max_rk,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        FROM ranked, target
+        WHERE rk <= n_min
+        GROUP BY lang ORDER BY lang
+    """,
+    tags=("sampling", "training-data", "balance"),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class downsampling: every language keeps exactly
+    min-class-size documents, chosen by deterministic md5 order
+    within each class (a reproducible uniform draw — no RNG, stable
+    across engines, partitionings and reruns).  The output is the
+    per-class audit (kept count, rank bounds, kept-id checksum); the
+    kept rows themselves are the rk<=n_min frontier.  This is the
+    class-imbalance fix for classifier training where stratified
+    RATES percentages (sample_stratified_hash) aren't exact enough.
+
+    Scale shape: one |langs|-sized min as a broadcast scalar, one
+    lang-partitioned rank over md5 — a sort-based shuffle identical
+    to any per-group top-k; at extreme class sizes the md5 rank
+    swaps for a hash-threshold admit with a second exact-count trim
+    pass."""
+    d = load_table(spark, sf_dir, "documents")
+    target = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("n_min")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    ).crossJoin(F.broadcast(target))
+    return (
+        ranked.filter(F.col("rk") <= F.col("n_min"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("rk").cast("long").alias("min_rk"),
+            F.max("rk").cast("long").alias("max_rk"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

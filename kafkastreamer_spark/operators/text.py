@@ -774,3 +774,165 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "tok_a", "tok_b")
         .limit(30)
     )
+
+
+_LANGID_SCORES_SQL = """
+        scores AS (
+            SELECT lang AS lang_true,
+                   CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to')))
+                        AS BIGINT) AS s_en,
+                   CAST(len(list_filter(w, t -> t IN ('el','la','de','los','y')))
+                        AS BIGINT) AS s_es,
+                   CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist')))
+                        AS BIGINT) AS s_de,
+                   CAST(len(list_filter(w, t -> t IN ('le','les','des','et','est')))
+                        AS BIGINT) AS s_fr
+            FROM (SELECT lang, {toks} AS w FROM documents)
+        ),
+        pred AS (
+            SELECT lang_true,
+                   CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                             THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM scores
+        )
+"""
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH {_LANGID_SCORES_SQL.format(toks=SQL_TOKENS)}
+        SELECT lang_true, lang_pred, count(*) AS n,
+               CAST(sum(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred
+        GROUP BY lang_true, lang_pred
+        ORDER BY lang_true, lang_pred
+    """,
+    tags=("llm-data", "text", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword language-ID heuristic
+    against the ground-truth lang column — the classifier-evaluation
+    rollup (per-cell counts; diagonal = correct) a pipeline runs
+    before trusting a filter model at scale.  Tie-breaks in the
+    argmax follow the same deterministic en>es>de>fr preference as
+    text_language_id, so both engines produce the identical matrix.
+
+    Scale shape: per-row scoring is map-only lambda work on the
+    token array; the matrix rollup is one |langs|² -bounded shuffle.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    w = F.col("w")
+
+    def score(lang: str):
+        return F.size(
+            F.filter(w, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+        ).cast("long").alias(f"s_{lang}")
+
+    scored = d.select("lang", tokens("text").alias("w")).select(
+        F.col("lang").alias("lang_true"),
+        score("en"), score("es"), score("de"), score("fr"),
+    )
+    en, es, de, fr = (F.col(f"s_{x}") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang_true", pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("lang_true") == F.col("lang_pred"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+@register(
+    "text_source_tv_distance",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, s AS token
+            FROM (SELECT source, {SQL_TOKENS} AS w FROM documents
+                  WHERE source IN ('src0', 'src1')),
+                 unnest(w) AS t(s)
+        ),
+        counts AS (
+            SELECT token,
+                   CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c0,
+                   CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c1
+            FROM tok GROUP BY token
+        ),
+        totals AS (
+            SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+            FROM counts
+        )
+        SELECT n0, n1,
+               count(*) AS n_tokens_union,
+               CAST(sum(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS tv_num,
+               CAST(sum(abs(c0 * n1 - c1 * n0)) AS DOUBLE) / (2.0 * n0 * n1)
+                   AS tv_distance
+        FROM counts, totals
+        GROUP BY n0, n1
+    """,
+    tags=("llm-data", "text", "drift", "statistics"),
+)
+def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the token distributions of
+    two corpus sources (src0 vs src1) — the text-side drift gate
+    (JS/KL need logs and float accumulation; TV = ½Σ|p−q| over the
+    common denominator n₀·n₁ is EXACT: Σ|c₀n₁ − c₁n₀| is pure
+    integer, one final division).  TV=0 means identical unigram
+    mixes; TV→1 means disjoint vocabularies — the cheap first answer
+    to "did this source's content shift between crawls".
+
+    Scale shape: one token-keyed count shuffle with map-side combine
+    (both sources counted in the same pass via conditional
+    aggregation — no join of two per-source tables), then a scalar
+    rollup."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(tokens("text")).alias("token"))
+    )
+    counts = (
+        tok.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+        .persist()  # totals + the |c0n1 − c1n0| pass both read it
+    )
+    totals = counts.agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .groupBy("n0", "n1")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_union"),
+            F.sum(F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0")))
+            .cast("long")
+            .alias("tv_num"),
+            (
+                F.sum(
+                    F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+                ).cast("double")
+                / (2.0 * F.col("n0") * F.col("n1"))
+            ).alias("tv_distance"),
+        )
+        .select("n0", "n1", "n_tokens_union", "tv_num", "tv_distance")
+    )

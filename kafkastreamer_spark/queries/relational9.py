@@ -535,3 +535,61 @@ def supplier_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "scalar_struct_ops",
+    oracle="""
+        WITH s AS (
+            SELECT n_nationkey,
+                   struct_pack(name := n_name, region := n_regionkey) AS st
+            FROM nation
+        )
+        SELECT n_nationkey,
+               st.name AS nation_name,
+               CAST(st.region AS BIGINT) AS region_key,
+               struct_pack(k := n_nationkey,
+                           inner := struct_pack(twice := n_nationkey * 2))
+                   .inner.twice AS nested_twice,
+               len([st.name, st.name]) AS arr_of_struct_len
+        FROM s
+        ORDER BY n_nationkey
+    """,
+    tags=("relational", "scalar", "struct"),
+)
+def scalar_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct scalar battery: construction (named_struct), dot-path
+    field access, two-level nesting, and arrays of structs —
+    completing the nested-type scalar surface next to
+    scalar_array_ops / scalar_map_ops.  Nested access compiles to
+    zero-cost column pruning in both engines (no shuffle, no
+    materialization of the outer struct).
+
+    Scale shape: pure per-row projection inside whole-stage codegen;
+    struct columns prune field-wise at the parquet reader, so reading
+    one field of a 50-field struct scans one column chunk."""
+    n = load_table(spark, sf_dir, "nation")
+    st = F.struct(
+        F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")
+    )
+    nested = F.struct(
+        F.col("n_nationkey").alias("k"),
+        F.struct((F.col("n_nationkey") * 2).alias("twice")).alias("inner"),
+    )
+    return (
+        n.select(
+            "n_nationkey",
+            st.alias("st"),
+            nested.getField("inner").getField("twice").alias("nested_twice"),
+        )
+        .select(
+            "n_nationkey",
+            F.col("st.name").alias("nation_name"),
+            F.col("st.region").cast("long").alias("region_key"),
+            "nested_twice",
+            F.size(F.array(F.col("st.name"), F.col("st.name"))).alias(
+                "arr_of_struct_len"
+            ),
+        )
+        .orderBy("n_nationkey")
+    )
