@@ -893,3 +893,151 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {{toks}} AS w FROM documents),
+        sh AS (SELECT doc_id, {{shingles}} AS sh FROM words WHERE len(w) >= 3),
+        posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        minhash AS (
+            SELECT doc_id, p, MIN(md5(s || '#' || p)) AS mh
+            FROM posting, (SELECT unnest(range({MINHASH_PERMS})) AS p)
+            GROUP BY doc_id, p
+        ),
+        bands AS (
+            SELECT doc_id, p // {MINHASH_PERMS // MINHASH_BANDS} AS band,
+                   string_agg(mh, '|' ORDER BY p) AS sig
+            FROM minhash GROUP BY 1, 2
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS BIGINT)
+                       AS n_match
+            FROM candidates c
+            JOIN minhash ma ON ma.doc_id = c.doc_a
+            JOIN minhash mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        exact AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM candidates c
+            JOIN posting pa ON pa.doc_id = c.doc_a
+            JOIN posting pb ON pb.doc_id = c.doc_b AND pb.s = pa.s
+            GROUP BY 1, 2
+        )
+        SELECT e.doc_a AS doc_a, e.doc_b AS doc_b,
+               (e.n_match * 1000000) // {MINHASH_PERMS} AS est_ppm,
+               (x.n_common * 1000000) // (sa.n + sb.n - x.n_common) AS exact_ppm,
+               abs((e.n_match * 1000000) // {MINHASH_PERMS}
+                   - (x.n_common * 1000000) // (sa.n + sb.n - x.n_common))
+                   AS err_ppm
+        FROM est e
+        JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+        JOIN sizes sa ON sa.doc_id = e.doc_a
+        JOIN sizes sb ON sb.doc_id = e.doc_b
+        ORDER BY e.doc_a, e.doc_b
+    """.format(
+        toks=SQL_TOKENS, shingles=sql_shingles("w")
+    ),
+    tags=("llm-data", "dedup", "sketch", "evaluation"),
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: on every LSH candidate
+    pair, the minhash Jaccard ESTIMATE (matching signature components
+    / 12, in exact ppm) next to the TRUE Jaccard and their absolute
+    error — the evaluation that justifies a band/row configuration
+    before trusting it on 100 TB (expected |err| ≈ √(J(1−J)/k)).
+    The Spark side compares signatures as a map-side array zip over
+    the materialized minhash columns; the oracle recomputes the same
+    numbers from the row-form (doc, permutation) relation — two
+    genuinely different plans agreeing exactly, since both estimate
+    and truth are integer ratios.
+
+    Scale shape: estimates cost one broadcast-able join of
+    signature arrays over the candidate pairs (bounded by collision
+    density); the exact-Jaccard verification is the posting-list
+    intersection join every LSH pipeline already pays for its final
+    filter."""
+    sh = _shingle_sets(spark, sf_dir)
+    sigs = sh.select(
+        "doc_id",
+        minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"),
+        F.size("sh").alias("n"),
+    ).persist()  # bands + both pair sides read it
+    bands = (
+        sigs.select(
+            "doc_id",
+            F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
+                "band", "sig"
+            ),
+        )
+        .filter(F.col("sig") != "")
+        .persist()
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), F.col("n").alias("n_a")
+    )
+    mb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), F.col("n").alias("n_b")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    pa = posting.alias("pa")
+    pb = posting.alias("pb")
+    exact = (
+        candidates.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("doc_b")) & (F.col("pb.s") == F.col("pa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est_ppm = F.expr(f"(n_match * 1000000) div {MINHASH_PERMS}")
+    exact_ppm = F.expr("(n_common * 1000000) div (n_a + n_b - n_common)")
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            "n_common",
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            est_ppm.alias("est_ppm"),
+            exact_ppm.alias("exact_ppm"),
+            F.abs(est_ppm - exact_ppm).alias("err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

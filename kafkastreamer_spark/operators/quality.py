@@ -475,3 +475,94 @@ def with_repetition_flag(
     n = F.size("_toks")
     flag = ((10 * top_bigram > n) | (2 * dup_tri > (n - 2))).cast("int")
     return staged.withColumn(flag_col, flag).drop("_toks", "_bg", "_tg")
+
+
+@register(
+    "corpus_quality_rollup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, source, {{toks}} AS w,
+                   length(text) AS nc,
+                   length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ),
+        feat AS (
+            SELECT lang, source,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(FLOOR(CAST(n_punct AS DOUBLE) / nc * 10000) AS BIGINT)
+                       AS punct_pct4,
+                   CAST(FLOOR(CAST(list_sum(list_transform(w, t -> len(t)))
+                        AS DOUBLE) / len(w) * 10000) AS BIGINT) AS avg_token_len4
+            FROM tok
+        ),
+        scored AS (
+            SELECT lang, source, n_tokens,
+                   (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+                    + CASE WHEN punct_pct4 < 500 THEN 30 ELSE 0 END
+                    + CASE WHEN avg_token_len4 BETWEEN 30000 AND 80000 THEN 30
+                           ELSE 0 END) AS q
+            FROM feat
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(q) AS BIGINT) AS score_sum,
+               (CAST(sum(CASE WHEN q >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+                    * 10000) // count(*) AS high_quality_bp
+        FROM scored GROUP BY lang, source
+        ORDER BY lang, source
+    """.format(toks="string_split_regex(lower(text), '\\s+')"),
+    tags=("llm-data", "quality", "rollup"),
+)
+def corpus_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus quality dashboard: document counts,
+    token totals, summed quality score and the high-quality share in
+    basis points — the rollup a data curator reads before choosing
+    per-source sampling weights (feeds sample_source_cap /
+    sample_temperature_mix).  Reuses text_quality_score's scoring
+    formula; the share is an integer basis-point division, no float
+    ratios.
+
+    Scale shape: scoring is map-only array work; the rollup is one
+    shuffle bounded at |langs|×|sources| groups with map-side
+    combine."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    w = F.col("w")
+    nc = F.length("text")
+    n_punct = nc - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    feat = d.select(
+        "lang", "source", F.split(F.lower(F.col("text")), r"\s+").alias("w"), "text"
+    ).select(
+        "lang",
+        "source",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.floor(n_punct.cast("double") / nc * 10000).alias("punct_pct4"),
+        F.floor(
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(w)
+            * 10000
+        ).alias("avg_token_len4"),
+    )
+    q = (
+        F.when(F.col("n_tokens").between(20, 1000), 40).otherwise(0)
+        + F.when(F.col("punct_pct4") < 500, 30).otherwise(0)
+        + F.when(F.col("avg_token_len4").between(30000, 80000), 30).otherwise(0)
+    )
+    return (
+        feat.select("lang", "source", "n_tokens", q.alias("q"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("q").cast("long").alias("score_sum"),
+            F.expr(
+                "(cast(sum(case when q >= 70 then 1 else 0 end) as bigint)"
+                " * 10000) div count(1)"
+            ).alias("high_quality_bp"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -593,3 +593,81 @@ def scalar_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+        SELECT n.n_name AS nation,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT))
+                    AS DOUBLE) / 10000 AS total_value
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    tags=("relational", "materialized-view", "incremental"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, verified against
+    full recompute: the nation-revenue MV is built from the BASE
+    partition (even orderkeys), a DELTA batch (odd orderkeys) is
+    aggregated separately, and the refresh merges the two partial
+    aggregates with a full-outer join + coalesced sums — the
+    algebraic identity (SUM/COUNT decompose over partitions) that
+    lets a warehouse maintain an aggregate MV by touching only the
+    delta.  The oracle computes the same MV from scratch over all
+    rows, so the check proves merge == recompute — the strategy-level
+    verification, same pattern as hierarchy_depth_rollup's recursive
+    oracle.
+
+    Scale shape: the delta path aggregates ONLY the new batch (delta-
+    sized shuffle) and merges into the |nations|-sized MV — at 100 TB
+    that's the difference between scanning a day's partition and
+    re-scanning years; count/sum/min/max all merge this way, while
+    AVG must be stored as (sum, count) and DISTINCT needs a sketch or
+    a re-aggregable key table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("o_totalprice") * 10000).cast("long").alias("v_fp"),
+        )
+        .persist()  # split into base/delta below
+    )
+
+    def agg(df: DataFrame, n_col: str, v_col: str) -> DataFrame:
+        return df.groupBy("nation").agg(
+            F.count(F.lit(1)).alias(n_col), F.sum("v_fp").alias(v_col)
+        )
+
+    base = agg(joined.filter(F.col("o_orderkey") % 2 == 0), "n_b", "v_b")
+    delta = agg(joined.filter(F.col("o_orderkey") % 2 == 1), "n_d", "v_d")
+    merged = (
+        base.withColumnRenamed("nation", "nation_b")
+        .join(
+            delta.withColumnRenamed("nation", "nation_d"),
+            F.col("nation_b") == F.col("nation_d"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("nation_b", "nation_d").alias("nation"),
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                (
+                    F.coalesce("v_b", F.lit(0)) + F.coalesce("v_d", F.lit(0))
+                ).cast("double")
+                / 10000
+            ).alias("total_value"),
+        )
+    )
+    return merged.orderBy("nation")
