@@ -529,3 +529,111 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step(3, c3, d3))
         .orderBy("step")
     )
+
+
+N_MARGIN_ANCHORS = 20  # vec_id < 20 audit anchors
+
+
+@register(
+    "embedding_margin_audit",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        anchors AS (SELECT * FROM e WHERE vec_id < {N_MARGIN_ANCHORS}),
+        dists AS (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                   o.vec_id AS other_id,
+                   (o.label = a.label) AS same_label,
+                   {_L2_SQL.format(x="a.v", c="o.v")} AS d2
+            FROM anchors a JOIN e o ON o.vec_id <> a.vec_id
+        ),
+        best AS (
+            SELECT anchor_id, anchor_label, same_label, other_id, d2,
+                   row_number() OVER (PARTITION BY anchor_id, same_label
+                                      ORDER BY d2, other_id) AS rn
+            FROM dists
+        )
+        SELECT p.anchor_id AS anchor_id, p.anchor_label,
+               p.other_id AS nearest_pos_id, n.other_id AS nearest_neg_id,
+               p.d2 AS d2_pos, n.d2 AS d2_neg,
+               n.d2 - p.d2 AS margin
+        FROM (SELECT * FROM best WHERE same_label AND rn = 1) p
+        JOIN (SELECT * FROM best WHERE NOT same_label AND rn = 1) n
+          ON n.anchor_id = p.anchor_id
+        ORDER BY p.anchor_id
+    """,
+    tags=("similarity", "evaluation", "metric-learning"),
+)
+def embedding_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning margin audit: for each of the first 20 anchor
+    vectors, the nearest SAME-label and nearest DIFFERENT-label
+    neighbor (squared-L2, ties to the lowest id) and the margin
+    d²_neg − d²_pos — positive margins mean the embedding separates
+    classes at that point; the per-anchor breakdown localizes where
+    a representation fails before trusting it for retrieval or
+    clustering.  All distances are the bit-exact dot-product folds;
+    the margin is one exact subtraction of two identical doubles.
+
+    Scale shape: anchors broadcast onto the table (map-side
+    |anchors|×N fan-out), and both argmins come from ONE shared rank
+    pass partitioned by (anchor, same_label) — not separate pos/neg
+    scans.  For web-scale N the exact scan swaps for the IVF probe
+    (similarity_ivf_probe) with identical downstream shape."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    from kafkastreamer_spark.operators._embed import dot
+
+    a = e.filter(F.col("vec_id") < N_MARGIN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    d2 = (
+        dot(F.col("av"), F.col("av"))
+        - 2 * dot(F.col("av"), F.col("v"))
+        + dot(F.col("v"), F.col("v"))
+    )
+    dists = (
+        F.broadcast(a)
+        .join(e, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("other_id"),
+            (F.col("label") == F.col("anchor_label")).alias("same_label"),
+            d2.alias("d2"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy("d2", "other_id")
+    best = dists.select(
+        "anchor_id", "anchor_label", "same_label", "other_id", "d2",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1).persist()
+    pos = best.filter(F.col("same_label")).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("other_id").alias("nearest_pos_id"),
+        F.col("d2").alias("d2_pos"),
+    )
+    neg = best.filter(~F.col("same_label")).select(
+        F.col("anchor_id").alias("n_anchor"),
+        F.col("other_id").alias("nearest_neg_id"),
+        F.col("d2").alias("d2_neg"),
+    )
+    return (
+        pos.join(neg, pos.anchor_id == neg.n_anchor)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "nearest_pos_id",
+            "nearest_neg_id",
+            "d2_pos",
+            "d2_neg",
+            (F.col("d2_neg") - F.col("d2_pos")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

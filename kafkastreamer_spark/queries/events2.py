@@ -431,3 +431,66 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_lateness_profile",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_id, ts,
+                   max(ts) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS max_seen
+            FROM events
+        ),
+        late AS (
+            SELECT epoch_us(max_seen) - epoch_us(ts) AS late_us FROM ordered
+        )
+        SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+                    WHEN late_us < 60000000 THEN '1_lt_1m'
+                    WHEN late_us < 600000000 THEN '2_lt_10m'
+                    WHEN late_us < 3600000000 THEN '3_lt_1h'
+                    ELSE '4_ge_1h' END AS bucket,
+               count(*) AS n_events,
+               max(late_us) AS max_late_us
+        FROM late GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("streaming", "watermark", "lateness", "time"),
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness distribution: how far behind the running
+    maximum event-time each event arrives (arrival order = event_id),
+    bucketed on exact microsecond thresholds — THE input for choosing
+    a watermark delay (`withWatermark(ts, X)` drops exactly the
+    events in buckets beyond X; see test_watermark_drops_late_data).
+    A profile that says p99.9 lateness is 8 minutes justifies a
+    10-minute watermark and bounds state size accordingly.
+
+    Scale shape: the running max is an unpartitioned ordered window —
+    acceptable here because lateness profiling is a sampled/windowed
+    diagnostic by nature; the production variant runs per kafka
+    partition (partitionBy on the source split, same plan otherwise),
+    since watermarks advance per-partition anyway."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = ev.select(
+        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")).alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "0_on_time")
+        .when(F.col("late_us") < 60_000_000, "1_lt_1m")
+        .when(F.col("late_us") < 600_000_000, "2_lt_10m")
+        .when(F.col("late_us") < 3_600_000_000, "3_lt_1h")
+        .otherwise("4_ge_1h")
+    )
+    return (
+        late.select(bucket.alias("bucket"), "late_us")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("bucket")
+    )
