@@ -494,3 +494,73 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "features_point_in_time_join",
+    oracle="""
+        SELECT o.event_id, o.user_id,
+               strftime(o.ts, '%Y-%m-%d %H:%M:%S') AS obs_time,
+               f.event_type AS prior_state,
+               f.event_id AS prior_event_id
+        FROM events o
+        LEFT JOIN LATERAL (
+            SELECT f.event_type, f.event_id
+            FROM events f
+            WHERE f.user_id = o.user_id
+              AND f.event_type <> 'purchase'
+              AND (f.ts < o.ts OR (f.ts = o.ts AND f.event_id < o.event_id))
+            ORDER BY f.ts DESC, f.event_id DESC
+            LIMIT 1
+        ) f ON true
+        WHERE o.event_type = 'purchase'
+        ORDER BY o.event_id
+    """,
+    tags=("relational", "asof", "feature-store", "temporal"),
+)
+def features_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store
+    operation that prevents label leakage in training data: each
+    purchase (observation) is joined to the user's most recent PRIOR
+    non-purchase state, never a future one, with the (ts, event_id)
+    composite order making "prior" exact even at timestamp ties.
+
+    Strategy-level verification: the oracle resolves each
+    observation with a LATERAL index-lookup (the feature-store
+    online-serving plan); the Spark side runs the offline batch plan
+    — union both row kinds, one per-user sort, and a conditional
+    LAST(feature) window over the preceding frame — which touches
+    each row once instead of probing per observation.  Same result,
+    opposite cost model; the batch sweep is what scales to backfills
+    over years of history.
+
+    Scale shape: one user_id-keyed shuffle + sort shared by every
+    as-of/sessionization query on this stream; no join at all in the
+    Spark plan."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feature_state = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    feature_id = F.when(F.col("event_type") != "purchase", F.col("event_id"))
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(feature_state, ignorenulls=True).over(w).alias("prior_state"),
+        F.last(feature_id, ignorenulls=True).over(w).alias("prior_event_id"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("obs_time"),
+            "prior_state",
+            "prior_event_id",
+        )
+        .orderBy("event_id")
+    )
