@@ -637,3 +637,82 @@ def embedding_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@register(
+    "embedding_int8_quantization_audit",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label,
+                   list_max(list_transform(v, x -> abs(x))) AS amax,
+                   v
+            FROM e
+        ),
+        err AS (
+            SELECT vec_id, label, amax,
+                   CASE WHEN amax = 0 THEN 0 ELSE CAST(
+                       list_sum(list_transform(v, x ->
+                           CAST(FLOOR(abs(x - FLOOR(x / amax * 127)
+                                          * amax / 127) * 1000000000)
+                                AS BIGINT)))
+                       AS BIGINT) END AS err_fp
+            FROM q
+        )
+        SELECT label, count(*) AS n_vectors,
+               CAST(sum(err_fp) AS BIGINT) AS total_err_fp,
+               CAST(max(err_fp) AS BIGINT) AS max_vec_err_fp,
+               CAST(sum(err_fp) AS DOUBLE) / (1000000000.0 * count(*))
+                   AS mean_vec_abs_err
+        FROM err GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "quantization", "evaluation"),
+)
+def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization error accounting per label:
+    quantize each vector with its own absmax scale (q = ⌊x/amax·127⌋,
+    dequantized x̂ = q·amax/127), accumulate the per-vector L1
+    reconstruction error in fixed-point — the audit that decides
+    whether an embedding table can ship at 1/4 the bytes for ANN
+    serving.  Per-element arithmetic (divide, multiply, floor, abs)
+    is identical IEEE on both engines; the per-vector error folds to
+    an exact integer BEFORE any cross-row aggregation, so label
+    rollups are order-independent.
+
+    Scale shape: everything to the per-vector error is map-only array
+    work inside codegen; the rollup is a |labels|-group shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    q = e.select("vec_id", "label", "v", amax.alias("amax"))
+
+    def elem_err(x):
+        dq = F.floor(x / F.col("amax") * 127) * F.col("amax") / 127
+        return F.floor(F.abs(x - dq) * 1_000_000_000).cast("long")
+
+    err_fp = F.when(F.col("amax") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.transform(F.col("v"), elem_err),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        q.select("label", err_fp.alias("err_fp"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("err_fp").cast("long").alias("total_err_fp"),
+            F.max("err_fp").cast("long").alias("max_vec_err_fp"),
+            (
+                F.sum("err_fp").cast("double")
+                / (1_000_000_000.0 * F.count(F.lit(1)))
+            ).alias("mean_vec_abs_err"),
+        )
+        .orderBy("label")
+    )

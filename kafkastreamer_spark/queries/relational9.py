@@ -671,3 +671,87 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("nation")
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, n_chars, md5(text) AS checksum,
+                   len({SQL_TOKENS}) AS n_tok
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, n_chars, checksum,
+                   CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                        % {N_SHARDS} AS BIGINT) AS shard
+            FROM sized
+        ),
+        placed AS (
+            SELECT shard, doc_id, checksum, n_chars,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS position
+            FROM assigned
+        )
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+               md5(string_agg(checksum, '' ORDER BY position))
+                   AS manifest_digest
+        FROM placed GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm-data", "sharding", "manifest", "integrity"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: documents assigned to
+    size-balanced shards (corpus_shard_assignment's LPT round-robin),
+    laid out in doc_id order within each shard, with the per-shard
+    byte total and an ORDER-SENSITIVE manifest digest (md5 of the
+    concatenated per-doc md5s in layout order) — the integrity
+    artifact a training job checks before streaming a shard, which
+    catches reordering and truncation, not just content corruption.
+    Spark has no ordered string_agg, so the digest is built from
+    array_sort over (position, checksum) structs — deterministic
+    regardless of partitioning.
+
+    Scale shape: one global size rank (same honest serial step as
+    the shard assigner), one shard-partitioned layout sort, and an
+    8-group rollup; checksums are map-side."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    sized = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("checksum"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    wrank = Window.orderBy(F.desc("n_tok"), "doc_id")
+    assigned = sized.select(
+        "doc_id",
+        "n_chars",
+        "checksum",
+        ((F.row_number().over(wrank) - 1) % N_SHARDS).cast("long").alias("shard"),
+    )
+    wpos = Window.partitionBy("shard").orderBy("doc_id")
+    placed = assigned.select(
+        "shard",
+        "checksum",
+        "n_chars",
+        F.row_number().over(wpos).alias("position"),
+    )
+    ordered_digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("position", "checksum"))),
+                lambda s: s.checksum,
+            ),
+            "",
+        )
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            ordered_digest.alias("manifest_digest"),
+        )
+        .orderBy("shard")
+    )
