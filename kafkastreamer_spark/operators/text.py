@@ -936,3 +936,100 @@ def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n0", "n1", "n_tokens_union", "tv_num", "tv_distance")
     )
+
+
+@register(
+    "text_inverted_index_sample",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, s AS token
+            FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+                 unnest(w) AS t(s)
+        ),
+        tf AS (
+            SELECT token, doc_id, count(*) AS tf
+            FROM tok GROUP BY token, doc_id
+        ),
+        stats AS (
+            SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY token
+            ORDER BY df DESC, token LIMIT 10
+        ),
+        posting AS (
+            SELECT tf.token, tf.doc_id, tf.tf,
+                   row_number() OVER (PARTITION BY tf.token
+                                      ORDER BY tf.doc_id) AS pos
+            FROM tf JOIN stats USING (token)
+        )
+        SELECT s.token AS token, s.df, s.total_tf,
+               string_agg(p.doc_id || ':' || p.tf, ',' ORDER BY p.pos)
+                   AS posting_head
+        FROM stats s JOIN posting p ON p.token = s.token AND p.pos <= 5
+        GROUP BY s.token, s.df, s.total_tf
+        ORDER BY s.df DESC, token
+    """,
+    tags=("llm-data", "text", "index"),
+)
+def text_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build, sampled: for the 10 highest-DF tokens,
+    the document frequency, total term frequency, and the HEAD of the
+    doc_id-sorted postings list rendered as 'doc:tf' (the
+    search-index layout — postings sorted by doc id for galloping
+    intersection).  Spark orders the head deterministically via
+    array_sort over (pos, entry) structs; the oracle uses DuckDB's
+    ordered string_agg — different mechanisms, identical layout.
+
+    Scale shape: term-frequency build is one (token, doc) shuffle
+    with map-side combine; the top-10 DF cut broadcasts back, so
+    postings materialize only for sampled tokens.  A full index
+    build is the same plan without the cut, writing
+    bucketBy(token)-sorted parquet."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # stats cut + posting join
+    )
+    stats = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("total_tf"))
+        .orderBy(F.desc("df"), "token")
+        .limit(10)
+    )
+    wpos = Window.partitionBy("token").orderBy("doc_id")
+    posting = (
+        tf.join(F.broadcast(stats.select("token")), "token")
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            F.row_number().over(wpos).alias("pos"),
+        )
+        .filter(F.col("pos") <= 5)
+    )
+    head = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("tf").cast("string"),
+                        ).alias("entry"),
+                    )
+                )
+            ),
+            lambda s: s.entry,
+        ),
+        ",",
+    )
+    return (
+        posting.groupBy("token")
+        .agg(head.alias("posting_head"))
+        .join(F.broadcast(stats), "token")
+        .select("token", "df", "total_tf", "posting_head")
+        .orderBy(F.desc("df"), "token")
+    )

@@ -564,3 +564,105 @@ def features_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_partition_skew_report",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 32 AS bucket
+            FROM events
+        ),
+        per AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                       CAST(max(n) AS BIGINT) AS max_n,
+                       CAST(min(n) AS BIGINT) AS min_n,
+                       count(*) AS n_buckets
+                FROM per)
+        SELECT n_buckets, total, max_n, min_n,
+               (max_n * n_buckets * 10000) // total AS max_imbalance_bp
+        FROM tot
+    """,
+    tags=("streaming", "skew", "partitioning", "diagnostics"),
+)
+def events_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition balance report: hash events.user_id into 32
+    buckets (md5-derived, engine-portable) and report max/min bucket
+    loads plus the imbalance ratio in basis points (10000 = perfectly
+    balanced; 20000 = the hottest task does 2× the average) — the
+    diagnostic that predicts straggler tasks BEFORE running a keyed
+    shuffle, and the input for choosing a salt factor
+    (join_skew_salted) or AQE skew thresholds.
+
+    Scale shape: one 32-group aggregate with map-side combine — the
+    report costs one scan regardless of stream size."""
+    ev = _events(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 32
+    )
+    per = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+        F.min("n").cast("long").alias("min_n"),
+    ).select(
+        "n_buckets",
+        "total",
+        "max_n",
+        "min_n",
+        F.expr("(max_n * n_buckets * 10000) div total").alias("max_imbalance_bp"),
+    )
+
+
+@register(
+    "events_reactivation_report",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        SELECT strftime(ts, '%Y-%m') AS month,
+               count(*) AS n_reactivations,
+               count(DISTINCT user_id) AS n_users,
+               max(gap_us) AS max_dormancy_us
+        FROM gaps
+        WHERE gap_us > CAST(2 AS BIGINT) * 86400000000
+        GROUP BY 1 ORDER BY month
+    """,
+    tags=("streaming", "churn", "growth", "time"),
+)
+def events_reactivation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation accounting: events that end a user
+    silence of more than 2 days, rolled up per month with the
+    reactivated-user count and the longest dormancy broken — the
+    churn-resurrection metric growth teams track next to the DAU
+    curve (events_cumulative_distinct_users).  Gap arithmetic is
+    exact epoch microseconds; the 2-day threshold is an integer
+    comparison (chosen inside the fixture's inter-arrival range so
+    the operator is exercised at every scale factor).
+
+    Scale shape: reuses the per-user (ts, event_id) sort every
+    sessionization query pays, then a month-bounded rollup."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", "ts", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us") > F.lit(2) * 86_400_000_000)
+    return (
+        gaps.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reactivations"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("gap_us").alias("max_dormancy_us"),
+        )
+        .orderBy("month")
+    )

@@ -536,3 +536,79 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("totalprice_positive", pos))
         .orderBy("check_name")
     )
+
+
+@register(
+    "governance_pii_redaction",
+    oracle="""
+        WITH synth AS (
+            SELECT c_custkey,
+                   lower(replace(c_name, ' ', '.')) || '@example.com contact '
+                       || c_name || ' at 555-01' || CAST(c_custkey % 100 AS VARCHAR)
+                       AS raw_text
+            FROM customer
+        ),
+        red AS (
+            SELECT c_custkey, raw_text,
+                   regexp_replace(
+                       regexp_replace(raw_text,
+                           '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                       '555-[0-9]+', '<PHONE>', 'g') AS redacted
+            FROM synth
+        )
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_email_redactions,
+               CAST(sum(CASE WHEN redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_phone_redactions,
+               CAST(sum(length(raw_text) - length(redacted)) AS BIGINT)
+                   AS bytes_removed,
+               min(redacted) AS sample_redacted
+        FROM red
+    """,
+    tags=("governance", "pii", "redaction"),
+)
+def governance_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: synthesize realistic contact strings from
+    customer names (deterministically — the fixture has no real PII),
+    redact email and phone patterns with RE2-safe regexes, and report
+    the redaction audit (rows touched per pattern, bytes removed,
+    deterministic sample).  This is the scrubbing stage a corpus
+    pipeline runs before publication; the audit row is what a
+    compliance reviewer actually reads.
+
+    Scale shape: map-only regexp_replace inside codegen; the audit is
+    a single global aggregate with map-side combine.  The regexes
+    stay in the RE2-compatible subset (no lookaround), which both
+    engines implement with replace-all semantics ('g' in DuckDB,
+    default in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com contact "),
+        F.col("c_name"),
+        F.lit(" at 555-01"),
+        (F.col("c_custkey") % 100).cast("string"),
+    )
+    synth = c.select("c_custkey", raw.alias("raw_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("raw_text"), r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"
+        ),
+        r"555-[0-9]+",
+        "<PHONE>",
+    )
+    red = synth.select("c_custkey", "raw_text", redacted.alias("redacted"))
+    return red.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("redacted").contains("<EMAIL>"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_email_redactions"),
+        F.sum(F.when(F.col("redacted").contains("<PHONE>"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_phone_redactions"),
+        F.sum(F.length("raw_text") - F.length("redacted"))
+        .cast("long")
+        .alias("bytes_removed"),
+        F.min("redacted").alias("sample_redacted"),
+    )
