@@ -755,3 +755,89 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "agg_boolean_battery",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+               bool_and(l_extendedprice > 0) AS all_priced,
+               bool_or(l_discount > 0.09) AS any_deep_discount,
+               CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "boolean"),
+)
+def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate battery per return flag: count_if,
+    bool_and/bool_or (every/any), and FILTERed counts — the
+    predicate-summary surface (data-quality booleans compile to
+    exactly these).  Every aggregate here decomposes for map-side
+    partial aggregation, so the shuffle carries one boolean/long per
+    group per agg.
+
+    Scale shape: single map-side-combined aggregation; predicates
+    evaluate inside codegen on the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.bool_and(F.col("l_extendedprice") > 0).alias("all_priced"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ECDF_PROBES = (50, 100, 150, 200, 250)
+
+
+@register(
+    "events_value_ecdf",
+    oracle=f"""
+        WITH n AS (SELECT count(*) AS total FROM events)
+        SELECT probe,
+               CAST(count(*) FILTER (WHERE value <= probe) AS BIGINT) AS n_le,
+               (SELECT total FROM n) AS n_total,
+               CAST(count(*) FILTER (WHERE value <= probe) AS DOUBLE)
+                   / (SELECT total FROM n) AS ecdf
+        FROM events, (SELECT unnest([{", ".join(str(p) for p in _ECDF_PROBES)}])
+                      AS probe)
+        GROUP BY probe ORDER BY probe
+    """,
+    tags=("relational", "statistics", "distribution"),
+)
+def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of event values at fixed probe points — the
+    inverse view of the percentile battery (percentiles answer
+    "what value sits at p?"; the eCDF answers "what fraction sits
+    below v?"), used for threshold calibration and as the
+    fixed-abscissa distribution fingerprint two snapshots can be
+    compared on.  Counts are exact integers; each eCDF value is one
+    final division.
+
+    Scale shape: the probe fan-out is a 5× map-side row multiply
+    folded into ONE aggregation pass (conditional counts per probe) —
+    not five scans; at 100 TB this is a single shuffle of 5 groups."""
+    ev = load_table(spark, sf_dir, "events")
+    nt = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    probes = ev.select(
+        "value",
+        F.explode(F.array(*[F.lit(p) for p in _ECDF_PROBES])).alias("probe"),
+    )
+    return (
+        probes.groupBy("probe")
+        .agg(F.count_if(F.col("value") <= F.col("probe")).alias("n_le"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "probe",
+            "n_le",
+            "n_total",
+            (F.col("n_le").cast("double") / F.col("n_total")).alias("ecdf"),
+        )
+        .orderBy("probe")
+    )
