@@ -841,3 +841,112 @@ def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+@register(
+    "orders_monthly_yoy_growth",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS rev_fp
+            FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders,
+               CAST(rev_fp AS DOUBLE) / 10000 AS revenue,
+               n_orders - LAG(n_orders, 12) OVER (ORDER BY month) AS yoy_n_delta,
+               CAST(rev_fp - LAG(rev_fp, 12) OVER (ORDER BY month) AS DOUBLE)
+                   / 10000 AS yoy_rev_delta,
+               CASE WHEN LAG(rev_fp, 12) OVER (ORDER BY month) > 0
+                    THEN (rev_fp * 10000) // LAG(rev_fp, 12) OVER (ORDER BY month)
+                    END AS yoy_rev_ratio_bp
+        FROM m ORDER BY month
+    """,
+    tags=("relational", "time", "growth", "window"),
+)
+def orders_monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year growth: LAG(12) on the
+    monthly rollup for order-count and revenue deltas plus the YoY
+    ratio in integer basis points — the seasonality-adjusted growth
+    view (plain MoM deltas confound seasonality;
+    events_daily_delta's day lag is the intra-month sibling).
+
+    Scale shape: one calendar-bounded monthly aggregation; the LAG-12
+    window runs on ≤ hundreds of rows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias("rev_fp"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_fp", 12).over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        (F.col("rev_fp").cast("double") / 10000).alias("revenue"),
+        (F.col("n_orders") - F.lag("n_orders", 12).over(w)).alias("yoy_n_delta"),
+        ((F.col("rev_fp") - prev).cast("double") / 10000).alias("yoy_rev_delta"),
+        F.when(prev > 0, F.expr(
+            "(rev_fp * 10000) div lag(rev_fp, 12) over (order by month)"
+        )).alias("yoy_rev_ratio_bp"),
+    ).orderBy("month")
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS r_fp
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT r_fp,
+                   row_number() OVER (ORDER BY r_fp, o_custkey) AS i,
+                   count(*) OVER () AS n
+            FROM rev
+        )
+        SELECT CAST(min(n) AS BIGINT) AS n_customers,
+               CAST(sum(r_fp) AS BIGINT) AS total_fp,
+               CAST(sum(i * r_fp) AS BIGINT) AS weighted_fp,
+               CAST(2 * sum(i * r_fp) - (min(n) + 1) * sum(r_fp) AS DOUBLE)
+                   / (min(n) * sum(r_fp)) AS gini
+        FROM ranked
+    """,
+    tags=("relational", "statistics", "inequality"),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality summary
+    next to ABC-Pareto (which buckets) and HHI (which squares
+    shares): G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    ascending-sorted revenues.  Both sums are exact integers (ranks ×
+    fixed-point revenues), so the only float op is the final
+    division — the formula's subtraction happens in integer space
+    where cancellation is harmless.
+
+    Scale shape: one custkey rollup, one global ascending rank (the
+    honest serial step — at extreme n swap for repartitionByRange +
+    per-partition offsets exactly as corpus_shard_assignment
+    documents), one scalar aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias("r_fp")
+    )
+    w = Window.orderBy("r_fp", "o_custkey")
+    ranked = rev.select(
+        "r_fp",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.sum("r_fp").cast("long").alias("total_fp"),
+        F.sum(F.col("i") * F.col("r_fp")).cast("long").alias("weighted_fp"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("r_fp"))
+                - (F.min("n") + 1) * F.sum("r_fp")
+            ).cast("double")
+            / (F.min("n") * F.sum("r_fp"))
+        ).alias("gini"),
+    )

@@ -183,3 +183,78 @@ def test_stream_stream_join(spark, tmp_path):
         rows += spark.read.parquet(os.path.join(out, b)).collect()
     assert len(rows) == 1 and rows[0]["event_id"] == 1
     assert rows[0]["lkey"] == "a" and rows[0]["rkey"] == "x"
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window on a watermarked stream (availableNow,
+    append mode) must finalize exactly the batch session_window
+    sessions once the watermark passes all data — sessions that span
+    micro-batch boundaries merge in state, not per-batch."""
+    from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
+    from kafkastreamer_spark.tables import load_table
+
+    _ensure_loaded()
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in REGISTRY["events_session_window_native"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    inp = str(tmp_path / "sin")
+    for half in (
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+    ):
+        half.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(inp)
+    # Sentinel a day past the data: in append mode a session only
+    # finalizes once the watermark passes its close, so the stream's
+    # LAST sessions need a later event to flush them (in production,
+    # the next day's data plays this role).
+    flush = ev.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.date_add(F.max("ts"), 1).cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    flush.coalesce(1).write.mode("append").parquet(inp)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    stream = file_source(spark, inp, schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    out = str(tmp_path / "sout")
+
+    def wb(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id >= 0  # drop the watermark-flush sentinel
+    }
+    assert got == want
