@@ -1041,3 +1041,49 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(text) AS h, count(*) AS csize
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT csize, count(*) AS n_clusters,
+               CAST(csize * count(*) AS BIGINT) AS n_docs,
+               CAST((csize - 1) * count(*) AS BIGINT) AS n_removable
+        FROM clusters GROUP BY csize ORDER BY csize
+    """,
+    tags=("llm-data", "dedup", "reporting"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution for exact dedup: how many
+    content-hash clusters exist at each size, how many documents they
+    hold, and how many rows deduplication would remove — the
+    dedup-impact forecast (typically a power law: mostly singletons,
+    a fat head of boilerplate) that justifies running the expensive
+    near-dup passes at all.  Removable = Σ(size−1) per bucket, so the
+    histogram's n_removable column sums to the corpus's exact-dup
+    overhead.
+
+    Scale shape: two map-side-combined aggregations (hash groups,
+    then size groups) — strictly cheaper than dedup_exact itself
+    since no representative row is materialized."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    clusters = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return (
+        clusters.groupBy("csize")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "csize",
+            "n_clusters",
+            (F.col("csize") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("csize") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("csize")
+    )

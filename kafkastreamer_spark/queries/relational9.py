@@ -950,3 +950,79 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.min("n") * F.sum("r_fp"))
         ).alias("gini"),
     )
+
+
+@register(
+    "supplier_lead_time_profile",
+    oracle="""
+        WITH lt AS (
+            SELECT l.l_suppkey AS sk,
+                   date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days,
+                   l.l_orderkey, l.l_linenumber
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        ranked AS (
+            SELECT sk, lead_days,
+                   row_number() OVER (PARTITION BY sk
+                                      ORDER BY lead_days, l_orderkey,
+                                               l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY sk) AS cnt
+            FROM lt
+        )
+        SELECT s.s_name AS supplier,
+               CAST(min(r.cnt) AS BIGINT) AS n_shipments,
+               min(r.lead_days) AS min_days,
+               max(r.lead_days) AS max_days,
+               CAST(sum(r.lead_days) AS BIGINT) AS total_days,
+               max(CASE WHEN r.rn = (r.cnt * 90 + 99) // 100
+                        THEN r.lead_days END) AS p90_days
+        FROM ranked r JOIN supplier s ON s.s_suppkey = r.sk
+        GROUP BY s.s_name ORDER BY supplier
+    """,
+    tags=("relational", "supply-chain", "percentile", "time"),
+)
+def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier order-to-ship lead-time profile: min/max/total
+    days plus the discrete p90 (rank formula from
+    agg_percentile_disc_battery) — the supplier-SLA scorecard.
+    Day differences are exact integers on both engines (Spark
+    datediff == DuckDB date_diff('day') for timestamp-at-midnight
+    fixtures), so even the percentile needs no float anywhere.
+
+    Scale shape: the fact join shuffles once on orderkey; the rank
+    runs partitioned by supplier (bounded groups), and the rollup is
+    map-side combined with the supplier dimension broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("sk"),
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("sk").orderBy("lead_days", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("sk")
+    ranked = lt.select(
+        "sk",
+        "lead_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        ranked.join(F.broadcast(s), ranked.sk == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(
+            F.min("cnt").cast("long").alias("n_shipments"),
+            F.min("lead_days").alias("min_days"),
+            F.max("lead_days").alias("max_days"),
+            F.sum("lead_days").cast("long").alias("total_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(cnt * 90 + 99) div 100"),
+                    F.col("lead_days"),
+                )
+            ).alias("p90_days"),
+        )
+        .orderBy("supplier")
+    )

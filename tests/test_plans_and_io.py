@@ -504,3 +504,24 @@ def test_kcenter_never_shuffles_points(spark, sf_dir):
     # point-set joins by vec_id exist only for tiny center lookups;
     # no sort-merge join over the full point table:
     assert "SortMergeJoin" not in plan
+
+
+def test_csv_permissive_corrupt_records(spark, tmp_path):
+    """Malformed CSV rows must quarantine into _corrupt_record under
+    PERMISSIVE mode instead of failing the read — the ingest
+    robustness contract for third-party feeds."""
+    p = tmp_path / "feed.csv"
+    p.write_text("id,value\n1,10\nnot_a_number,oops,extra\n3,30\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id LONG, value LONG, _corrupt_record STRING")
+        .csv(str(p))
+    )
+    rows = df.cache().collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {(r.id, r.value) for r in good} == {(1, 10), (3, 30)}
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+    df.unpersist()
