@@ -218,3 +218,82 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+_RESIZE_STRIDE = 4
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake resize: keep every STRIDE-th byte (a real
+    image resampler plugs in here — PIL.Image.resize over the decoded
+    array — with the identical batch shape). The digest is md5 of the
+    LOWERCASE hex rendering so the SQL oracle can reproduce it with
+    string functions alone."""
+    import hashlib
+
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: bytes(b)[::_RESIZE_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized_bytes": resized.map(len).astype("int64"),
+                "resized_md5": resized.map(
+                    lambda b: hashlib.md5(b.hex().encode()).hexdigest()
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   lower(hex(encode(text))) AS hx,
+                   octet_length(encode(text)) AS orig_bytes
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, orig_bytes,
+                   array_to_string(list_transform(
+                       range(0, CAST(orig_bytes AS BIGINT), {_RESIZE_STRIDE}),
+                       i -> substr(hx, CAST(i * 2 + 1 AS BIGINT), 2)), '')
+                       AS resized_hex
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(orig_bytes AS BIGINT) AS orig_bytes,
+               CAST(length(resized_hex) // 2 AS BIGINT) AS resized_bytes,
+               md5(resized_hex) AS resized_md5
+        FROM r ORDER BY doc_id
+    """,
+    tags=("multimodal", "resize", "pandas-udf"),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize via Arrow-batched ``mapInPandas``: every
+    STRIDE-th byte of the payload survives (the deterministic fake; a
+    real resampler swaps into ``_resize_batches`` with the same
+    binary-in / metadata+digest-out batch shape), with the resized
+    payload fingerprinted as md5-over-lowercase-hex so the DuckDB
+    oracle verifies the PYTHON path byte-for-byte using only string
+    functions — the UDF's arithmetic is genuinely cross-checked, not
+    just its row count.
+
+    Scale shape: map-only Arrow batches, no shuffle; resized bytes
+    stay inside the batch (a real pipeline writes them immediately
+    rather than shuffling frame/image payloads)."""
+    b = _blobs(spark, sf_dir)
+    return (
+        b.select("doc_id", "payload")
+        .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )
