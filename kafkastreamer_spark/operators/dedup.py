@@ -1087,3 +1087,65 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("csize")
     )
+
+
+@register(
+    "dedup_embedding_exact",
+    oracle="""
+        WITH sig AS (
+            SELECT vec_id,
+                   md5(array_to_string(list_transform(embedding::DOUBLE[],
+                       x -> CAST(CAST(FLOOR(x * 1000000) AS BIGINT) AS VARCHAR)),
+                       ',')) AS h
+            FROM embeddings
+        ),
+        clusters AS (
+            SELECT h, count(*) AS csize, min(vec_id) AS keep_id
+            FROM sig GROUP BY h
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(csize) AS BIGINT) AS n_vectors,
+               CAST(sum(csize - 1) AS BIGINT) AS n_removable,
+               CAST(max(csize) AS BIGINT) AS max_cluster,
+               min(keep_id) AS first_keep_id
+        FROM clusters
+    """,
+    tags=("llm-data", "dedup", "embedding"),
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection over the embedding table: vectors
+    fingerprinted by md5 of their fixed-point element rendering
+    (floor(x·10⁶) per dim, joined with commas — float-to-string
+    formatting is NOT engine-portable, integer rendering is), then
+    the dedup summary (clusters, removable rows, the min-id keeper
+    convention).  Catches re-ingested/duplicated rows before they
+    bias ANN results and nearest-centroid statistics — the embedding
+    twin of exact text dedup.
+
+    Scale shape: fingerprint is map-only array work; one hash-keyed
+    aggregation with map-side combine; summary is a scalar rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * 1_000_000)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            )
+        ).alias("h"),
+    )
+    clusters = sig.groupBy("h").agg(
+        F.count(F.lit(1)).alias("csize"), F.min("vec_id").alias("keep_id")
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("csize").cast("long").alias("n_vectors"),
+        F.sum(F.col("csize") - 1).cast("long").alias("n_removable"),
+        F.max("csize").cast("long").alias("max_cluster"),
+        F.min("keep_id").alias("first_keep_id"),
+    )

@@ -666,3 +666,67 @@ def events_reactivation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+SLO_ERROR_BUDGET_BP = 2000  # 20% allowed error share (fixture-scaled)
+
+
+@register(
+    "events_error_budget_sli",
+    oracle=f"""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_total,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                       AS n_errors
+            FROM events GROUP BY 1
+        )
+        SELECT day, n_total, n_errors,
+               (n_errors * 10000) // n_total AS error_rate_bp,
+               CAST(sum(n_errors) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_errors,
+               CAST(sum(n_total) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_total,
+               CASE WHEN sum(n_errors) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         * 10000
+                       > {SLO_ERROR_BUDGET_BP}
+                         * sum(n_total) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    THEN 1 ELSE 0 END AS budget_exhausted
+        FROM daily ORDER BY day
+    """,
+    tags=("streaming", "sre", "slo", "time"),
+)
+def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLI/error-budget accounting: daily error rate in basis points
+    plus the cumulative budget-burn flag (cumulative errors vs the
+    SLO's allowed share, compared by integer cross-multiplication —
+    no float rates anywhere) — the SRE rollup that pages when the
+    month's budget burns early.  The burn comparison
+    cum_err·10⁴ > budget_bp·cum_total is the same exact-arithmetic
+    pattern as events_burst_detection.
+
+    Scale shape: one calendar-bounded daily aggregation with map-side
+    combine; running sums act on |days| rows."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_e = F.sum("n_errors").over(w).cast("long")
+    cum_t = F.sum("n_total").over(w).cast("long")
+    return daily.select(
+        "day",
+        "n_total",
+        "n_errors",
+        F.expr("(n_errors * 10000) div n_total").alias("error_rate_bp"),
+        cum_e.alias("cum_errors"),
+        cum_t.alias("cum_total"),
+        F.when(
+            cum_e * 10000 > SLO_ERROR_BUDGET_BP * cum_t, 1
+        ).otherwise(0).alias("budget_exhausted"),
+    ).orderBy("day")
