@@ -1033,3 +1033,53 @@ def text_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "df", "total_tf", "posting_head")
         .orderBy(F.desc("df"), "token")
     )
+
+
+@register(
+    "text_char_frequency_profile",
+    oracle="""
+        WITH chars AS (
+            SELECT lang, c
+            FROM (SELECT lang, string_split(replace(lower(text), ' ', ''), '')
+                      AS cs
+                  FROM documents),
+                 unnest(cs) AS t(c)
+        ),
+        counts AS (
+            SELECT lang, c, count(*) AS n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, c) AS rnk
+            FROM chars GROUP BY lang, c
+        )
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, c AS ch, n
+        FROM counts WHERE rnk <= 10
+        ORDER BY lang, rnk
+    """,
+    tags=("llm-data", "text", "statistics"),
+)
+def text_char_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-frequency profile (top-10 chars, spaces
+    stripped) — the char-level signature that language-ID n-gram
+    models train on, and the encoding-corruption tripwire (mojibake
+    shifts the profile instantly where token stats stay plausible).
+    Char splitting uses the ''-split proven engine-identical by
+    tokenizer_bpe_first_merges.
+
+    Scale shape: chars explode map-side; one (lang, char) count
+    shuffle bounded by |langs|×|alphabet| groups with map-side
+    combine; the rank acts on that tiny rollup."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    chars = d.select(
+        "lang",
+        F.explode(
+            F.split(F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("")), "")
+        ).alias("c"),
+    )
+    counts = chars.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "c")
+    return (
+        counts.select("lang", "c", "n", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", F.col("rnk").cast("long"), F.col("c").alias("ch"), "n")
+        .orderBy("lang", "rnk")
+    )

@@ -730,3 +730,73 @@ def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum_e * 10000 > SLO_ERROR_BUDGET_BP * cum_t, 1
         ).otherwise(0).alias("budget_exhausted"),
     ).orderBy("day")
+
+
+@register(
+    "events_ab_test_analysis",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS bucket
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        conv AS (
+            SELECT a.bucket, a.user_id,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM events e
+                       WHERE e.user_id = a.user_id
+                         AND e.event_type = 'purchase'
+                   ) THEN 1 ELSE 0 END AS converted
+            FROM assign a
+        )
+        SELECT bucket,
+               count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               (sum(converted) * 10000) // count(*) AS conversion_bp
+        FROM conv GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("experimentation", "ab-test", "statistics"),
+)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned
+    to arms (md5 parity — the same stable bucketing
+    sample_stratified_hash uses, so assignment never flips between
+    analysis runs), per-arm user counts and purchase conversion in
+    integer basis points.  The per-user conversion flag is a
+    semi-join-style EXISTS, not an event count — one converting user
+    with 50 purchases contributes 1.
+
+    Scale shape: distinct users (one shuffle with map-side partial
+    distinct), a LEFT SEMI join against purchase events for the flag,
+    and a 2-group rollup; no per-event window anywhere."""
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    bucket = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    conv = (
+        users.join(purchasers, "user_id", "left")
+        .select(bucket.alias("bucket"), F.coalesce("converted", F.lit(0)).alias("converted"))
+    )
+    return (
+        conv.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "bucket",
+            "n_users",
+            "n_converted",
+            F.expr("(n_converted * 10000) div n_users").alias("conversion_bp"),
+        )
+        .orderBy("bucket")
+    )

@@ -1026,3 +1026,38 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+@register(
+    "orders_lines_histogram",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey, count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_lines, count(*) AS n_orders,
+               CAST(n_lines * count(*) AS BIGINT) AS n_lineitems
+        FROM per_order GROUP BY n_lines ORDER BY n_lines
+    """,
+    tags=("relational", "distribution"),
+)
+def orders_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: how many orders have k line items —
+    the fan-out profile that sizes the orders⋈lineitem join's
+    per-key amplification (a fat tail here is join-skew warning
+    exactly like events_partition_skew_report's bucket view).
+
+    Scale shape: two map-side-combined aggregations, output bounded
+    by max lines per order (7 in TPC-H)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "n_lines",
+            "n_orders",
+            (F.col("n_lines") * F.col("n_orders")).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("n_lines")
+    )
