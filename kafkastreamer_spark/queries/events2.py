@@ -800,3 +800,90 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_CEP_PATTERNS = (
+    ("signup_then_purchase", "s.*p"),
+    ("triple_purchase_run", "ppp"),
+    ("error_after_purchase", "p.*e"),
+)
+
+
+@register(
+    "events_pattern_match_cep",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        nu AS (SELECT count(*) AS n_users FROM seqs)
+        {" UNION ALL ".join(
+            f'''SELECT '{name}' AS pattern,
+                   CAST(count(*) FILTER (WHERE regexp_matches(seq, '{rx}'))
+                        AS BIGINT) AS n_matched,
+                   (SELECT n_users FROM nu) AS n_users,
+                   (count(*) FILTER (WHERE regexp_matches(seq, '{rx}'))
+                        * 10000) // (SELECT n_users FROM nu) AS match_bp
+               FROM seqs'''
+            for name, rx in _CEP_PATTERNS
+        )}
+        ORDER BY pattern
+    """,
+    tags=("streaming", "cep", "pattern", "sequence"),
+)
+def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching (the
+    MATCH_RECOGNIZE / Flink-CEP capability) on event sequences: each
+    user's history compresses to a time-ordered type-initial string
+    ('s'ignup,'p'urchase,'e'rror,…) and behavioral patterns become
+    RE2-safe regexes over it — signup-eventually-purchase,
+    a 3-purchase run, error-after-purchase — reported as matched-user
+    counts and integer-bp shares.  Sequence-as-string turns CEP's NFA
+    into the regex engine both systems already have, with identical
+    leftmost semantics because the patterns avoid backrefs and
+    lookaround.
+
+    Spark has no ordered string_agg, so the sequence is built with
+    the array_sort-struct digest pattern (corpus_shard_manifest) —
+    deterministic under any partitioning.
+
+    Scale shape: one user-keyed aggregation builds all sequences
+    (map-side combine on the collect), then pattern evaluation is
+    map-only regex over |users| rows — no per-event state machine,
+    no window.  Histories too long for a row fold would chunk by
+    session first (events_sessionization) and match per session."""
+    ev = _events(spark, sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id", F.substring("event_type", 1, 1).alias("l")
+                    )
+                )
+            ),
+            lambda s: s.l,
+        ),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq")).persist()
+    nu = seqs.agg(F.count(F.lit(1)).alias("n_users"))
+    parts = []
+    for name, rx in _CEP_PATTERNS:
+        parts.append(
+            seqs.crossJoin(F.broadcast(nu)).agg(
+                F.lit(name).alias("pattern"),
+                F.count_if(F.regexp_like("seq", F.lit(rx))).alias("n_matched"),
+                F.min("n_users").alias("n_users"),
+                F.expr(
+                    f"(count_if(regexp_like(seq, '{rx}')) * 10000)"
+                    " div min(n_users)"
+                ).alias("match_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pattern")

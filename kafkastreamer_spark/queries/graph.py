@@ -310,3 +310,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("node").alias("n_triangles"))
         .orderBy("nation")
     )
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS shared_parts
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            GROUP BY 1, 2
+        )
+        SELECT supp_a, supp_b, shared_parts
+        FROM pairs
+        ORDER BY shared_parts DESC, supp_a, supp_b
+        LIMIT 30
+    """,
+    tags=("graph", "projection", "cooccurrence"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: collapse the part–supplier graph onto
+    supplier–supplier edges weighted by shared parts (top-30) — the
+    co-occurrence projection behind "suppliers like this one" /
+    co-view recommenders, and the third view of the same bipartite
+    structure graph_connected_components propagates over.
+
+    Scale shape: the projection is a self-join on the part key, so
+    cost is Σ_p deg(p)² — dominated by high-degree parts.  The
+    fixture's part degrees are small; at web scale the standard
+    mitigations apply in this exact plan: cap or sample each part's
+    supplier list (the degree ceiling basket_pair_cooccurrence
+    documents) before the pairing join.  Top-30 compiles to
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct().persist()  # both sides of the pairing join
+    b = ps.select(F.col("p").alias("pb"), F.col("s").alias("supp_b"))
+    return (
+        ps.withColumnRenamed("s", "supp_a")
+        .join(b, (F.col("p") == F.col("pb")) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+        .limit(30)
+    )
