@@ -1061,3 +1061,64 @@ def orders_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+# The same SQL TEXT serves as both the Spark implementation (via
+# kafkastreamer_spark.sql.run_sql) and the DuckDB oracle — these two
+# queries prove the engine's SQL-string door produces gate-identical
+# results in the ANSI subset both engines share.
+_SHARED_SQL_ROLLUP = """
+    SELECT r_name AS region, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region
+"""
+
+_SHARED_SQL_RANKED = """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           CAST(RANK() OVER (ORDER BY COUNT(*) DESC, o_orderpriority)
+                AS BIGINT) AS rnk
+    FROM orders GROUP BY o_orderpriority ORDER BY rnk, priority
+"""
+
+
+@register(
+    "sql_text_shared_dialect_rollup",
+    oracle=_SHARED_SQL_ROLLUP,
+    tags=("sql-surface", "relational", "agg"),
+)
+def sql_text_shared_dialect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface proof, aggregate form: the implementation
+    is LITERALLY the oracle string, executed through
+    ``kafkastreamer_spark.sql.run_sql`` (fixture tables registered as
+    temp views, Catalyst planning the text exactly like the
+    DataFrame API) — one ANSI string, two engines, gate-identical
+    results.  Demonstrates users can bring raw SQL to the engine
+    without the DataFrame layer and keep every determinism guarantee,
+    provided they stay in the shared dialect and fixed-point
+    discipline.
+
+    Scale shape: identical to window_ratio_to_report's star join —
+    Catalyst broadcasts the dimensions regardless of which surface
+    submitted the text."""
+    from kafkastreamer_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SHARED_SQL_ROLLUP)
+
+
+@register(
+    "sql_text_shared_dialect_ranked",
+    oracle=_SHARED_SQL_RANKED,
+    tags=("sql-surface", "relational", "window"),
+)
+def sql_text_shared_dialect_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface proof, window form: RANK over a grouped
+    aggregate from one shared-dialect string (see
+    sql_text_shared_dialect_rollup)."""
+    from kafkastreamer_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SHARED_SQL_RANKED)
