@@ -1122,3 +1122,82 @@ def sql_text_shared_dialect_ranked(spark: SparkSession, sf_dir: str) -> DataFram
     from kafkastreamer_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _SHARED_SQL_RANKED)
+
+
+@register(
+    "subquery_exists_battery",
+    oracle="""
+        SELECT 'customers_with_orders' AS probe,
+               (SELECT count(*) FROM customer c
+                WHERE EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)) AS n
+        UNION ALL
+        SELECT 'customers_without_orders',
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey))
+        UNION ALL
+        SELECT 'customers_via_in',
+               (SELECT count(*) FROM customer
+                WHERE c_custkey IN (SELECT o_custkey FROM orders))
+        UNION ALL
+        SELECT 'orders_above_cust_avg',
+               (SELECT count(*) FROM orders o
+                WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) * (
+                          SELECT count(*) FROM orders i
+                          WHERE i.o_custkey = o.o_custkey)
+                      > (SELECT SUM(CAST(FLOOR(i.o_totalprice * 100) AS BIGINT))
+                         FROM orders i WHERE i.o_custkey = o.o_custkey))
+        ORDER BY probe
+    """,
+    tags=("relational", "subquery", "correlated"),
+)
+def subquery_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery battery: EXISTS (semi), NOT EXISTS (anti),
+    IN (semi again — the count must equal the EXISTS form), and a
+    correlated above-the-customer's-average probe done in exact
+    integer cross-multiplication (price·n > Σprice avoids the float
+    average entirely).  Catalyst decorrelates all four into
+    semi/anti/aggregate joins — the battery pins that rewrite's
+    semantics, including the equal counts between the IN and EXISTS
+    spellings.
+
+    Scale shape: each probe is one semi/anti join (broadcast when the
+    dimension fits) or one custkey-grouped aggregate joined back —
+    nothing row-at-a-time despite the correlated spelling."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def one(name: str, n) -> DataFrame:
+        return n.select(F.lit(name).alias("probe"), F.col("n").cast("long").alias("n"))
+
+    with_orders = c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    without_orders = c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    via_in = c.join(
+        o.select("o_custkey").distinct(),
+        c.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("tot_fp"),
+    )
+    above_avg = (
+        o.join(F.broadcast(stats), o.o_custkey == stats.k)
+        .filter(
+            F.floor(F.col("o_totalprice") * 100).cast("long") * F.col("cnt")
+            > F.col("tot_fp")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        one("customers_via_in", via_in)
+        .unionByName(one("customers_with_orders", with_orders))
+        .unionByName(one("customers_without_orders", without_orders))
+        .unionByName(one("orders_above_cust_avg", above_avg))
+        .orderBy("probe")
+    )
