@@ -94,3 +94,51 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     instead (mergeSchema scans every footer at planning time — fine
     per-partition, wasteful over 10^6 files)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    publish_path: str,
+    checks: list,
+    staging_path: str | None = None,
+) -> dict:
+    """Write-Audit-Publish: stage the data, run validation checks
+    against the STAGED files (what readers would actually see), and
+    only then move them to the published location — the pattern that
+    keeps a bad batch from ever being visible to consumers (Iceberg's
+    WAP branch / Delta's constraint-checked commit, expressed on
+    plain parquet directories).
+
+    ``checks`` is a list of ``(name, fn)`` where ``fn(staged_df) ->
+    number_of_violations``; any nonzero violation count aborts the
+    publish and leaves the staging directory for inspection.  Returns
+    an audit report dict (per-check violations, published flag,
+    row count).
+
+    Scale note: the extra cost over a direct write is one read-back
+    of the staged files for validation — exactly the audit a
+    production pipeline must pay somewhere; doing it pre-publish
+    makes failure cheap (no consumer saw the data, no rollback).
+    The final move is a filesystem rename: metadata-only on
+    HDFS/object stores with atomic rename semantics."""
+    import os
+    import shutil
+
+    staging = staging_path or publish_path + "._staging"
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    report: dict = {"checks": {}, "published": False}
+    report["n_rows"] = staged.count()
+    ok = True
+    for name, fn in checks:
+        violations = int(fn(staged))
+        report["checks"][name] = violations
+        if violations:
+            ok = False
+    if ok:
+        if os.path.exists(publish_path):
+            shutil.rmtree(publish_path)
+        os.rename(staging, publish_path)
+        report["published"] = True
+    return report

@@ -525,3 +525,42 @@ def test_csv_permissive_corrupt_records(spark, tmp_path):
     assert {(r.id, r.value) for r in good} == {(1, 10), (3, 30)}
     assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
     df.unpersist()
+
+
+def test_write_audit_publish_gates_bad_batches(spark, sf_dir, tmp_path):
+    """WAP: a failing audit must leave the publish path absent and
+    the staging directory inspectable; a passing audit publishes and
+    removes staging."""
+    import os
+
+    from kafkastreamer_spark.io import write_audit_publish
+    from kafkastreamer_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    pub = str(tmp_path / "published")
+
+    bad = write_audit_publish(
+        o,
+        pub,
+        checks=[
+            (
+                "no_pending_status",  # fixture HAS 'P' rows → must fail
+                lambda d: d.filter(F.col("o_orderstatus") == "P").count(),
+            )
+        ],
+    )
+    assert not bad["published"]
+    assert not os.path.exists(pub)
+    assert os.path.exists(pub + "._staging")  # left for inspection
+
+    good = write_audit_publish(
+        o,
+        pub,
+        checks=[
+            ("orderkey_not_null", lambda d: d.filter(F.col("o_orderkey").isNull()).count()),
+            ("positive_price", lambda d: d.filter(F.col("o_totalprice") <= 0).count()),
+        ],
+    )
+    assert good["published"] and good["n_rows"] == o.count()
+    assert spark.read.parquet(pub).count() == o.count()
+    assert not os.path.exists(pub + "._staging")  # renamed away
