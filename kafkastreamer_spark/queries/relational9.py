@@ -1201,3 +1201,82 @@ def subquery_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("orders_above_cust_avg", above_avg))
         .orderBy("probe")
     )
+
+
+@register(
+    "features_customer_matrix",
+    oracle="""
+        WITH stats AS (
+            SELECT o_custkey AS custkey,
+                   count(*) AS frequency,
+                   SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS monetary_fp,
+                   min(o_orderdate) AS first_order,
+                   max(o_orderdate) AS last_order,
+                   count(DISTINCT o_orderpriority) AS n_priorities,
+                   CAST(max(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS max_order_fp
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT max(o_orderdate) AS now FROM orders)
+        SELECT custkey,
+               date_diff('day', last_order, (SELECT now FROM anchor))
+                   AS recency_days,
+               frequency,
+               CAST(monetary_fp AS DOUBLE) / 10000 AS monetary,
+               CAST(n_priorities AS BIGINT) AS n_priorities,
+               CAST(max_order_fp AS DOUBLE) / 10000 AS max_order_value,
+               date_diff('day', first_order, last_order) AS tenure_days,
+               CASE WHEN frequency > 1
+                    THEN date_diff('day', first_order, last_order)
+                         // (frequency - 1) END AS mean_gap_days
+        FROM stats
+        ORDER BY custkey
+    """,
+    tags=("relational", "feature-engineering", "ml"),
+)
+def features_customer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer feature matrix for churn/CLV models: recency against
+    the corpus anchor date, frequency, exact monetary totals, max
+    order value, priority diversity, tenure, and mean inter-order
+    gap as integer division of day spans (no float averaging) — the
+    feature-engineering rollup that feeds a training table, with
+    every column exact so train/serve skew from the FEATURE layer is
+    zero by construction (the point-in-time discipline is
+    features_point_in_time_join; this is the aggregate-feature
+    sibling).
+
+    Scale shape: ONE custkey-grouped pass builds every feature
+    (count/sum/min/max/distinct all map-side combinable); the anchor
+    date broadcasts.  Adding features widens the aggregate, never
+    adds passes."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("now"))
+    stats = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias(
+            "monetary_fp"
+        ),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.max(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias(
+            "max_order_fp"
+        ),
+    )
+    return (
+        stats.crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff("now", "last_order").alias("recency_days"),
+            "frequency",
+            (F.col("monetary_fp").cast("double") / 10000).alias("monetary"),
+            "n_priorities",
+            (F.col("max_order_fp").cast("double") / 10000).alias("max_order_value"),
+            F.datediff("last_order", "first_order").alias("tenure_days"),
+            F.when(
+                F.col("frequency") > 1,
+                F.expr("datediff(last_order, first_order) div (frequency - 1)"),
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("custkey")
+    )
