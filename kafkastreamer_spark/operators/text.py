@@ -1083,3 +1083,54 @@ def text_char_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rnk").cast("long"), F.col("c").alias("ch"), "n")
         .orderBy("lang", "rnk")
     )
+
+
+@register(
+    "text_encoding_anomaly_scan",
+    oracle="""
+        WITH scan AS (
+            SELECT doc_id, lang,
+                   length(text) AS nc,
+                   length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))
+                       AS n_nonascii
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_nonascii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_nonascii,
+               CAST(sum(n_nonascii) AS BIGINT) AS total_nonascii_chars,
+               CAST(max(n_nonascii) AS BIGINT) AS max_doc_nonascii
+        FROM scan GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm-data", "text", "encoding", "quality"),
+)
+def text_encoding_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly scan: per language, how many documents carry
+    characters outside printable ASCII and how many such characters —
+    for an ASCII-expected language a nonzero count is the mojibake /
+    double-encoding tripwire, while for CJK it calibrates the
+    expected baseline.  The counter is the
+    length-minus-stripped-length idiom with an RE2-safe printable
+    class ('[^ -~]') — no codepoint iteration, both engines count
+    identically.
+
+    Scale shape: map-only regex + length arithmetic in codegen; one
+    |langs|-group rollup with map-side combine."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    n_nonascii = F.length("text") - F.length(
+        F.regexp_replace("text", "[^ -~]", "")
+    )
+    scan = d.select("doc_id", "lang", n_nonascii.alias("n_nonascii"))
+    return (
+        scan.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_nonascii") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_nonascii"),
+            F.sum("n_nonascii").cast("long").alias("total_nonascii_chars"),
+            F.max("n_nonascii").cast("long").alias("max_doc_nonascii"),
+        )
+        .orderBy("lang")
+    )

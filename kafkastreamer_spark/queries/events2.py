@@ -887,3 +887,63 @@ def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("pattern")
+
+
+@register(
+    "events_offset_gap_audit",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(event_id) AS lo, max(event_id) AS hi, count(*) AS n
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_id,
+                   LEAD(event_id) OVER (ORDER BY event_id) - event_id - 1
+                       AS gap_len
+            FROM events
+        )
+        SELECT (SELECT hi - lo + 1 - n FROM bounds) AS n_missing,
+               CAST(count(*) FILTER (WHERE gap_len > 0) AS BIGINT) AS n_gaps,
+               CAST(coalesce(max(gap_len), 0) AS BIGINT) AS max_gap_len,
+               (SELECT lo FROM bounds) AS first_id,
+               (SELECT hi FROM bounds) AS last_id
+        FROM gaps
+    """,
+    tags=("streaming", "completeness", "audit"),
+)
+def events_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: missing-id count from the
+    bounds identity (hi − lo + 1 − n, which needs NO sort), plus the
+    gap-run census from a LEAD pass — the Kafka-offset/CDC-LSN
+    continuity check that distinguishes "nothing lost" from "lost a
+    contiguous chunk" (one long gap = a dropped partition epoch; many
+    short gaps = sporadic producer loss).
+
+    Scale shape: the headline n_missing is a min/max/count scan
+    aggregate — O(1) state, no shuffle; the gap census pays one
+    global sort and at 100 TB runs per partition-key range instead
+    (same plan partitioned by the source split)."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("event_id")
+    gaps = ev.select(
+        (F.lead("event_id").over(w) - F.col("event_id") - 1).alias("gap_len")
+    )
+    gap_stats = gaps.agg(
+        F.count_if(F.col("gap_len") > 0).alias("n_gaps"),
+        F.coalesce(F.max("gap_len"), F.lit(0)).cast("long").alias("max_gap_len"),
+    )
+    return (
+        gap_stats.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("hi") - F.col("lo") + 1 - F.col("n")).alias("n_missing"),
+            "n_gaps",
+            "max_gap_len",
+            F.col("lo").alias("first_id"),
+            F.col("hi").alias("last_id"),
+        )
+    )
