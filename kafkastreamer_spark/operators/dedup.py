@@ -1149,3 +1149,54 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("csize").cast("long").alias("max_cluster"),
         F.min("keep_id").alias("first_keep_id"),
     )
+
+
+@register(
+    "dedup_lsh_scurve_table",
+    oracle="""
+        WITH j AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS jt),
+        grid AS (
+            SELECT CAST(jt AS BIGINT) AS j_tenths,
+                   CAST(jt AS DOUBLE) / 10 AS jacc
+            FROM j
+        ),
+        curve AS (
+            SELECT j_tenths, jacc,
+                   jacc * jacc * jacc AS p_row,
+                   (1 - jacc * jacc * jacc) * (1 - jacc * jacc * jacc) AS q2
+            FROM grid
+        )
+        SELECT j_tenths, jacc, p_row,
+               1 - q2 * q2 AS p_candidate
+        FROM curve ORDER BY j_tenths
+    """,
+    tags=("llm-data", "dedup", "lsh", "tuning"),
+)
+def dedup_lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH s-curve that justifies the engine's 4-band × 3-row
+    MinHash configuration: for Jaccard J on a 0.1 grid, the
+    probability a band matches (J³) and that ANY band matches
+    (1 − (1 − J³)⁴) — showing the collision-probability midpoint
+    ≈ 0.63 that dedup_minhash_lsh's docstring cites.  Powers expand
+    to explicit multiplication chains (j·j·j; squared-squared), so
+    both engines produce bit-identical doubles — pow() carries no
+    cross-engine rounding guarantee, multiplication does.
+
+    Scale shape: a 9-row constant-space computation — the tuning
+    table is free; its value is that reviewers (and the estimate
+    audit) can read expected behavior instead of trusting prose."""
+    spark_df = spark.range(1, 10).select(
+        F.col("id").alias("j_tenths"),
+        (F.col("id").cast("double") / 10).alias("jacc"),
+    )
+    p_row = F.col("jacc") * F.col("jacc") * F.col("jacc")
+    q2 = (1 - p_row) * (1 - p_row)
+    return (
+        spark_df.select(
+            "j_tenths",
+            "jacc",
+            p_row.alias("p_row"),
+            (1 - q2 * q2).alias("p_candidate"),
+        )
+        .orderBy("j_tenths")
+    )
