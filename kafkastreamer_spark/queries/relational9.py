@@ -1280,3 +1280,54 @@ def features_customer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "scalar_array_zip_battery",
+    oracle="""
+        WITH base AS (
+            SELECT n_nationkey,
+                   list_transform(range(1, 4), i -> n_nationkey * i) AS a,
+                   list_transform(range(1, 4), i -> i * i) AS b
+            FROM nation
+        )
+        SELECT n_nationkey,
+               list_transform(range(1, 4), i -> a[i] + b[i]) AS zipped_sum,
+               CAST(list_sum(list_transform(range(1, 4), i -> a[i] * b[i]))
+                    AS BIGINT) AS dot_int,
+               list_transform(range(1, 4),
+                              i -> CAST(a[i] AS VARCHAR) || ':'
+                                   || CAST(b[i] AS VARCHAR)) AS paired
+        FROM base ORDER BY n_nationkey
+    """,
+    tags=("relational", "scalar", "array", "zip"),
+)
+def scalar_array_zip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-zip battery: element-wise combination of two derived
+    integer arrays — zip_with sums, an integer dot product via
+    aggregate-over-zip (the same fold the embedding family relies
+    on, here in pure integers), and a paired string rendering —
+    completing the nested-array surface next to scalar_array_ops.
+
+    Scale shape: pure per-row codegen array work, no shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    idx = F.sequence(F.lit(1), F.lit(3))
+    base = n.select(
+        "n_nationkey",
+        F.transform(idx, lambda i: F.col("n_nationkey") * i).alias("a"),
+        F.transform(idx, lambda i: i * i).alias("b"),
+    )
+    return base.select(
+        "n_nationkey",
+        F.zip_with("a", "b", lambda x, y: x + y).alias("zipped_sum"),
+        F.aggregate(
+            F.zip_with("a", "b", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_int"),
+        F.zip_with(
+            "a",
+            "b",
+            lambda x, y: F.concat(x.cast("string"), F.lit(":"), y.cast("string")),
+        ).alias("paired"),
+    ).orderBy("n_nationkey")
