@@ -947,3 +947,156 @@ def events_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hi").alias("last_id"),
         )
     )
+
+
+@register(
+    "events_simpson_diversity",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        u AS (
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM per GROUP BY user_id
+        ),
+        d AS (
+            SELECT user_id,
+                   1000000 - (sum_c2 * 1000000) // (n * n) AS diversity_ppm
+            FROM u WHERE n > 0
+        )
+        SELECT diversity_ppm // 100000 AS decile,
+               count(*) AS n_users,
+               min(diversity_ppm) AS min_ppm,
+               max(diversity_ppm) AS max_ppm
+        FROM d GROUP BY 1 ORDER BY decile
+    """,
+    tags=("streaming", "statistics", "diversity"),
+)
+def events_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user via the Simpson index
+    1 − Σpᵢ² (the log-free diversity measure — Shannon entropy needs
+    log(), Simpson is pure integer over the common denominator n²),
+    bucketed into deciles across users — 0 = does one thing only,
+    →1e6 ppm = spreads evenly across event types.  The same Σc²
+    arithmetic as the HHI concentration audit, inverted and applied
+    per user; feeds bot detection (bots are low-diversity) and
+    engagement scoring.
+
+    Scale shape: one (user, type) count shuffle with map-side
+    combine, a user-level rollup, and a 10-group histogram."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    d = u.filter(F.col("n") > 0).select(
+        F.expr("1000000 - (sum_c2 * 1000000) div (n * n)").alias("diversity_ppm")
+    )
+    return (
+        d.groupBy(F.expr("diversity_ppm div 100000").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("diversity_ppm").alias("min_ppm"),
+            F.max("diversity_ppm").alias("max_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "events_winsorized_mean",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(FLOOR(value * 10000) AS BIGINT) AS v_fp
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, v_fp,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v_fp, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM v
+        ),
+        cuts AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN v_fp END)
+                       AS lo_fp,
+                   max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN v_fp END)
+                       AS hi_fp
+            FROM ranked GROUP BY event_type
+        )
+        SELECT v.event_type,
+               count(*) AS n,
+               CAST(c.lo_fp AS DOUBLE) / 10000 AS p5,
+               CAST(c.hi_fp AS DOUBLE) / 10000 AS p95,
+               CAST(sum(least(greatest(v.v_fp, c.lo_fp), c.hi_fp)) AS DOUBLE)
+                   / (10000 * count(*)) AS winsorized_mean,
+               CAST(sum(v.v_fp) AS DOUBLE) / (10000 * count(*)) AS raw_mean
+        FROM v JOIN cuts c USING (event_type)
+        GROUP BY v.event_type, c.lo_fp, c.hi_fp
+        ORDER BY v.event_type
+    """,
+    tags=("streaming", "statistics", "robust"),
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values to the discrete
+    [p5, p95] rank cuts (the shared ceil(p·n) formula), then the
+    exact fixed-point mean of the clamped values next to the raw
+    mean — the outlier-robust average that, unlike trimming, keeps n
+    constant.  The winsorized−raw spread quantifies how much tails
+    drive the metric.  Clamps, sums and cuts are all integer; each
+    mean is one final division.
+
+    Scale shape: one event_type-partitioned rank pass (shared with
+    the percentile battery), cuts broadcast back, one
+    map-side-combined rollup."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v_fp"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "v_fp",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt * 5 + 99) div 100"), F.col("v_fp"))
+        ).alias("lo_fp"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt * 95 + 99) div 100"), F.col("v_fp"))
+        ).alias("hi_fp"),
+    )
+    clamped = F.least(F.greatest(F.col("v_fp"), F.col("lo_fp")), F.col("hi_fp"))
+    return (
+        v.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "lo_fp", "hi_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(clamped).cast("double") / (10000 * F.count(F.lit(1)))).alias(
+                "winsorized_mean"
+            ),
+            (F.sum("v_fp").cast("double") / (10000 * F.count(F.lit(1)))).alias(
+                "raw_mean"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("lo_fp").cast("double") / 10000).alias("p5"),
+            (F.col("hi_fp").cast("double") / 10000).alias("p95"),
+            "winsorized_mean",
+            "raw_mean",
+        )
+        .orderBy("event_type")
+    )
