@@ -10,7 +10,7 @@ single Catalyst plan (plus the iterative CC rounds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators.dedup import (
@@ -18,7 +18,9 @@ from kafkastreamer_spark.operators.dedup import (
     dedup_cluster_representatives,
 )
 from kafkastreamer_spark.operators.text import text_quality_score
+from kafkastreamer_spark.operators._embed import tokens
 from kafkastreamer_spark.registry import REGISTRY, register
+from kafkastreamer_spark.tables import load_table, widen
 
 MIN_QUALITY = 70
 
@@ -70,4 +72,102 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rep_id").isNull() | (F.col("rep_id") == F.col("doc_id")))
         .select("doc_id", "lang", "quality_score")
         .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET = 50_000
+
+
+@register(
+    "corpus_token_budget_select",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {{toks}} AS w,
+                   length(text) AS nc,
+                   length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tok,
+                   (CASE WHEN CAST(len(w) AS BIGINT) BETWEEN 20 AND 1000
+                         THEN 40 ELSE 0 END
+                    + CASE WHEN CAST(FLOOR(CAST(n_punct AS DOUBLE) / nc * 10000)
+                                AS BIGINT) < 500 THEN 30 ELSE 0 END
+                    + CASE WHEN CAST(FLOOR(CAST(list_sum(list_transform(w,
+                                t -> len(t))) AS DOUBLE) / len(w) * 10000)
+                                AS BIGINT) BETWEEN 30000 AND 80000 THEN 30
+                           ELSE 0 END) AS q
+            FROM tok
+        ),
+        ordered AS (
+            SELECT doc_id, n_tok, q,
+                   sum(n_tok) OVER (ORDER BY q DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tok
+            FROM scored
+        ),
+        kept AS (SELECT * FROM ordered WHERE cum_tok <= {TOKEN_BUDGET})
+        SELECT count(*) AS n_selected,
+               CAST(max(cum_tok) AS BIGINT) AS tokens_used,
+               CAST(min(q) AS BIGINT) AS min_quality_admitted,
+               CAST(sum(doc_id) AS BIGINT) AS selected_id_sum
+        FROM kept
+    """.format(toks="string_split_regex(lower(text), '\\s+')"),
+    tags=("llm-data", "curation", "budget"),
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus curation: rank documents by quality score
+    (quality DESC, doc_id tie-break), admit greedily while the
+    running token total stays within the budget, and report the
+    selection audit (docs kept, tokens used, the quality floor the
+    budget forced, and an id checksum of the kept set) — the "best
+    N tokens" selection every fixed-compute training run makes, with
+    the quality floor being the number that tells you whether the
+    budget or the corpus is the binding constraint.
+
+    Scale shape: scoring is map-only; the global quality rank is the
+    honest serial step (range-partitioned rank at scale, as
+    corpus_shard_assignment documents), and the budget cutoff is the
+    same running-sum frontier as the interval sweep."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    w = F.col("w")
+    nc = F.length("text")
+    n_punct = nc - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    scored = d.select(
+        "doc_id", tokens(F.col("text")).alias("w"), "text"
+    ).select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tok"),
+        (
+            F.when(F.size(w).cast("long").between(20, 1000), 40).otherwise(0)
+            + F.when(F.floor(n_punct.cast("double") / nc * 10000) < 500, 30)
+            .otherwise(0)
+            + F.when(
+                F.floor(
+                    F.aggregate(
+                        F.transform(w, lambda t: F.length(t).cast("long")),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).cast("double")
+                    / F.size(w)
+                    * 10000
+                ).between(30000, 80000),
+                30,
+            ).otherwise(0)
+        ).alias("q"),
+    )
+    wrun = Window.orderBy(F.desc("q"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = scored.select(
+        "doc_id", "n_tok", "q", F.sum("n_tok").over(wrun).alias("cum_tok")
+    )
+    kept = ordered.filter(F.col("cum_tok") <= TOKEN_BUDGET)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.max("cum_tok").cast("long").alias("tokens_used"),
+        F.min("q").cast("long").alias("min_quality_admitted"),
+        F.sum("doc_id").cast("long").alias("selected_id_sum"),
     )
