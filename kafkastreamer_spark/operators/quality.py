@@ -341,7 +341,7 @@ def _corpus_prep_oracle() -> str:
         SELECT CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
                     WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'valid'
                     ELSE 'test' END AS split,
-               lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM mixed
         GROUP BY split, lang
         ORDER BY split, lang

@@ -95,7 +95,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 'test' END AS split
             FROM documents
         )
-        SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM assigned
         GROUP BY split, lang
         ORDER BY split, lang

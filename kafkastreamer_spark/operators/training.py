@@ -106,14 +106,14 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, lang, len({SQL_TOKENS}) AS n_tok FROM documents
         )
         SELECT lang, doc_id, n_tok,
-               COALESCE(SUM(n_tok) OVER (
+               CAST(COALESCE(SUM(n_tok) OVER (
                    PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS "offset",
-               COALESCE(SUM(n_tok) OVER (
+               ), 0) AS BIGINT) AS "offset",
+               CAST(COALESCE(SUM(n_tok) OVER (
                    PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // {PACK_WINDOW} AS pack_id
+               ), 0) // {PACK_WINDOW} AS BIGINT) AS pack_id
         FROM t
         ORDER BY lang, doc_id
     """,

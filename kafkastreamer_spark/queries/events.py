@@ -284,11 +284,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_pivot",
     oracle="""
         SELECT user_id,
-               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-               COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-               COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
         FROM events
         GROUP BY user_id
         ORDER BY user_id

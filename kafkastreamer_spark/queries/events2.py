@@ -754,7 +754,7 @@ def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bucket,
                count(*) AS n_users,
                CAST(sum(converted) AS BIGINT) AS n_converted,
-               (sum(converted) * 10000) // count(*) AS conversion_bp
+               CAST((sum(converted) * 10000) // count(*) AS BIGINT) AS conversion_bp
         FROM conv GROUP BY bucket ORDER BY bucket
     """,
     tags=("experimentation", "ab-test", "statistics"),

@@ -247,7 +247,7 @@ def _label_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
         SELECT CAST(label AS INT) AS label,
                COUNT(*) AS n_vecs,
-               SUM(vec_id) AS sum_vec_id,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
                MIN(vec_id) AS min_vec_id,
                MAX(vec_id) AS max_vec_id
         FROM embeddings

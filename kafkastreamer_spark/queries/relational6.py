@@ -614,9 +614,9 @@ def scalar_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
         )
         SELECT l_returnflag, COUNT(*) AS n,
-               COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS covar_num,
-               COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS var_x_num,
-               COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS var_y_num
+               CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS covar_num,
+               CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_x_num,
+               CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS var_y_num
         FROM f
         GROUP BY l_returnflag
         ORDER BY l_returnflag

@@ -42,7 +42,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                CASE WHEN b.c_custkey IS NULL THEN 'insert'
                     WHEN c.k IS NULL THEN 'keep'
                     ELSE 'update' END AS action,
-               COALESCE(b.bal_fp, 0) + COALESCE(c.delta_fp, 0) AS bal4
+               CAST(COALESCE(b.bal_fp, 0) + COALESCE(c.delta_fp, 0) AS BIGINT) AS bal4
         FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
         ORDER BY custkey
     """,

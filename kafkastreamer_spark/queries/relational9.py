@@ -477,9 +477,9 @@ def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         shares AS (
             SELECT nk, sk,
-                   (rev_fp * 10000)
+                   CAST((rev_fp * 10000)
                        // CAST(sum(rev_fp) OVER (PARTITION BY nk) AS BIGINT)
-                       AS share_bp
+                       AS BIGINT) AS share_bp
             FROM rev
         )
         SELECT n.n_name AS nation,
@@ -857,9 +857,9 @@ def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_orders - LAG(n_orders, 12) OVER (ORDER BY month) AS yoy_n_delta,
                CAST(rev_fp - LAG(rev_fp, 12) OVER (ORDER BY month) AS DOUBLE)
                    / 10000 AS yoy_rev_delta,
-               CASE WHEN LAG(rev_fp, 12) OVER (ORDER BY month) > 0
+               CAST(CASE WHEN LAG(rev_fp, 12) OVER (ORDER BY month) > 0
                     THEN (rev_fp * 10000) // LAG(rev_fp, 12) OVER (ORDER BY month)
-                    END AS yoy_rev_ratio_bp
+                    END AS BIGINT) AS yoy_rev_ratio_bp
         FROM m ORDER BY month
     """,
     tags=("relational", "time", "growth", "window"),
