@@ -36,6 +36,7 @@ from kafkastreamer_spark.registry import REGISTRY, register
 from kafkastreamer_spark.tables import load_table, widen
 
 JACCARD_THRESHOLD = 0.2
+NGRAM_DF_CAP = 64  # shingles in more docs than this are stop-shingles
 MINHASH_PERMS = 12
 MINHASH_BANDS = 4  # 4 bands × 3 rows: s-curve midpoint ≈ 0.63
 COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are near-random; see tests
@@ -115,8 +116,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
         sh AS (SELECT doc_id, {sql_shingles('w')} AS sh FROM words WHERE len(w) >= 3),
-        sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-        posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        posting0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM posting0 GROUP BY s),
+        posting AS (
+            SELECT p.doc_id, p.s FROM posting0 p
+            JOIN dfreq d ON p.s = d.s AND d.df <= {NGRAM_DF_CAP}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY doc_id),
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
             FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -134,16 +140,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-data", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ 0.2, via inverted-index
-    self-join (posting list per shingle), never a cross join.
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.2 over non-stop
+    shingles, via inverted-index self-join — never a cross join.
 
-    Scale: candidate volume is Σ_s df(s)², bounded by shingle rarity
-    (fixture: avg df 1.6). For skewed corpora add a df cap on the
-    posting list — the oracle and Spark side must share the cap.
+    Scale: raw candidate volume is Σ_s df(s)² — quadratic in the
+    document frequency of the most common shingle, which on a skewed
+    corpus (boilerplate headers, license blocks) goes quadratic in
+    corpus size. The df cap removes shingles appearing in more than
+    NGRAM_DF_CAP docs ("stop-shingles") from BOTH the posting list and
+    the per-doc set size, so the Jaccard is exactly the Jaccard of the
+    capped shingle sets and the oracle shares the semantics. Candidate
+    volume is then ≤ cap × |posting| — linear in corpus size.
+
+    Plan shape: df counts aggregate with map-side combine (tiny
+    shuffle: one row per distinct shingle); the stop-shingle list
+    (df > cap) is by construction small — high-df shingles are few —
+    and is removed from the posting list with a BROADCAST left-anti
+    join, so the posting list itself is never shuffled for the cap.
     """
     sh = _shingle_sets(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    posting0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    stop = (
+        posting0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("s")
+    )
+    posting = posting0.join(F.broadcast(stop), "s", "left_anti").persist()
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
