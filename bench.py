@@ -78,7 +78,7 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         # isolate queries: operator-internal persist() calls otherwise
@@ -89,10 +89,17 @@ def main() -> None:
         # queries degrade 3-5x (measured on the dedup family)
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Per-query isolation: one failing query must not cost the whole
+        # run its numbers (round-2 postmortem — bench died at query 13
+        # and produced no JSON at all).
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = f"ERROR: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
             {

@@ -48,8 +48,18 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     # the session without it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # Fixture generation A: parquet TIMESTAMP(NANOS) surfaced as a
+        # nanosecond count under nanosAsLong.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Fixture generation B: parquet timestamp[us] without timezone.
+        # The session timezone is pinned UTC (session.py), so casting to
+        # TIMESTAMP (LTZ) is value-preserving and matches DuckDB's naive
+        # timestamps — every downstream ts-arithmetic site (unix_micros,
+        # window(), cast("long"), timestamp literals) expects LTZ.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
