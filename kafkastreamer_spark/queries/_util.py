@@ -76,3 +76,20 @@ def sql_davg(expr: str, alias: str) -> str:
 def fmt_date(col, alias: str) -> Column:
     """Render a timestamp column as yyyy-MM-dd string (cross-engine safe)."""
     return F.date_format(_c(col), "yyyy-MM-dd").alias(alias)
+
+
+def epoch_us(col) -> Column:
+    """Microseconds since epoch from a TIMESTAMP *or* TIMESTAMP_NTZ column.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ); fixture regenerations
+    have shipped ``events.ts`` as both LTZ and NTZ, so every
+    ts-arithmetic site goes through this helper. The NTZ→LTZ cast is
+    value-preserving because the session timezone is pinned UTC
+    (session.py), matching DuckDB's naive-timestamp ``epoch_us``.
+    """
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
+def epoch_s(col) -> Column:
+    """Whole seconds since epoch (timestamp-type agnostic, see epoch_us)."""
+    return _c(col).cast("timestamp").cast("long")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkastreamer_spark.queries._util import dsum
+from kafkastreamer_spark.queries._util import dsum, epoch_s, epoch_us
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.streaming.stages import apply_stage_chain, parse_value
 from kafkastreamer_spark.tables import load_table, widen
@@ -259,7 +259,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w)
     flagged = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )
@@ -424,7 +424,7 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize, pivot first-times per step, compare."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w)
     flagged = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )
@@ -676,7 +676,7 @@ def join_time_proximity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "error")
-        .select("event_id", F.unix_micros("ts").alias("us"))
+        .select("event_id", epoch_us("ts").alias("us"))
     )
     a = err.select(
         "event_id", "us", F.floor(F.col("us") / 60_000_000).alias("m")

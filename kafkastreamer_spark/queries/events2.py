@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkastreamer_spark.queries._util import epoch_us
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
 
@@ -108,7 +109,7 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     6-group aggregate with map-side combine."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = epoch_us("ts")
     gaps = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
         F.col("gap_us").isNotNull()
     )
@@ -476,7 +477,7 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     late = ev.select(
-        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")).alias("late_us")
+        (epoch_us(F.max("ts").over(w)) - epoch_us("ts")).alias("late_us")
     )
     bucket = (
         F.when(F.col("late_us") == 0, "0_on_time")
@@ -653,7 +654,7 @@ def events_reactivation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization query pays, then a month-bounded rollup."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = epoch_us("ts")
     gaps = ev.select(
         "user_id", "ts", (us - F.lag(us).over(w)).alias("gap_us")
     ).filter(F.col("gap_us") > F.lit(2) * 86_400_000_000)

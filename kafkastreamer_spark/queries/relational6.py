@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkastreamer_spark.queries._util import dsum, fixed, sql_dsum, sql_fixed
+from kafkastreamer_spark.queries._util import dsum, epoch_us, fixed, sql_dsum, sql_fixed
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
 
@@ -120,7 +120,7 @@ def join_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
             "prev_purchase_id",
             "prev_purchase_value",
-            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias(
+            (epoch_us("ts") - epoch_us("prev_ts")).alias(
                 "micros_since_purchase"
             ),
         )
