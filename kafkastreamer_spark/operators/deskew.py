@@ -25,9 +25,19 @@ hashes — while the largest sort partition shrinks by the bucket fan-out
 
 Scale shape: one shuffle of the (narrow) main data on (group, bucket)
 serves both the offset join and the local window; the counts side is
-|groups| × |buckets| rows (KBs even at 100 TB) and broadcasts. No
-single-task sort of a full group remains — asserted by plan tests in
-``tests/test_deskew.py``.
+|distinct (group, bucket)| rows — KBs for low-cardinality groups (lang
+× 4096 md5 buckets), but potentially huge for high-cardinality groups
+(e.g. group = URL domain), so the join carries NO broadcast hint: AQE
+picks broadcast when the runtime size is under the threshold and falls
+back to sort-merge (which reuses the same (group, bucket) partitioning
+as the local window) otherwise. No single-task sort of a full group
+remains — asserted by plan tests in ``tests/test_deskew.py``.
+
+NULL keys: join keys use ``eqNullSafe``, so rows with NULL group keys
+or a NULL bucket value keep their rank exactly as the window
+formulation keeps NULL partitions (an inner equi-join would silently
+drop them; the fixtures have no NULLs, so only this code path — not a
+parity test — guards that case).
 
 Reference grounding: the reference engine has no per-group ranking at
 all (it is a 1-record/s keyed streamer, SURVEY.md §2-A); this module
@@ -86,9 +96,24 @@ def bucketed_row_number(
         )
     keep = part_cols + [_BKT, _OFF] + ([count_name] if count_name else [])
 
+    # Null-safe equi-join (<=>): NULL group keys / bucket values keep
+    # their rows, matching the window formulation's NULL partitions.
+    # No broadcast hint — offsets is |distinct (group, bucket)| rows,
+    # which for high-cardinality groups can approach |rows|; AQE
+    # broadcasts it when it is actually small.
+    join_keys = part_cols + [_BKT]
+    right = offs.select(*keep)
+    for c in join_keys:
+        right = right.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in join_keys:
+        e = t[c].eqNullSafe(right[f"_r_{c}"])
+        cond = e if cond is None else cond & e
+
     wloc = Window.partitionBy(*part_cols, _BKT).orderBy(*local_order)
     return (
-        t.join(F.broadcast(offs.select(*keep)), on=part_cols + [_BKT])
+        t.join(right, on=cond)
+        .drop(*[f"_r_{c}" for c in join_keys])
         .withColumn(rank_name, F.row_number().over(wloc) + F.col(_OFF))
         .drop(_BKT, _OFF)
     )

@@ -246,7 +246,9 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH ranked AS (
             SELECT doc_id, lang, n_chars,
                    row_number() OVER (PARTITION BY lang
-                                      ORDER BY n_chars DESC, doc_id) AS rk,
+                                      ORDER BY n_chars DESC,
+                                               md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rk,
                    count(*) OVER (PARTITION BY lang) AS cnt
             FROM documents
         )
@@ -262,23 +264,29 @@ def sample_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbose language doesn't crowd out a terse one). The quartile
     membership test is the integer comparison ``4*rank <= count`` on
     an exactly-ranked window — no percentile interpolation, no
-    floats, identical on any engine and any partitioning.
+    floats, identical on any engine and any partitioning. Length ties
+    break by md5(doc_id) (then doc_id) — deterministic, and it makes
+    the de-skew bucket robust below.
 
-    Scale shape: the rank partitions by (lang, n_chars) — the sort
-    key's own prefix is the de-skew bucket (``deskew.
-    bucketed_row_number``), so a dominant language fans out across
-    its length distribution instead of sorting in one task; the
-    per-(lang, length) counts aggregate is tiny and broadcasts as
-    rank offsets. Bit-identical to the oracle's global window."""
+    Scale shape: the de-skew bucket is (-n_chars, md5(doc_id) 2-hex
+    prefix) — a true prefix of the sort key (n_chars DESC, md5,
+    doc_id). Bucketing by length alone only fans a dominant language
+    across its length *distribution*; when most documents share one
+    length that single (lang, n_chars) bucket would still sort in one
+    task, so the uniform md5 sub-bucket splits it a further 256 ways
+    regardless of the length histogram. The per-bucket counts
+    aggregate joins back as rank offsets (AQE broadcasts it when
+    small). Bit-identical to the oracle's global window."""
     d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    sub = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
     ranked = bucketed_row_number(
         d.select("doc_id", "lang", "n_chars"),
         ["lang"],
-        F.col("n_chars"),
-        [F.col("doc_id").asc()],
+        F.struct((-F.col("n_chars")).alias("b0"), sub.alias("b1")),
+        [h.asc(), F.col("doc_id").asc()],
         "rk",
         count_name="cnt",
-        bucket_desc=True,
     )
     return (
         ranked.filter(4 * F.col("rk") <= F.col("cnt"))

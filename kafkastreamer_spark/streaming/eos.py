@@ -25,6 +25,18 @@ do it — **idempotent produce + downstream dedup view**:
    half of the contract. Readers through the view observe every input
    record's effect exactly once, for any number of producer retries.
 
+**Guarantee scope.** The deterministic identity relies on Structured
+Streaming's replay contract: a failed batch is re-executed under the
+SAME batch_id against the SAME checkpointed source offsets, so the
+restamped identities are byte-identical and the view collapses them.
+That holds for producer failure/retry with an *intact* checkpoint (the
+real failure mode, tested by fail-after-produce in
+tests/test_streaming_eos.py). It does NOT survive checkpoint loss or
+rebuild: a fresh checkpoint may re-batch the same input records under
+different (batch_id, seq) and those duplicates pass the view. Same
+caveat as Kafka's own transactional producer losing its transaction
+log — guard the checkpoint like the data.
+
 Scale shape: the stamp's window partitions by (key, value) — each
 partition holds only the copies of one distinct record (size = its
 in-batch multiplicity), so there is no per-batch global sort; the view's

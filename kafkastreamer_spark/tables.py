@@ -70,13 +70,45 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     which serializes all downstream work on one core. On a real
     cluster a 100 TB table scans as many thousands of partitions and
     this is a no-op (repartitioning there would be a harmful full
-    shuffle — hence the guard, never an unconditional repartition).
+    shuffle — hence the guards, never an unconditional repartition).
+
+    Partition estimation is metadata-only — ``inputFiles()`` plus local
+    file sizes against ``spark.sql.files.maxPartitionBytes`` — instead
+    of ``df.rdd.getNumPartitions()``, which forced plan materialization
+    through the RDD API on every call (round-2 VERDICT item 8). When
+    the layout can't be cheaply estimated (many files, non-local paths,
+    unreadable sizes) the answer is "don't shuffle": every such case is
+    a real storage layout where the scan already parallelizes.
     """
     spark = df.sparkSession
     target = min_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    try:
+        max_bytes = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+        splits = 0
+        for f in files:
+            path = f.removeprefix("file://").removeprefix("file:")
+            if not path.startswith("/"):
+                return df  # non-local URI — real storage, scan parallelizes
+            splits += max(1, -(-os.path.getsize(path) // max_bytes))
+            if splits >= target:
+                return df
+    except OSError:
+        return df
+    return df.repartition(target)
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-valued conf ('134217728', '128m', '1g')."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw) if raw.isdigit() else default
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
