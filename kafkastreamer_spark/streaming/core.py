@@ -100,6 +100,20 @@ def to_memory_sink(
     return writer.start()
 
 
+def kafka_producer_options(
+    bootstrap: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """Producer option map as a pure function (assertable without a
+    broker; docs/kafka_smoke_blocker.md). The reference's transactional
+    producer (Streamer.java:100-108) maps to checkpointed at-least-once
+    here, with strict semantics layered in streaming/eos.py."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def to_kafka_sink(
     stream: DataFrame,
     bootstrap: str,
@@ -115,9 +129,7 @@ def to_kafka_sink(
     return (
         stream.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_producer_options(bootstrap, topic, checkpoint))
         .outputMode(output_mode)
         .start()
     )

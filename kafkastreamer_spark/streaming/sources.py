@@ -47,6 +47,31 @@ def keyed_int_batch(spark: SparkSession, n: int, partitions: int = 2) -> DataFra
     return keyed_int_stream(spark.range(n).select(F.col("id").alias("value")), partitions)
 
 
+def kafka_consumer_options(
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    read_committed: bool = True,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The consumer option map, as a pure function so the broker-less
+    sandbox can still assert reference parity (Streamer.java:113-120:
+    earliest reset at :119, read_committed isolation at :118) — see
+    docs/kafka_smoke_blocker.md for why no broker-backed test exists."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if read_committed:
+        opts["kafka.isolation.level"] = "read_committed"
+    if max_offsets_per_trigger is not None:
+        # backpressure: cap records per micro-batch (reference maps
+        # its sleep-throttle here, SURVEY.md §4.2)
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap: str,
@@ -62,19 +87,19 @@ def kafka_source(
     (Streamer.java:118). Kafka source parallelism = topic partitions,
     exactly as the reference maps one worker per partition.
     """
-    reader = (
+    raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_consumer_options(
+                bootstrap,
+                topic,
+                starting_offsets,
+                read_committed,
+                max_offsets_per_trigger,
+            )
+        )
+        .load()
     )
-    if read_committed:
-        reader = reader.option("kafka.isolation.level", "read_committed")
-    if max_offsets_per_trigger is not None:
-        # backpressure: cap records per micro-batch (reference maps
-        # its sleep-throttle here, SURVEY.md §4.2)
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
     return raw.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
