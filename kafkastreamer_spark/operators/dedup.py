@@ -370,74 +370,100 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-16 per chunk keeps candidates ∝ true near-dups.
     """
     d = _docs(spark, sf_dir)
-    # Per-row signature build: md5 each distinct token, expand each
-    # hash to a 64-element ±1 weight array, and fold the arrays with
-    # zip_with — a pure map stage (no doc×token×bit explosion, no
-    # shuffle). Hex→bits goes through a 16-entry map literal (one
-    # probe per hex char) instead of per-bit instr/pow arithmetic —
-    # 4x faster at runtime and a far smaller codegen unit (the per-bit
-    # form's first-run JIT dominated the whole query). Built lazily:
-    # module-level Columns break pandas-UDF worker re-imports.
-    entries = []
-    for i, ch in enumerate(HEX):
-        entries.append(F.lit(ch))
-        entries.append(F.array(*[F.lit((i >> (3 - k)) & 1) for k in range(4)]))
-    hexmap = F.create_map(*entries)
-
-    def _wgt_arr(h):
-        nibbles = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda i: F.element_at(hexmap, F.substring(h, i.cast("int"), 1)),
-            )
-        )
-        return F.transform(nibbles, lambda b: 2 * b - 1)
-
-    sums = (
+    # Signature build as explode + a PACKED-accumulator groupBy, all
+    # primitive long arithmetic inside whole-stage codegen. The md5
+    # hex splits into four 4-hex-char (16-bit) chunks via conv();
+    # chunk bit p of c{c} is global simhash bit b = 16c + (15-p) —
+    # identical bit layout to the oracle's per-nibble expansion.
+    # Per-bit sign needs only the SET count: s_b = Σ(2·bit−1) =
+    # 2·cnt_b − n_toks, so s_b ≥ 0 ⟺ 2·cnt_b ≥ n. Each SUM
+    # accumulator packs FOUR 16-bit counts (bits 4j..4j+3 of a chunk
+    # → bytes 0/2/4/6 of one long): 16 packed sums + n = 17 aggregate
+    # buffers. Two rejected forms, both measured on the sf0.1 build:
+    # a per-token 64-element ±1-array zip_with fold (array churn,
+    # 10.2 s) and 64 separate SUM(bit) columns feeding a 64-way
+    # when-chain projection (fused HashAggregate+Project codegen blows
+    # up: ~14 s cold, ~6 s per re-run; the packed form is 1.1 s cold,
+    # 0.6 s warm). 16-bit fields bound per-doc distinct tokens at
+    # 65535 — beyond any whitespace-tokenized document.
+    tok_chunks = (
         d.select("doc_id", tokens("text").alias("w"))
-        .select("doc_id", F.array_distinct("w").alias("toks"))
-        .select("doc_id", F.transform("toks", lambda t: F.md5(t)).alias("hs"))
-        .select("doc_id", F.transform("hs", lambda h: _wgt_arr(h)).alias("was"))
+        .select("doc_id", F.explode(F.array_distinct("w")).alias("t"))
+        .select("doc_id", F.md5("t").alias("h"))
         .select(
             "doc_id",
-            F.aggregate(
-                "was",
-                F.array_repeat(F.lit(0), SIMHASH_BITS),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("sums"),
+            *[
+                F.conv(F.substring("h", 1 + 4 * c, 4), 16, 10)
+                .cast("long")
+                .alias(f"c{c}")
+                for c in range(4)
+            ],
         )
     )
-    bits_arr = F.transform("sums", lambda s: F.when(s >= 0, 1).otherwise(0))
-    # Pack the 64 bits into FOUR 16-bit BIGINT chunks (MSB-first fold
-    # per chunk). The chunk int is both the LSH block key and the
-    # verify payload: hamming = Σ bit_count(xor(chunk_a, chunk_b)) — 4
-    # xor+popcount ops per candidate pair instead of a 64-element
-    # zip_with compare (the prior form; this one measured ~2x faster
-    # end-to-end on the 1.6M-candidate fixture join).
-    chunk_ints = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda c: F.aggregate(
-            F.slice(F.col("bits"), c * 16 + 1, F.lit(16)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc * 2 + x,
-        ),
+
+    def _packed(c: int, quarter: int):
+        # Σ over tokens of bits 4*quarter+0..3 of chunk c, in 16-bit
+        # fields at byte offsets 0/2/4/6.
+        e = F.lit(0).cast("long")
+        for j in range(4):
+            p = 4 * quarter + j  # chunk bit position
+            e = e + F.shiftleft(
+                F.shiftright(F.col(f"c{c}"), p).bitwiseAND(F.lit(1)).cast("long"),
+                16 * j,
+            )
+        return e
+
+    bit_counts = tok_chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(_packed(c, q)).alias(f"p_{c}_{q}")
+            for c in range(4)
+            for q in range(4)
+        ],
     )
+
+    # Re-pack sign bits into FOUR 16-bit BIGINT chunks (MSB-first).
+    # The chunk int is both the LSH block key and the verify payload:
+    # hamming = Σ bit_count(xor(chunk_a, chunk_b)) — 4 xor+popcount
+    # ops per candidate pair instead of a 64-element compare.
+    def _chunk_int(c: int):
+        expr = F.lit(0).cast("long")
+        for p in range(16):  # chunk bit position
+            cnt = F.shiftright(F.col(f"p_{c}_{p // 4}"), 16 * (p % 4)).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            bit = F.when(2 * cnt >= F.col("n"), 1).otherwise(0).cast("long")
+            expr = expr + F.shiftleft(bit, p)
+        return expr
+
     sig = (
-        sums.select("doc_id", bits_arr.alias("bits"))
-        .select("doc_id", chunk_ints.alias("chunks"))
+        bit_counts.select(
+            "doc_id", *[_chunk_int(c).alias(f"k{c}") for c in range(4)]
+        )
         .persist()  # chunk self-join fans this into two branches
     )
-    chunks = sig.select("doc_id", "chunks", F.posexplode("chunks").alias("c", "chunk"))
+    # stack() fans each doc into its 4 (position, chunk) block keys
+    # while keeping k0..k3 as scalar columns, so hamming unrolls to 4
+    # primitive xor+popcounts — no per-pair array allocation, and a
+    # far smaller codegen unit than the earlier zip_with-over-arrays
+    # (first-run JIT 12.3 s → 6.5 s for the whole query, warm 2.9 s →
+    # 0.9 s, measured at sf0.1).
+    chunks = sig.select(
+        "doc_id",
+        "k0",
+        "k1",
+        "k2",
+        "k3",
+        F.expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3) as (c, chunk)"),
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("a.chunks"),
-            F.col("b.chunks"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
-        ),
+    hamming = sum(
+        [
+            F.bit_count(F.col(f"a.k{c}").bitwiseXOR(F.col(f"b.k{c}"))).cast("long")
+            for c in range(4)
+        ],
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
     # hamming is computed IN the block join and filtered before the
     # dedup-distinct, so the distinct shuffle only carries true
