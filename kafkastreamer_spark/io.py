@@ -33,6 +33,104 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink — same predicate-pushdown/column-pruning
+    properties as parquet (Spark's ORC reader is vectorized and
+    supports pushed filters); the interchange format for Hive-lineage
+    warehouses."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, wholetext: bool = True
+) -> DataFrame:
+    """Ingest raw text files into the engine's documents shape
+    ``(doc_id, text, source)``.
+
+    ``wholetext=True``: one document per file, doc_id =
+    ``xxhash64(file URI)`` — deterministic across runs and cluster
+    layouts (unlike ``monotonically_increasing_id``, which depends on
+    partition assignment). ``wholetext=False``: one document per line
+    with doc_id = ``xxhash64(file URI, line)``; identical lines within
+    one file collapse to one id — for corpus ingest that is the
+    desired exact-dedup-on-entry semantics, and cross-file duplicates
+    keep distinct ids for the dedup operators to find.
+
+    Scale: the text source splits by file (wholetext) or by range
+    (line mode), so a 100 TB corpus parallelizes without any driver
+    involvement; doc_id needs no global coordination.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=wholetext).select(
+        F.input_file_name().alias("source"), F.col("value").alias("text")
+    )
+    if wholetext:
+        doc_id = F.xxhash64(F.col("source"))
+    else:
+        doc_id = F.xxhash64(F.col("source"), F.col("text"))
+    return df.select(doc_id.alias("doc_id"), "text", "source")
+
+
+# Extension → modality for binary ingest; anything else is "blob".
+_MODALITY_BY_EXT = {
+    "jpg": "image",
+    "jpeg": "image",
+    "png": "image",
+    "gif": "image",
+    "webp": "image",
+    "wav": "audio",
+    "mp3": "audio",
+    "flac": "audio",
+    "ogg": "audio",
+    "mp4": "video",
+    "mkv": "video",
+    "webm": "video",
+    "avi": "video",
+}
+
+
+def read_binary_corpus(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest opaque binary files (image/audio/video) as
+    ``(asset_id, uri, modality, n_bytes, content)`` — the input shape
+    of the multimodal operators (``operators/multimodal.py``), which
+    treat content as an opaque ``binary`` column plus typed metadata.
+
+    Built on the ``binaryFile`` source: file listing parallelizes,
+    content loads lazily per task, and ``pathGlobFilter`` prunes at
+    listing time (never reads non-matching files). Modality derives
+    from the file extension — cheap and deterministic; callers needing
+    sniffing run a magic-bytes pass with
+    ``multimodal.binary_stats`` downstream.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    modality = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _MODALITY_BY_EXT.items() for x in kv]
+        ),
+        ext,
+    )
+    return df.select(
+        F.xxhash64(F.col("path")).alias("asset_id"),
+        F.col("path").alias("uri"),
+        F.coalesce(modality, F.lit("blob")).alias("modality"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
