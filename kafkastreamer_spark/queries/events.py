@@ -740,8 +740,11 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring primitive behind outlier alerts.
 
     Scale shape: moments (n, Σx, Σx²) accumulate as exact BIGINTs in
-    one map-side-combined shuffle; the re-join of the tiny stats side
-    broadcasts. Mean/std only become doubles at the final compare, and
+    one map-side-combined shuffle; the stats side is one row per user
+    — unbounded at scale, so it carries NO broadcast hint (the join
+    key equals the groupBy key, so a shuffled join reuses the
+    aggregation's partitioning; AQE still broadcasts when the side is
+    actually small). Mean/std only become doubles at the final compare, and
     both engines derive them from identical integers, so the z-scores
     (and the ≥2.0 boundary) are bit-identical. Degenerate users
     (single event or zero variance) are filtered in integer space."""
@@ -762,7 +765,7 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("n").cast("double") * F.col("n"))
     z = (F.col("x") - mean) / F.sqrt(var)
     return (
-        f.join(F.broadcast(stats), "user_id")
+        f.join(stats, "user_id")
         .filter(
             (F.col("n") >= 2)
             & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)

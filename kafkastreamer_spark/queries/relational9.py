@@ -436,14 +436,17 @@ def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle's diagonal decay is the standard LTV forecasting input.
 
     Scale shape: the cohort dimension derives from a per-customer min
-    (one custkey shuffle), broadcasts back onto orders, and the
-    triangle rollup is bounded at years² groups."""
+    (one custkey shuffle) and re-joins orders on the same key — one
+    row per customer, unbounded at scale, so no broadcast hint: the
+    shuffled join reuses the aggregation's custkey partitioning and
+    AQE broadcasts only when the side is actually small. The triangle
+    rollup is bounded at years² groups."""
     o = load_table(spark, sf_dir, "orders")
     first = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.min(F.date_format("o_orderdate", "yyyy")).alias("cohort_year")
     )
     return (
-        o.join(F.broadcast(first), o.o_custkey == first.cust)
+        o.join(first, o.o_custkey == first.cust)
         .groupBy(
             "cohort_year",
             (
@@ -1187,7 +1190,9 @@ def subquery_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("tot_fp"),
     )
     above_avg = (
-        o.join(F.broadcast(stats), o.o_custkey == stats.k)
+        # no broadcast hint: stats is one row per customer (unbounded
+        # at scale); the shuffled join reuses the custkey partitioning
+        o.join(stats, o.o_custkey == stats.k)
         .filter(
             F.floor(F.col("o_totalprice") * 100).cast("long") * F.col("cnt")
             > F.col("tot_fp")
