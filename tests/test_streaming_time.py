@@ -1,6 +1,8 @@
 """Event-time streaming semantics (SURVEY.md §2-B "Streaming time",
 "Dedup"): watermarked windowed aggregation with late-data drop,
-streaming dropDuplicates, and a watermarked stream-stream join."""
+streaming dropDuplicates (unbounded state) and
+dropDuplicatesWithinWatermark (bounded state with eviction), and a
+watermarked stream-stream join."""
 
 from __future__ import annotations
 
@@ -133,6 +135,56 @@ def test_streaming_drop_duplicates(spark, tmp_path):
         rows += spark.read.parquet(os.path.join(out, b)).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3]
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: same dedup guarantee for records
+    whose event times fall inside the watermark delay, but state for a
+    key is EVICTED once the watermark passes it — the bounded-state
+    form required for unbounded streams (plain dropDuplicates keys
+    grow forever; SURVEY.md §4.3 scale posture).
+
+    Replays a duplicate within the horizon (suppressed) and a
+    duplicate of an evicted key far past the horizon (re-admitted —
+    the documented semantics of eviction)."""
+    inp, ckpt, out = (str(tmp_path / x) for x in ("in", "ckpt", "out"))
+
+    def run():
+        stream = file_source(spark, inp, SCHEMA)
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+        def wb(bdf, bid):
+            bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+        q = (
+            deduped.writeStream.foreachBatch(wb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _append(spark, inp, [(1, _ts(1), "a"), (1, _ts(2), "a"), (2, _ts(2), "b")])
+    run()
+    # within horizon: watermark is 10:02 - 10m; event_id 2 replayed at
+    # 10:03 is still suppressed
+    _append(spark, inp, [(2, _ts(3), "b"), (3, _ts(4), "c")])
+    run()
+    # far past horizon: watermark advances beyond 10:04+10m, evicting
+    # all earlier keys; a new occurrence of event_id 1 is re-admitted
+    _append(spark, inp, [(9, _ts(59), "z")])
+    run()
+    _append(spark, inp, [(1, _ts(58), "a2")])
+    run()
+
+    rows = []
+    for b in sorted(os.listdir(out)):
+        rows += spark.read.parquet(os.path.join(out, b)).collect()
+    ids = sorted((r["event_id"], r["key"]) for r in rows)
+    assert ids == [(1, "a"), (1, "a2"), (2, "b"), (3, "c"), (9, "z")]
 
 
 def test_stream_stream_join(spark, tmp_path):
