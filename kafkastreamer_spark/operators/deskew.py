@@ -36,8 +36,9 @@ remains — asserted by plan tests in ``tests/test_deskew.py``.
 NULL keys: join keys use ``eqNullSafe``, so rows with NULL group keys
 or a NULL bucket value keep their rank exactly as the window
 formulation keeps NULL partitions (an inner equi-join would silently
-drop them; the fixtures have no NULLs, so only this code path — not a
-parity test — guards that case).
+drop them; the fixtures have no NULLs, so
+``tests/test_deskew.py::test_null_group_and_bucket_rows_kept`` pins
+the parity on a synthetic NULL-bearing frame).
 
 Reference grounding: the reference engine has no per-group ranking at
 all (it is a 1-record/s keyed streamer, SURVEY.md §2-A); this module

@@ -70,6 +70,41 @@ def test_md5_ranked_on_synthetic_mega_group(spark):
     assert _rows(fast, "doc_id", "grp", "rn") == _rows(naive, "doc_id", "grp", "rn")
 
 
+def test_null_group_and_bucket_rows_kept(spark):
+    """Round-2 advisor item: an inner equi-join would silently drop
+    rows whose group key or bucket value is NULL, where the window
+    formulation keeps them as their own partition / NULLS FIRST order.
+    Parity on a frame containing a NULL group, a NULL bucket value,
+    and a fully-NULL row. Keys are unique so every ordering is a
+    total order (deterministic row_number in both formulations)."""
+    rows = [
+        ("a", 10, 1),
+        ("a", 20, 2),
+        ("a", None, 3),  # NULL bucket inside a real group
+        (None, 10, 4),  # NULL group
+        (None, None, 5),  # NULL group AND bucket
+        ("b", 5, 6),
+    ]
+    df = spark.createDataFrame(rows, "grp string, val int, k int")
+    w = Window.partitionBy("grp").orderBy(F.asc("val"), F.asc("k"))
+    naive = df.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    fast = bucketed_row_number(
+        df, ["grp"], F.col("val"), [F.col("k").asc()], "rk", count_name="cnt"
+    )
+
+    def nrows(d):  # None-tolerant canonical ordering
+        return sorted(
+            (tuple(r) for r in d.select("grp", "val", "k", "rk", "cnt").collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    assert nrows(fast) == nrows(naive)
+    # nothing dropped
+    assert fast.count() == len(rows)
+
+
 # ---------------------------------------------------------------------------
 # Plan shape: the flagged queries must not sort a whole group in one task
 # ---------------------------------------------------------------------------
