@@ -87,6 +87,54 @@ def keyed_running_count_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def keyed_running_count_tws(stream: DataFrame) -> DataFrame:
+    """A9 through ``transformWithStateInPandas`` (Spark 4
+    ``StatefulProcessor``) — the successor API to
+    ``applyInPandasWithState`` with typed state primitives
+    (value/list/map), timers, and per-state TTL.
+
+    Same counts as :func:`running_count`; the per-key tally lives in a
+    typed ``ValueState`` cell. Requires the RocksDB state store
+    provider (the API rejects the default HDFS-backed provider), which
+    is also the 100 TB posture: state off-heap + on local disk with
+    changelog checkpointing (``session.ROCKSDB_STATE_CONF``).
+
+    Reference grounding: the state cell is the engine's replacement
+    for the per-instance ``Map<String,String>`` the reference mutates
+    and re-serializes per record (Streamer.java:65,264-282).
+
+    Environment note: the transformWithState driver worker requires
+    the ``protobuf`` Python package (state-server protocol); the test
+    gates on its presence (``tests/test_streaming.py::
+    test_tws_running_count``) and skips where it cannot install.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"key": [key[0]], "count": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("key").transformWithStateInPandas(
+        RunningCount(),
+        outputStructType="key string, count long",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def to_memory_sink(
     stream: DataFrame,
     name: str,
