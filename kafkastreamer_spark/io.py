@@ -45,6 +45,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (built-in data source since Spark 4) — the reference's
+    own interchange format (its topology spec is XML,
+    v1/ParserKafka/template.xml); here it covers row data too."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML source with schema inference (pass a .schema() upstream for
+    production reads — inference scans the data once)."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
 def read_text_corpus(
     spark: SparkSession, path: str, wholetext: bool = True
 ) -> DataFrame:

@@ -17,7 +17,9 @@ from kafkastreamer_spark.io import (
     read_binary_corpus,
     read_orc,
     read_text_corpus,
+    read_xml,
     write_orc,
+    write_xml,
 )
 from kafkastreamer_spark.tables import load_table
 
@@ -45,6 +47,31 @@ def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
     )
     assert "PushedFilters: [" in plan
     assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """XML sink/source round-trip (the reference's own interchange
+    format — its topology spec is XML, v1/ParserKafka/template.xml)."""
+    src = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = str(tmp_path / "region_xml")
+    write_xml(src, path, row_tag="region")
+    back = read_xml(spark, path, row_tag="region").select("r_regionkey", "r_name")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_from_xml_column_parse(spark):
+    """XML payload in a column parses with from_xml — the XML sibling
+    of events_json_extract's from_json path."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "<r><v>10</v><tag>a</tag></r>"), (2, "<r><v>20</v><tag>b</tag></r>")],
+        "id long, payload string",
+    )
+    parsed = df.select(
+        "id", F.from_xml("payload", "v long, tag string").alias("p")
+    ).select("id", "p.v", "p.tag")
+    assert sorted(map(tuple, parsed.collect())) == [(1, 10, "a"), (2, 20, "b")]
 
 
 def test_text_corpus_wholetext(spark, tmp_path):
