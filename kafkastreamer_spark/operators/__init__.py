@@ -11,6 +11,7 @@ from kafkastreamer_spark.operators import (  # noqa: F401
     sketches,
     skew,
     multimodal,
+    selection,
     similarity,
     text,
     training,
