@@ -62,23 +62,51 @@ def shingles(words: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_array(sh: Column, perms: int) -> Column:
-    """Per-row MinHash signature: mh[p] = min over shingles of
-    md5(shingle # p) — array_min over a transform, no row explosion,
-    no shuffle. Empty-shingle docs yield null mins (callers drop).
+MINHASH_MOD = 4294967296  # 2^32: the double-hashing value domain
 
-    This is the shuffle-free form of the classic explode + groupBy
-    minhash: at 100 TB the signature build becomes a pure map stage.
+
+def minhash_array(sh: Column, perms: int) -> Column:
+    """Per-row MinHash signature with Kirsch–Mitzenmacher double
+    hashing: each shingle is md5'd ONCE, the digest split into two
+    32-bit halves (h1, h2), and "permutation" p hashes the shingle as
+    (h1 + p·h2) mod 2^32 — the standard construction for deriving a
+    hash family from one base hash (Kirsch & Mitzenmacher, "Less
+    Hashing, Same Performance"). mh[p] = min over shingles, rendered
+    as a decimal string so band signatures concatenate unchanged.
+    Empty-shingle inputs yield a NULL signature (callers drop).
+
+    No row explosion, no shuffle: at 100 TB the signature build is a
+    pure map stage, and the md5 count is |shingles|, not
+    |shingles|·perms (the previous salted-md5-per-perm form — 12x
+    fewer digest computations at 12 perms; the per-perm work is an
+    integer multiply-add). Expression shape matters: the (h1, h2)
+    pairs are the INPUT of a single F.aggregate fold carrying an
+    array of running minima, because a nested
+    transform(perms, p -> min(transform(sh, hash(s, p)))) re-evaluates
+    the inner md5 array once per outer element — higher-order-function
+    arguments are not common-subexpression-eliminated.
     MATERIALIZE the result as a column before deriving band
     signatures — referencing it inside another lambda re-evaluates
     all perms per band element.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(perms - 1)),
-        lambda p: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), p.cast("string"))))
+    pairs = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
         ),
     )
+    pseq = F.sequence(F.lit(0).cast("long"), F.lit(perms - 1).cast("long"))
+    mins = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(MINHASH_MOD).cast("long"), perms),
+        lambda acc, x: F.zip_with(
+            acc,
+            pseq,
+            lambda m, p: F.least(m, (x["h1"] + p * x["h2"]) % MINHASH_MOD),
+        ),
+    )
+    return F.when(F.size(sh) > 0, F.transform(mins, lambda m: m.cast("string")))
 
 
 def band_sigs(mh: Column, perms: int, bands: int) -> Column:
@@ -89,6 +117,27 @@ def band_sigs(mh: Column, perms: int, bands: int) -> Column:
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.array_join(F.slice(mh, b * r + 1, r), "|"),
     )
+
+
+def sql_minhash_ctes(perms: int) -> str:
+    """DuckDB mirror of minhash_array() as two CTE bodies (caller
+    splices them after a ``posting(doc_id, s)`` CTE): ``hashed`` md5s
+    each shingle once into 32-bit halves, ``minhash`` takes the
+    per-permutation double-hash minima — same Kirsch–Mitzenmacher
+    family, bit-identical values."""
+    return f"""
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+                   CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+            FROM posting
+        ),
+        minhash AS (
+            SELECT doc_id, p,
+                   CAST(MIN((h1 + p * h2) % {MINHASH_MOD}) AS VARCHAR) AS mh
+            FROM hashed, (SELECT unnest(range({perms})) AS p)
+            GROUP BY doc_id, p
+        )"""
 
 
 def sql_shingles(words_var: str = "w", n: int = 3) -> str:

@@ -10,8 +10,9 @@ Scale design (the part that matters at 100 TB):
   never an O(n²) cross join. Verified pair counts stay proportional to
   true-duplicate density.
 * All hashing is md5 (identical across Spark/DuckDB), so every
-  operator has an exact SQL oracle; MinHash "permutations" are
-  lexicographic mins of salted md5 — a valid hash-permutation family.
+  operator has an exact SQL oracle; MinHash "permutations" derive
+  from ONE md5 per shingle via Kirsch–Mitzenmacher double hashing
+  ((h1 + p·h2) mod 2^32 — see _embed.minhash_array).
 
 Spark side is pure built-ins (split/explode/groupBy/join + higher-
 order array functions) — whole-stage codegen, no Python in the path.
@@ -29,6 +30,7 @@ from kafkastreamer_spark.operators._embed import (
     cosine,
     minhash_array,
     shingles,
+    sql_minhash_ctes,
     sql_shingles,
     tokens,
 )
@@ -206,12 +208,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
         sh AS (SELECT doc_id, {sql_shingles('w')} AS sh FROM words WHERE len(w) >= 3),
         posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        -- MinHash: "permutation" p = lexicographic min of salted md5
-        minhash AS (
-            SELECT doc_id, p, MIN(md5(s || '#' || p)) AS mh
-            FROM posting, (SELECT unnest(range({MINHASH_PERMS})) AS p)
-            GROUP BY doc_id, p
-        ),
+        -- MinHash: "permutation" p = min of the Kirsch–Mitzenmacher
+        -- double hash (h1 + p*h2) mod 2^32, one md5 per shingle
+        {sql_minhash_ctes(MINHASH_PERMS)},
         -- LSH: band signature = concat of the band's row minhashes
         bands AS (
             SELECT doc_id, p // {MINHASH_PERMS // MINHASH_BANDS} AS band,
@@ -244,7 +243,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-data", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 12 salted-md5 minhashes → 4
+    """MinHash+LSH near-dup: shingle → 12 double-hash minhashes → 4
     bands × 3 rows → band-bucket join → exact-Jaccard verification.
 
     Scale: the bucket join touches only colliding band signatures —
@@ -951,11 +950,7 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH words AS (SELECT doc_id, {{toks}} AS w FROM documents),
         sh AS (SELECT doc_id, {{shingles}} AS sh FROM words WHERE len(w) >= 3),
         posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        minhash AS (
-            SELECT doc_id, p, MIN(md5(s || '#' || p)) AS mh
-            FROM posting, (SELECT unnest(range({MINHASH_PERMS})) AS p)
-            GROUP BY doc_id, p
-        ),
+        {sql_minhash_ctes(MINHASH_PERMS)},
         bands AS (
             SELECT doc_id, p // {MINHASH_PERMS // MINHASH_BANDS} AS band,
                    string_agg(mh, '|' ORDER BY p) AS sig
