@@ -579,3 +579,110 @@ def corpus_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_GOPHER_ORACLE = """
+        WITH tok AS (
+            SELECT doc_id, source,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, source,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+                       AS total_chars,
+                   CAST(len(list_filter(w,
+                        t -> t IN ('the','a','and','of','to'))) AS BIGINT)
+                       AS n_stop,
+                   CAST(len(list_filter(w,
+                        t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+            FROM tok
+        ),
+        r AS (
+            SELECT source,
+                   CASE WHEN n_words BETWEEN 50 AND 100000
+                        THEN 1 ELSE 0 END AS p_wc,
+                   CASE WHEN total_chars >= n_words * 3
+                         AND total_chars <= n_words * 10
+                        THEN 1 ELSE 0 END AS p_mwl,
+                   CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+                   CASE WHEN n_alpha * 10 >= n_words * 8
+                        THEN 1 ELSE 0 END AS p_alpha
+            FROM f
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p_wc) AS BIGINT) AS pass_word_count,
+               CAST(SUM(p_mwl) AS BIGINT) AS pass_mean_word_len,
+               CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords,
+               CAST(SUM(p_alpha) AS BIGINT) AS pass_alpha_ratio,
+               CAST(SUM(p_wc * p_mwl * p_stop * p_alpha) AS BIGINT) AS pass_all
+        FROM r GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("llm-data", "text", "quality"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021, table A1
+    shape): per-document pass/fail on word-count band, mean word
+    length band, minimum stopword count, and alphabetic-word ratio,
+    rolled up to per-source pass rates.
+
+    Every threshold is integer cross-multiplication (``total_chars <=
+    n_words * 10`` instead of ``mean <= 10.0``) so the flags are
+    bit-identical across engines. Scale shape: one narrow projection
+    computes all four flags in a single whole-stage-codegen pass over
+    the text column, then a map-side-combined groupBy on ``source``
+    (few keys, counts only) — no shuffle carries document bodies.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.lower("text"), r"\s+")
+    f = d.select(
+        "source",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter(w, lambda t: t.isin("the", "a", "and", "of", "to")))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(w, lambda t: t.rlike("[a-z]"))).cast("long").alias("n_alpha"),
+    )
+    p_wc = F.when(F.col("n_words").between(50, 100000), 1).otherwise(0)
+    p_mwl = F.when(
+        (F.col("total_chars") >= F.col("n_words") * 3)
+        & (F.col("total_chars") <= F.col("n_words") * 10),
+        1,
+    ).otherwise(0)
+    p_stop = F.when(F.col("n_stop") >= 2, 1).otherwise(0)
+    p_alpha = F.when(F.col("n_alpha") * 10 >= F.col("n_words") * 8, 1).otherwise(0)
+    r = f.select(
+        "source",
+        p_wc.alias("p_wc"),
+        p_mwl.alias("p_mwl"),
+        p_stop.alias("p_stop"),
+        p_alpha.alias("p_alpha"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p_wc").cast("long").alias("pass_word_count"),
+            F.sum("p_mwl").cast("long").alias("pass_mean_word_len"),
+            F.sum("p_stop").cast("long").alias("pass_stopwords"),
+            F.sum("p_alpha").cast("long").alias("pass_alpha_ratio"),
+            F.sum(
+                F.col("p_wc") * F.col("p_mwl") * F.col("p_stop") * F.col("p_alpha")
+            )
+            .cast("long")
+            .alias("pass_all"),
+        )
+        .orderBy("source")
+    )

@@ -1134,3 +1134,62 @@ def text_encoding_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+               CAST(FLOOR(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                    * 10000) AS BIGINT) AS ttr4,
+               CAST(len(list_filter(list_distinct(w),
+                    t -> len(list_filter(w, x -> x = t)) = 1)) AS BIGINT)
+                   AS n_hapax,
+               CAST(FLOOR(CAST(len(list_filter(list_distinct(w),
+                    t -> len(list_filter(w, x -> x = t)) = 1)) AS DOUBLE)
+                    / len(w) * 10000) AS BIGINT) AS hapax_pct4
+        FROM tok ORDER BY doc_id
+    """,
+    tags=("llm-data", "text"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document: type-token ratio and
+    hapax-legomenon fraction (words occurring exactly once), both in
+    fixed-point basis points.
+
+    The hapax count is a nested higher-order function over the token
+    array — O(types x tokens) per document but entirely JVM-side with
+    zero shuffle, which beats the explode + (doc_id, token) groupBy
+    alternative for the short-document regime (the explode variant's
+    shuffle carries one row per token occurrence). For a long-document
+    corpus the explode form would win; both are expressible here and
+    the array form is the default because pretraining filters run on
+    bounded-length chunks.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.col("w")
+    hapax = F.size(
+        F.filter(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)) == 1,
+        )
+    )
+    return (
+        d.select("doc_id", tokens("text").alias("w"))
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(w)).cast("long").alias("n_types"),
+            F.floor(
+                F.size(F.array_distinct(w)).cast("double") / F.size(w) * 10000
+            ).alias("ttr4"),
+            hapax.cast("long").alias("n_hapax"),
+            F.floor(hapax.cast("double") / F.size(w) * 10000).alias("hapax_pct4"),
+        )
+        .orderBy("doc_id")
+    )
