@@ -1,0 +1,183 @@
+"""Scale probe: measure how the heavy operators grow as the input
+inflates x1 / x4 / x16 (documents, embeddings, events) and x1 / x2 / x4
+(orders, lineitem).
+
+The 100 TB question ("does this plan's cost grow linearly with data?")
+can't be answered at one scale factor. This script materializes
+inflated copies of the sf0.1 fixtures under /tmp/scale_probe/ — ids
+remapped per copy, text/vectors perturbed per copy so the inflation
+does NOT create exact duplicates (which would grow dedup candidate
+volume quadratically and measure duplicate density, not data volume) —
+and times each probed query at each inflation, steady-state (second of
+two runs, caches cleared between).
+
+Output: one JSON line per (query, k) with seconds, plus a final
+summary line with the per-query growth ratio time(k_max)/time(1)
+versus the ideal k_max. Ratios at or below the inflation factor mean
+the operator scales no worse than linearly on this VM (32 cores, fixed
+parallelism — superlinear shuffle costs would show up as ratios well
+above k).
+
+Usage: python scripts/scale_probe.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from kafkastreamer_spark.session import get_spark  # noqa: E402
+from kafkastreamer_spark.tables import TABLES, load_table  # noqa: E402
+
+BASE = "/tmp/scale_probe"
+# SCALE_PROBE_DISJOINT=1: make inflated document copies token-disjoint
+# (constant duplicate density) instead of near-duplicates of the base.
+DISJOINT = os.environ.get("SCALE_PROBE_DISJOINT", "0") == "1"
+
+# query -> (tables it scans, inflation ladder)
+PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
+    "dedup_exact": (("documents",), (1, 4, 16)),
+    "dedup_minhash_lsh": (("documents",), (1, 4, 16)),
+    "dedup_ngram_jaccard": (("documents",), (1, 4, 16)),
+    "dedup_simhash": (("documents",), (1, 4, 16)),
+    "text_quality_score": (("documents",), (1, 4, 16)),
+    "pipeline_corpus_prep": (("documents",), (1, 4, 16)),
+    "similarity_topk_bruteforce": (("embeddings",), (1, 4, 16)),
+    "similarity_ivf_probe": (("embeddings",), (1, 4, 16)),
+    "embedding_kmeans_assign": (("embeddings",), (1, 4, 16)),
+    "events_sessionization": (("events",), (1, 4, 16)),
+    "q1_pricing_summary": (("lineitem",), (1, 2, 4)),
+    "q4_order_priority": (("orders", "lineitem"), (1, 2, 4)),
+}
+
+
+def _inflate(spark: SparkSession, sf_dir: str, name: str, k: int, out_dir: str) -> None:
+    """Write k perturbed copies of one table with non-colliding ids."""
+    df = load_table(spark, sf_dir, name)
+    if k == 1:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        return
+    n = df.count()
+    copies: list[DataFrame] = []
+    for i in range(k):
+        c = df
+        if name == "documents":
+            c = c.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+            if i and DISJOINT:
+                # Constant-duplicate-density inflation: suffix every
+                # word per copy so shingles/signatures across copies
+                # are disjoint — measures volume growth, not the
+                # (legitimate) near-dup candidate growth that copy
+                # inflation otherwise creates.
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            elif i:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copytoken{i}"))
+                )
+        elif name == "embeddings":
+            c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+            if i:
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            (F.element_at("embedding", 1) + F.lit(i * 1e-3)).cast(
+                                "float"
+                            )
+                        ),
+                        F.slice("embedding", 2, F.size("embedding") - F.lit(1)),
+                    ),
+                )
+        elif name == "events":
+            max_user = 100000
+            c = c.withColumn("event_id", F.col("event_id") + F.lit(i * n)).withColumn(
+                "user_id", F.col("user_id") + F.lit(i * max_user)
+            )
+        elif name == "orders":
+            c = c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+        elif name == "lineitem":
+            c = c.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 2:  # restrict to named queries while iterating
+        for bad in set(sys.argv[2:]) - set(PROBES):
+            raise SystemExit(f"unknown probe {bad!r}")
+        for name in list(PROBES):
+            if name not in sys.argv[2:]:
+                del PROBES[name]
+    _ensure_loaded()
+    spark = get_spark(app_name="kafkastreamer-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    needed: dict[tuple[str, int], None] = {}
+    for tables, ladder in PROBES.values():
+        for k in ladder:
+            for t in tables:
+                needed[(t, k)] = None
+
+    # Build each (table, k) dir once: /tmp/scale_probe/k{k}/ holds every
+    # table at that inflation; untouched tables are symlinked from sf_dir
+    # so load_table finds them.
+    ks = sorted({k for _, k in needed})
+    for k in ks:
+        out_dir = os.path.join(BASE, f"k{k}")
+        os.makedirs(out_dir, exist_ok=True)
+        inflated = {t for t, kk in needed if kk == k}
+        for t in TABLES:
+            dst = os.path.join(out_dir, f"{t}.parquet")
+            if t in inflated:
+                _inflate(spark, sf_dir, t, k, out_dir)
+            elif not os.path.exists(dst):
+                os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+    results: dict[str, dict[int, float]] = {}
+    for name, (tables, ladder) in PROBES.items():
+        results[name] = {}
+        for k in ladder:
+            d = os.path.join(BASE, f"k{k}")
+            fn = REGISTRY[name].fn
+            elapsed = float("nan")
+            for _run in range(2):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+            results[name][k] = elapsed
+            print(json.dumps({"query": name, "k": k, "sec": elapsed}), flush=True)
+
+    summary = {}
+    for name, by_k in results.items():
+        ks_q = sorted(by_k)
+        k_max = ks_q[-1]
+        base = by_k[ks_q[0]]
+        summary[name] = {
+            "ladder": {str(k): by_k[k] for k in ks_q},
+            "k_max": k_max,
+            "growth_ratio": round(by_k[k_max] / base, 2) if base else None,
+        }
+    print(json.dumps({"scale_probe_summary": summary}), flush=True)
+    spark.stop()
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
