@@ -14,5 +14,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational7,
     relational8,
     relational9,
+    relational10,
 )
 from kafkastreamer_spark import operators  # noqa: F401

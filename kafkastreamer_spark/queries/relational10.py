@@ -1,0 +1,148 @@
+"""Entity-resolution and statistical-test queries (round 3 closure).
+
+The reference has no relational surface (its operators are the keyed
+arithmetic stages, Streamer.java:443-466); these extend the engine's
+capability closure along two axes a curation pipeline hits:
+
+* blocked fuzzy matching — the entity-resolution join shape: cheap
+  equality blocking bounds the candidate set, an edit-distance verify
+  runs per candidate pair only;
+* contingency-table independence testing — the chi-square companion
+  to the exact-KS drift gate in events2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.queries._util import SCALE, fixed
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_fuzzy_part_names",
+    oracle="""
+        SELECT a.p_brand, a.p_type,
+               a.p_partkey AS k1, b.p_partkey AS k2,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY k1, k2
+    """,
+    tags=("relational", "join", "fuzzy", "llm-data"),
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity-resolution shape): equality
+    blocking on (p_brand, p_type) bounds the candidate pairs, then a
+    Levenshtein verify runs per candidate only — never all-pairs.
+
+    Scale shape: the block join shuffles on the block key, so candidate
+    volume is sum over blocks of |block|^2, controlled by block-key
+    selectivity — the same guardrail as the LSH band joins in
+    operators/dedup.py. At 100 TB one adds a length-band to the block
+    key (|len(a)-len(b)| <= threshold implies lev > threshold is
+    impossible to pass) to subdivide hot blocks; semantics unchanged.
+    Both engines implement textbook Levenshtein, so the verify
+    predicate is exact cross-engine.
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    a = p.alias("a")
+    b = p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(lev <= 4)
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_partkey").alias("k1"),
+            F.col("b.p_partkey").alias("k2"),
+            lev.cast("long").alias("lev"),
+        )
+        .orderBy("k1", "k2")
+    )
+
+
+@register(
+    "orders_chisq_priority_status",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s,
+                   COUNT(*) AS obs
+            FROM orders GROUP BY 1, 2
+        ),
+        rt AS (SELECT p, SUM(obs) AS rt FROM cells GROUP BY p),
+        ct AS (SELECT s, SUM(obs) AS ct FROM cells GROUP BY s),
+        n AS (SELECT SUM(obs) AS n FROM cells),
+        terms AS (
+            SELECT CAST(FLOOR(
+                       (obs - CAST(rt AS DOUBLE) * ct / n)
+                     * (obs - CAST(rt AS DOUBLE) * ct / n)
+                     / (CAST(rt AS DOUBLE) * ct / n) * {SCALE}
+                   ) AS BIGINT) AS t4
+            FROM cells JOIN rt USING (p) JOIN ct USING (s) CROSS JOIN n
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+               (SELECT CAST((COUNT(DISTINCT p) - 1)
+                          * (COUNT(DISTINCT s) - 1) AS BIGINT)
+                  FROM cells) AS dof,
+               CAST(SUM(t4) AS DOUBLE) / {SCALE} AS chi2
+        FROM terms
+    """,
+    tags=("relational", "statistics"),
+)
+def orders_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the o_orderpriority x
+    o_orderstatus contingency table (companion to the exact-KS drift
+    gate): expected counts from row/column marginals, per-cell terms
+    floored to fixed-point BIGINT so the final sum is
+    partial-aggregation-order independent.
+
+    Scale shape: one groupBy over the fact table produces the cell
+    counts (map-side combined, |priorities x statuses| rows); the
+    marginals and total are aggregates OF THE CELLS, so everything
+    after the first shuffle is broadcast-sized regardless of fact
+    cardinality.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    cells = cells.persist()
+    rt = cells.groupBy("p").agg(F.sum("obs").alias("rt"))
+    ct = cells.groupBy("s").agg(F.sum("obs").alias("ct"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    terms = (
+        cells.join(F.broadcast(rt), "p")
+        .join(F.broadcast(ct), "s")
+        .crossJoin(F.broadcast(n))
+        .select(fixed(term).alias("t4"))
+    )
+    meta = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("p") - 1) * (F.countDistinct("s") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
+    chi2 = terms.agg((F.sum("t4").cast("double") / SCALE).alias("chi2"))
+    return meta.crossJoin(F.broadcast(chi2))

@@ -310,3 +310,70 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
         if r.user_id >= 0  # drop the watermark-flush sentinel
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched left row must be
+    held in state while it could still match, then emitted WITH NULL
+    right columns once the watermark passes its join window — the
+    late-null-emission corner that distinguishes outer from inner
+    stream-stream joins."""
+    left_in, right_in, ckpt, out = (
+        str(tmp_path / x) for x in ("lin", "rin", "ckpt", "out")
+    )
+    _append(spark, left_in, [(1, _ts(1), "a"), (2, _ts(2), "b")])
+    _append(spark, right_in, [(1, _ts(3), "x")])
+
+    def build_join():
+        left = (
+            file_source(spark, left_in, SCHEMA)
+            .withColumnRenamed("key", "lkey")
+            .withColumnRenamed("ts", "lts")
+            .withWatermark("lts", "5 minutes")
+        )
+        right = (
+            file_source(spark, right_in, SCHEMA)
+            .select(
+                F.col("event_id").alias("r_event_id"),
+                F.col("ts").alias("rts"),
+                F.col("key").alias("rkey"),
+            )
+            .withWatermark("rts", "5 minutes")
+        )
+        return left.join(
+            right,
+            (F.col("event_id") == F.col("r_event_id"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 10 MINUTES")),
+            "left_outer",
+        )
+
+    def run_once():
+        def wb(bdf, bid):
+            bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+        q = (
+            build_join()
+            .writeStream.foreachBatch(wb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # Advance both watermarks far past event 2's join window, then
+    # restart from the checkpoint: the state-expired left row must now
+    # surface with NULL right columns.
+    _append(spark, left_in, [(90, _ts(50), "zz")])
+    _append(spark, right_in, [(91, _ts(50), "zz")])
+    run_once()
+
+    rows = []
+    for b in sorted(os.listdir(out)):
+        rows += spark.read.parquet(os.path.join(out, b)).collect()
+    by_id = {r["event_id"]: r for r in rows}
+    assert by_id[1]["rkey"] == "x"  # matched pair keeps its right side
+    assert 2 in by_id, f"unmatched left row never emitted: {sorted(by_id)}"
+    assert by_id[2]["rkey"] is None and by_id[2]["r_event_id"] is None
