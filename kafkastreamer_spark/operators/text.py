@@ -1193,3 +1193,59 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "udtf_chunk_text",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(w, i * 50 + 1, i * 50 + 50), ' ')
+                       AS chunk_text
+            FROM tok, unnest(range((len(w) + 49) // 50)) AS u(i)
+        )
+        SELECT doc_id, chunk_idx, chunk_text
+        FROM ch ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm-data", "text", "udf"),
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking through a Python UDTF (Spark 4 user-defined
+    TABLE function, Arrow-optimized) applied per-row via LATERAL —
+    completing the UDF surface next to pandas scalar / grouped /
+    mapInPandas / applyInPandasWithState.
+
+    The tokenizer is ``re.split(r"\\s+", lower(text))`` to mirror the
+    engine's SQL tokenization exactly (including empty leading
+    fields). The built-in-functions version of this operator is
+    ``text_chunk_tokens`` — that one is the 100 TB hot path (pure
+    codegen, no Python); this one exists to certify the UDTF API
+    against the same oracle. One Python worker pass, no shuffle; the
+    lateral expansion parallelizes per input partition.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string", useArrow=True)
+    class _ChunkText:
+        def eval(self, text: str, size: int):  # noqa: ANN001
+            w = re.split(r"\s+", text.lower())
+            for i in range(0, len(w), size):
+                yield i // size, " ".join(w[i : i + size])
+
+    spark.udtf.register("engine_chunk_text", _ChunkText)
+    _docs(spark, sf_dir).select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_chunk_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text
+        FROM _udtf_chunk_docs d, LATERAL engine_chunk_text(d.text, 50) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )

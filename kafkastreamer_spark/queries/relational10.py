@@ -146,3 +146,103 @@ def orders_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chi2 = terms.agg((F.sum("t4").cast("double") / SCALE).alias("chi2"))
     return meta.crossJoin(F.broadcast(chi2))
+
+
+_ZBITS = 12  # bits per dimension -> 24-bit Morton key
+_ZBUCKETS = 64  # files/buckets = top 6 bits of the key
+
+
+def _z_interleave(divop: str) -> str:
+    """Morton interleave of the normalized dims ``xn``/``dn`` as pure
+    integer arithmetic — identical in Spark SQL (divop='div') and
+    DuckDB (divop='//'), no engine-specific bit operators."""
+    return " + ".join(
+        f"((xn {divop} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((dn {divop} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(_ZBITS)
+    )
+
+
+@register(
+    "layout_zorder_audit",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01'
+                        AS BIGINT) AS days
+            FROM orders
+        ),
+        mx AS (
+            SELECT MAX(o_custkey) AS ckmax, MAX(days) AS dmax FROM base
+        ),
+        norm AS (
+            SELECT o_custkey, days,
+                   (o_custkey * {1 << _ZBITS}) // (ckmax + 1) AS xn,
+                   (days * {1 << _ZBITS}) // (dmax + 1) AS dn
+            FROM base CROSS JOIN mx
+        ),
+        keyed AS (
+            SELECT o_custkey, days,
+                   ({_z_interleave('//')}) AS z
+            FROM norm
+        )
+        SELECT CAST(z // {(1 << (2 * _ZBITS)) // _ZBUCKETS} AS BIGINT)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(o_custkey) AS BIGINT) AS ck_min,
+               CAST(MAX(o_custkey) AS BIGINT) AS ck_max,
+               CAST(MIN(days) AS BIGINT) AS d_min,
+               CAST(MAX(days) AS BIGINT) AS d_max
+        FROM keyed GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("relational", "layout", "scale"),
+)
+def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-key) layout audit: normalize (o_custkey,
+    order-date-days) to 12 bits each, interleave into a 24-bit Morton
+    key, assign rows to 64 "files" by key prefix, and report each
+    file's min/max range in BOTH dimensions.
+
+    This is the multi-dimensional clustering that makes min/max
+    zone-map pruning work on a 100 TB table for queries filtering on
+    EITHER column: under single-column sort, every file spans the full
+    range of the other dimension; under z-order both per-file spans
+    shrink to ~sqrt(files) fractions. The audit output IS the zone
+    map a scan planner would prune with. The interleave is pure
+    integer arithmetic (div/mod/multiply), bit-identical across
+    engines and fully whole-stage-codegen'd; the only shuffle is the
+    64-key prefix groupBy, map-side combined.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days"),
+    )
+    mx = o.agg(
+        F.max("o_custkey").alias("ckmax"), F.max("days").alias("dmax")
+    )
+    norm = o.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "days",
+        F.expr(f"o_custkey * {1 << _ZBITS} div (ckmax + 1)").alias("xn"),
+        F.expr(f"days * {1 << _ZBITS} div (dmax + 1)").alias("dn"),
+    )
+    keyed = norm.select(
+        "o_custkey", "days", F.expr(_z_interleave("div")).alias("z")
+    )
+    return (
+        keyed.groupBy(
+            F.expr(f"z div {(1 << (2 * _ZBITS)) // _ZBUCKETS}")
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").cast("long").alias("ck_min"),
+            F.max("o_custkey").cast("long").alias("ck_max"),
+            F.min("days").cast("long").alias("d_min"),
+            F.max("days").cast("long").alias("d_max"),
+        )
+        .orderBy("bucket")
+    )
