@@ -564,3 +564,34 @@ def test_write_audit_publish_gates_bad_batches(spark, sf_dir, tmp_path):
     assert good["published"] and good["n_rows"] == o.count()
     assert spark.read.parquet(pub).count() == o.count()
     assert not os.path.exists(pub + "._staging")  # renamed away
+
+
+def test_fuzzy_join_blocks_on_equality_keys(spark, sf_dir):
+    """The Levenshtein verify must ride an EQUI-join on the block keys
+    (brand, type) — if the edit-distance predicate became the join
+    condition itself, the plan degrades to a nested loop over all
+    part pairs, the all-pairs shape the blocking exists to prevent."""
+    df = REGISTRY["join_fuzzy_part_names"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_chisq_single_fact_shuffle(spark, sf_dir):
+    """Everything after the contingency-cell groupBy is
+    broadcast-sized: the marginal/total joins must be broadcasts, so
+    the orders fact table is scanned and shuffled exactly once."""
+    df = REGISTRY["orders_chisq_priority_status"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" not in plan  # every post-cell join broadcasts
+    assert "InMemoryTableScan" in plan  # cells computed once, reused 4x
+
+
+def test_zorder_bucket_agg_is_partial(spark, sf_dir):
+    """The Morton-key bucket rollup must map-side combine (partial
+    HashAggregate before the exchange) — the shuffle then carries 64
+    bucket rows per task, not the fact table."""
+    df = REGISTRY["layout_zorder_audit"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan  # max() scalar
+    assert plan.count("HashAggregate") >= 2  # partial + final
