@@ -276,3 +276,49 @@ def test_merge_upsert_sink_matches_batch(spark, tdir):
         for r in df.groupBy("key").agg(F.sum("delta").alias("total")).collect()
     }
     assert got == want
+
+
+def test_running_count_on_rocksdb_state_store(spark, tdir):
+    """The 100 TB state posture is 'flip the provider to RocksDB'
+    (session.ROCKSDB_STATE_CONF) — this runs the A9 running count on
+    the actual RocksDBStateStoreProvider (JVM-side state, rocksdbjni
+    bundled with Spark 4) and checks counts AND that the checkpoint
+    contains RocksDB SST/changelog artifacts, so the flip is proven
+    live, not just documented. (transformWithStateInPandas also uses
+    this provider but its test gates on protobuf, absent here.)"""
+    from kafkastreamer_spark.session import ROCKSDB_STATE_CONF
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        inp = os.path.join(tdir, "in")
+        ckpt = os.path.join(tdir, "ckpt")
+        _write_keyed_input(spark, inp, 0, 100, partitions=4)
+        stream = file_source(spark, inp, STREAM_SCHEMA)
+        q = (
+            running_count(stream)
+            .writeStream.format("memory")
+            .queryName("rocksdb_rc_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        counts = {
+            r["key"]: r["count"] for r in spark.table("rocksdb_rc_sink").collect()
+        }
+        assert counts == {"Key0": 25, "Key1": 25, "Key2": 25, "Key3": 25}
+        state_files = []
+        for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+            state_files += files
+        assert any(
+            f.endswith((".sst", ".changelog", ".zip")) for f in state_files
+        ), f"no RocksDB artifacts in checkpoint state dir: {state_files[:10]}"
+    finally:
+        for k in ROCKSDB_STATE_CONF:
+            spark.conf.unset(k)
+        if prior is not None:
+            spark.conf.set(key, prior)
