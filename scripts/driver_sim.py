@@ -53,12 +53,19 @@ def multiset(cols, rows):
 
 def main() -> int:
     # Driver-style session: deliberately NOT using engine get_spark().
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Partition-invariance sweeps: every oracle must hash identically
+    # at ANY shuffle-partition count (fixed-point aggregation rule).
+    import os
+
+    parts = os.environ.get("DRIVER_SIM_SHUFFLE_PARTITIONS")
+    if parts:
+        builder = builder.config("spark.sql.shuffle.partitions", parts)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

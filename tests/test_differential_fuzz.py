@@ -1,0 +1,98 @@
+"""Differential fuzzing: random filter/group/aggregate plans built
+through the DataFrame API must hash-match the equivalent SQL on
+DuckDB — the same exactness gate as the oracle suite, over plans
+nobody hand-wrote. Catches parity bugs the fixed query set can't
+(predicate-combination edge cases, empty groups, full-filter plans).
+
+Aggregates stay in exact integer space (count / integer sum / min /
+max / count distinct) so the comparison is bit-exact by construction;
+the fixed-point-double discipline is covered by the oracle suite.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.tables import load_table
+from tests._compare import assert_matches_oracle
+
+SLOW_OK = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+# (sql predicate, spark Column builder) pairs — same semantics by text
+PREDICATES = [
+    ("l_quantity <= {q}", lambda q: F.col("l_quantity") <= q),
+    ("l_quantity > {q}", lambda q: F.col("l_quantity") > q),
+    ("l_orderkey % 7 = {m}", lambda m: F.col("l_orderkey") % 7 == m),
+    ("l_partkey >= {p}", lambda p: F.col("l_partkey") >= p),
+]
+
+# Column builders are thunks: pyspark Columns need an active session,
+# which doesn't exist at collection time.
+AGGS = {
+    "n_rows": ("CAST(COUNT(*) AS BIGINT)", lambda: F.count(F.lit(1)).cast("long")),
+    "sum_qty": (
+        "CAST(COALESCE(SUM(l_quantity), 0) AS BIGINT)",
+        lambda: F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("long"),
+    ),
+    "min_pk": ("MIN(l_partkey)", lambda: F.min("l_partkey")),
+    "max_ok": ("MAX(l_orderkey)", lambda: F.max("l_orderkey")),
+    "n_orders": (
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)",
+        lambda: F.countDistinct("l_orderkey").cast("long"),
+    ),
+}
+
+
+@st.composite
+def plans(draw):
+    preds = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(PREDICATES), st.integers(min_value=0, max_value=60)
+            ),
+            min_size=0,
+            max_size=3,
+        )
+    )
+    groups = draw(st.lists(st.sampled_from(GROUP_COLS), max_size=2, unique=True))
+    aggs = draw(
+        st.lists(st.sampled_from(sorted(AGGS)), min_size=1, max_size=4, unique=True)
+    )
+    return preds, groups, aggs
+
+
+@SLOW_OK
+@given(plan=plans())
+def test_random_plan_matches_duckdb(spark, sf_dir, oracle_con, plan):
+    preds, groups, aggs = plan
+    li = load_table(spark, sf_dir, "lineitem")
+
+    sql_preds, df = [], li
+    for (sql_t, col_f), v in preds:
+        sql_preds.append(sql_t.format(q=v, m=v % 7, p=v * 100))
+        arg = v % 7 if "% 7" in sql_t else (v * 100 if "l_partkey" in sql_t else v)
+        df = df.filter(col_f(arg))
+
+    agg_cols = [AGGS[a][1]().alias(a) for a in aggs]
+    if groups:
+        df = df.groupBy(*groups).agg(*agg_cols)
+    else:
+        df = df.agg(*agg_cols)
+
+    where = (" WHERE " + " AND ".join(sql_preds)) if sql_preds else ""
+    sel_aggs = ", ".join(f"{AGGS[a][0]} AS {a}" for a in aggs)
+    if groups:
+        g = ", ".join(groups)
+        sql = f"SELECT {g}, {sel_aggs} FROM lineitem{where} GROUP BY {g}"
+    else:
+        sql = f"SELECT {sel_aggs} FROM lineitem{where}"
+
+    assert_matches_oracle(df, oracle_con, sql, name=f"fuzz:{sql[:90]}")
