@@ -123,6 +123,11 @@ def main() -> None:
         for name in list(PROBES):
             if name not in sys.argv[2:]:
                 del PROBES[name]
+    ladder_env = os.environ.get("SCALE_PROBE_LADDER")
+    if ladder_env:  # e.g. SCALE_PROBE_LADDER=1,16,64 overrides all ladders
+        ladder = tuple(int(x) for x in ladder_env.split(","))
+        for name, (tables, _) in list(PROBES.items()):
+            PROBES[name] = (tables, ladder)
     _ensure_loaded()
     spark = get_spark(app_name="kafkastreamer-spark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
