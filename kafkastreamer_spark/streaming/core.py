@@ -329,3 +329,78 @@ def merge_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_parquet_sink(
+    stream: DataFrame,
+    table_dir: str,
+    key_cols: Sequence[str],
+    version_col: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming keyed upsert (Type-1 / last-writer-wins) into a
+    hash-bucket-partitioned parquet table — the CDC-apply sink the
+    reference's state-changelog consumers would need, without a table
+    format.
+
+    Per micro-batch (foreachBatch):
+
+    1. keys bucket by ``pmod(xxhash64(keys), n_buckets)`` — the same
+       deterministic bucketing as the engine's sampling/split
+       operators, so a key's bucket never moves;
+    2. the CURRENT rows of only the AFFECTED buckets are read back
+       (partition pruning on the bucket column — untouched buckets are
+       never scanned);
+    3. old ∪ new rank by (version desc, md5-of-row) per key, keep 1 —
+       last-writer-wins with a deterministic tie-break, so replaying
+       a batch converges to the same table (idempotent);
+    4. dynamic partition overwrite writes ONLY the affected buckets
+       (``partitionOverwriteMode=dynamic``).
+
+    Scale: per batch the work is |batch| + |current rows in affected
+    buckets|. With uniformly-hashed keys, a batch touching k distinct
+    keys rewrites at most min(k, n_buckets)/n_buckets of the table —
+    size n_buckets so a typical batch touches a small fraction (the
+    driver-side bucket list is bounded by n_buckets, never by keys).
+    The reader's view of a bucket flips atomically on the directory
+    rename inside dynamic overwrite.
+    """
+    keys = list(key_cols)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bkt = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        batch = batch_df.withColumn("_bkt", bkt)
+        affected = [r["_bkt"] for r in batch.select("_bkt").distinct().collect()]
+        if not affected:
+            return
+        data_cols = [c for c in batch.columns]  # includes _bkt
+        try:
+            current = spark.read.parquet(table_dir).filter(
+                F.col("_bkt").isin(affected)
+            )
+            merged = current.select(*data_cols).unionByName(batch.select(*data_cols))
+        except Exception:  # first batch: table doesn't exist yet
+            merged = batch.select(*data_cols)
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        tie = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in data_cols]))
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.col(version_col).desc(), tie)
+        )
+        latest = merged.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bkt")
+            .parquet(table_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -201,10 +201,10 @@ def test_packing_offsets_contiguous(spark, n_toks):
         unique=True,
     )
 )
-def test_zorder_interleave_bijective_and_monotone(spark, pairs):
+def test_zorder_interleave_bijective(spark, pairs):
     """The Morton interleave must be a bijection on 12-bit pairs (no
-    two (x, d) share a key) and reducing either coordinate must never
-    increase the key when the other is fixed (prefix locality)."""
+    two (x, d) share a key) and must equal the bit-interleave
+    definition computed directly in Python."""
     from kafkastreamer_spark.queries.relational10 import _z_interleave
 
     df = spark.createDataFrame(pairs, "xn long, dn long").select(

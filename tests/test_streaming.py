@@ -322,3 +322,81 @@ def test_running_count_on_rocksdb_state_store(spark, tdir):
             spark.conf.unset(k)
         if prior is not None:
             spark.conf.set(key, prior)
+
+
+def test_upsert_parquet_sink_last_writer_wins(spark, tdir):
+    """CDC-apply sink: per-key last-writer-wins across micro-batches,
+    bucket-scoped rewrite (untouched buckets' files are bit-identical
+    after an unrelated batch), and idempotent under full replay."""
+    from pyspark.sql.types import IntegerType
+
+    from kafkastreamer_spark.streaming.core import upsert_parquet_sink
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", StringType()),
+            StructField("version", LongType()),
+        ]
+    )
+    inp = os.path.join(tdir, "in")
+    table = os.path.join(tdir, "table")
+    ckpt = os.path.join(tdir, "ckpt")
+
+    def run():
+        stream = file_source(spark, inp, schema)
+        q = upsert_parquet_sink(stream, table, ["k"], "version", ckpt, n_buckets=16)
+        q.awaitTermination(120)
+
+    def state():
+        return {
+            r["k"]: (r["v"], r["version"])
+            for r in spark.read.parquet(table).collect()
+        }
+
+    def files_in(bucket: int):
+        d = os.path.join(table, f"_bkt={bucket}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    # choose keys in distinct buckets so "untouched" is checkable
+    import pyspark.sql.functions as SF
+
+    probe = spark.createDataFrame([("a",), ("b",), ("c",)], "k string").select(
+        "k", SF.pmod(SF.xxhash64("k"), SF.lit(16)).cast("int").alias("b")
+    )
+    buckets = {r["k"]: r["b"] for r in probe.collect()}
+    assert buckets["a"] != buckets["b"], buckets  # xxhash64 is fixed; holds
+
+    spark.createDataFrame(
+        [("a", "a1", 1), ("b", "b1", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run()
+    assert state() == {"a": ("a1", 1), "b": ("b1", 1)}
+    a_files_before = files_in(buckets["a"])
+
+    # batch 2: update b, insert c — a's bucket must not be rewritten
+    spark.createDataFrame(
+        [("b", "b2", 2), ("c", "c1", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run()
+    assert state() == {"a": ("a1", 1), "b": ("b2", 2), "c": ("c1", 1)}
+    if buckets["a"] not in (buckets["b"], buckets["c"]):
+        assert files_in(buckets["a"]) == a_files_before
+
+    # full replay from scratch (checkpoint wiped): same converged table
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert state() == {"a": ("a1", 1), "b": ("b2", 2), "c": ("c1", 1)}
+
+    # stale version must lose
+    spark.createDataFrame([("b", "b0", 0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run()
+    assert state()["b"] == ("b2", 2)
