@@ -96,3 +96,50 @@ def test_random_plan_matches_duckdb(spark, sf_dir, oracle_con, plan):
         sql = f"SELECT {sel_aggs} FROM lineitem{where}"
 
     assert_matches_oracle(df, oracle_con, sql, name=f"fuzz:{sql[:90]}")
+
+
+@st.composite
+def join_plans(draw):
+    o_cut = draw(st.integers(min_value=0, max_value=5))  # priority prefix 1-5
+    q_cut = draw(st.integers(min_value=0, max_value=60))
+    groups = draw(
+        st.lists(
+            st.sampled_from(["o_orderpriority", "o_orderstatus", "l_returnflag"]),
+            max_size=2,
+            unique=True,
+        )
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(sorted(AGGS)), min_size=1, max_size=3, unique=True)
+    )
+    return o_cut, q_cut, groups, aggs
+
+
+@SLOW_OK
+@given(plan=join_plans())
+def test_random_join_plan_matches_duckdb(spark, sf_dir, oracle_con, plan):
+    """Equi-join fuzz: orders ⋈ lineitem with random filters on both
+    sides and random integer aggregates, vs the same SQL on DuckDB."""
+    o_cut, q_cut, groups, aggs = plan
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    o_f = o.filter(F.substring("o_orderpriority", 1, 1) > str(o_cut))
+    l_f = li.filter(F.col("l_quantity") > q_cut)
+    j = o_f.join(l_f, o_f.o_orderkey == l_f.l_orderkey)
+
+    agg_cols = [AGGS[a][1]().alias(a) for a in aggs]
+    df = j.groupBy(*groups).agg(*agg_cols) if groups else j.agg(*agg_cols)
+
+    sel_aggs = ", ".join(f"{AGGS[a][0]} AS {a}" for a in aggs)
+    base = (
+        f"FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        f"WHERE substring(o.o_orderpriority, 1, 1) > '{o_cut}' "
+        f"AND l.l_quantity > {q_cut}"
+    )
+    if groups:
+        g = ", ".join(groups)
+        sql = f"SELECT {g}, {sel_aggs} {base} GROUP BY {g}"
+    else:
+        sql = f"SELECT {sel_aggs} {base}"
+    assert_matches_oracle(df, oracle_con, sql, name=f"fuzz-join:{sql[:80]}")
