@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.tables import load_table
@@ -143,3 +144,68 @@ def test_random_join_plan_matches_duckdb(spark, sf_dir, oracle_con, plan):
     else:
         sql = f"SELECT {sel_aggs} {base}"
     assert_matches_oracle(df, oracle_con, sql, name=f"fuzz-join:{sql[:80]}")
+
+
+WINDOW_FNS = {
+    # (sql template over the named window, spark builder over w)
+    "rn": (
+        "ROW_NUMBER() OVER ({w})",
+        lambda w: F.row_number().over(w),
+    ),
+    "rk": (
+        "RANK() OVER ({w})",
+        lambda w: F.rank().over(w),
+    ),
+    "lag_pk": (
+        "LAG(l_partkey) OVER ({w})",
+        lambda w: F.lag("l_partkey").over(w),
+    ),
+    "run_cnt": (
+        "CAST(COUNT(*) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+        " ROW) AS BIGINT)",
+        lambda w: F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    ),
+}
+
+
+@st.composite
+def window_plans(draw):
+    part = draw(st.sampled_from(GROUP_COLS))
+    fns = draw(
+        st.lists(
+            st.sampled_from(sorted(WINDOW_FNS)), min_size=1, max_size=3, unique=True
+        )
+    )
+    q_cut = draw(st.integers(min_value=30, max_value=60))
+    return part, fns, q_cut
+
+
+@SLOW_OK
+@given(plan=window_plans())
+def test_random_window_plan_matches_duckdb(spark, sf_dir, oracle_con, plan):
+    """Window-function fuzz: random analytic functions over a random
+    partition key, vs the same SQL on DuckDB. (orderkey, linenumber)
+    is NOT unique in the synthetic fixture — this fuzzer caught that
+    as a LAG nondeterminism — so the sort key includes l_partkey: any
+    remaining ties are identical in every output column, making each
+    window function's output multiset deterministic."""
+    part, fns, q_cut = plan
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > q_cut)
+
+    w = Window.partitionBy(part).orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        part,
+        *[WINDOW_FNS[f][1](w).alias(f) for f in fns],
+    )
+
+    w_sql = f"PARTITION BY {part} ORDER BY l_orderkey, l_linenumber, l_partkey"
+    sel = ", ".join(WINDOW_FNS[f][0].format(w=w_sql) + f" AS {f}" for f in fns)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {part}, {sel} "
+        f"FROM lineitem WHERE l_quantity > {q_cut}"
+    )
+    assert_matches_oracle(df, oracle_con, sql, name=f"fuzz-window:{sql[:80]}")
