@@ -139,3 +139,34 @@ def test_raw_timestamp_physical_types(sf_dir_name, key):
         "generation the loader has never seen; extend _load_events (or the "
         "date-column handling) BEFORE trusting any query results"
     )
+
+
+PRIMARY_KEYS = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
+
+@pytest.mark.parametrize("table", sorted(PRIMARY_KEYS))
+def test_primary_keys_unique(spark, sf_dir, table):
+    """Tie-break discipline relies on these ids being unique — a
+    regenerated fixture with duplicate ids would make every query
+    using them as a total-order key silently nondeterministic
+    (exactly the hazard the window fuzzer caught for lineitem's
+    NON-unique (l_orderkey, l_linenumber), which no query may assume
+    unique)."""
+    import duckdb
+
+    key = PRIMARY_KEYS[table]
+    n, dk = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT {key}) FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchone()
+    assert n == dk, f"{table}.{key}: {n} rows but {dk} distinct ids"
