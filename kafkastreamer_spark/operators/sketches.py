@@ -295,3 +295,42 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("false_positive_orders"),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_daily_merge",
+    oracle=None,  # Datasketches HLL binary sketches are engine-specific
+    tags=("relational", "agg", "approx", "sketch"),
+)
+def agg_hll_sketch_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 Datasketches HLL):
+    one sketch of user_id per day, then a cross-day union — the
+    production shape for distinct counting at 100 TB, where the daily
+    sketches are PERSISTED (bytes columns in a rollup table) and any
+    date-range distinct count is a sketch union over the range, never
+    a rescan of the raw events.
+
+    Rows-only by design (like agg_approx): DuckDB's HLL is a
+    different sketch implementation, so there is no cross-engine
+    oracle for the estimate; `tests/test_sketches.py::
+    test_hll_daily_merge_accuracy` bounds the estimate against the
+    exact distinct instead (Datasketches HLL_4 lgK=12 has ~1.6%
+    relative standard error; the test allows 5%).
+
+    Scale: each day's sketch is built map-side (partial hll_sketch_agg
+    per scan partition, merged per day) — the shuffle carries one
+    ~2.5 KB sketch per (partition, day), not user ids. The final
+    union reduces |days| sketches to one row.
+    """
+    ev = widen(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("distinct_users_estimate"),
+    )

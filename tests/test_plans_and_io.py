@@ -595,3 +595,17 @@ def test_zorder_bucket_agg_is_partial(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan  # max() scalar
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_hll_daily_merge_accuracy(spark, sf_dir):
+    """The merged cross-day estimate must sit within 5% of the exact
+    distinct-user count (Datasketches HLL_4 default lgK=12: ~1.6%
+    RSE, so 5% is >3 sigma)."""
+    from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
+    from kafkastreamer_spark.tables import load_table
+
+    _ensure_loaded()
+    row = REGISTRY["agg_hll_sketch_daily_merge"].fn(spark, sf_dir).collect()[0]
+    exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    est = row["distinct_users_estimate"]
+    assert abs(est - exact) <= max(1, 0.05 * exact), (est, exact)
