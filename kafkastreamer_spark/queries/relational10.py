@@ -246,3 +246,43 @@ def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT k // 10 AS k_decade,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(k) AS BIGINT) AS k_min,
+               CAST(MAX(k) AS BIGINT) AS k_max
+        FROM x GROUP BY 1 ORDER BY k_decade
+    """,
+    tags=("relational", "scalar", "json", "variant"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, ``variant_get`` typed
+    paths out of it — the modern replacement for per-path
+    ``get_json_object`` re-parsing (each get_json_object call
+    re-parses the string; a variant column parses once into a binary
+    form and every extraction is an O(log n) field lookup, the right
+    shape when a 100 TB event stream carries wide JSON payloads read
+    by many paths). The companion string-function form is
+    ``events_json_extract``.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.expr("k div 10").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("k_decade")
+    )
