@@ -400,3 +400,31 @@ def test_upsert_parquet_sink_last_writer_wins(spark, tdir):
     ).parquet(inp)
     run()
     assert state()["b"] == ("b2", 2)
+
+
+def test_state_datasource_reads_checkpoint_state(spark, tdir):
+    """Spark 4 state data source: the running count's state store is
+    directly readable from the checkpoint as a batch DataFrame
+    (format 'statestore') — state introspection for operations and
+    debugging without replaying the stream. The inspected state must
+    equal the counts the query emitted."""
+    inp = os.path.join(tdir, "in")
+    ckpt = os.path.join(tdir, "ckpt")
+    _write_keyed_input(spark, inp, 0, 60, partitions=3)
+    q = (
+        running_count(file_source(spark, inp, STREAM_SCHEMA))
+        .writeStream.format("memory")
+        .queryName("sds_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {r["key"]: r["count"] for r in spark.table("sds_sink").collect()}
+
+    state = spark.read.format("statestore").load(ckpt)
+    inspected = {
+        r["key"]["key"]: r["value"]["count"] for r in state.collect()
+    }
+    assert inspected == emitted == {"Key0": 20, "Key1": 20, "Key2": 20}
