@@ -126,3 +126,95 @@ def file_source(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Reference A1 as a registered custom Python data source (Spark 4
+# DataSource API): spark.read.format("keyed_int") /
+# spark.readStream.format("keyed_int") after register_keyed_int_source.
+# ---------------------------------------------------------------------------
+
+
+def register_keyed_int_source(spark: SparkSession) -> None:
+    """Register the reference's synthetic keyed-int generator
+    (Producer.java:72-90: record i → key "Key"+(i%partitions),
+    value str(i), numMessages bound at Producer.java:14) as a custom
+    Python data source named ``keyed_int``, usable as BOTH a batch
+    source and a streaming source:
+
+        spark.read.format("keyed_int").option("n", 100000).load()
+        spark.readStream.format("keyed_int")
+             .option("n", 100000).option("rows_per_batch", 1000).load()
+
+    Batch splits the id range into ``tasks`` partitions (parallel,
+    deterministic). Streaming implements a SimpleDataSourceStreamReader
+    whose offset is the next id — exactly the reference's "offset =
+    message index" contract — so checkpoint recovery resumes mid-range
+    without duplicates, and ``rows_per_batch`` is the declarative
+    replacement for the producer's per-record sleep throttle
+    (Producer.java:86).
+
+    Defined inside the function: DataSource subclasses are pickled to
+    Python workers, and a module-level class in the engine package
+    would drag the whole package into every worker pickle.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100_000))
+            self.p = int(options.get("partitions", 2))
+            self.tasks = int(options.get("tasks", 8))
+
+        def partitions(self):
+            step = -(-self.n // self.tasks) or 1
+            return [
+                InputPartition((lo, min(lo + step, self.n)))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, part):
+            lo, hi = part.value
+            for i in range(lo, hi):
+                yield (f"Key{i % self.p}", str(i))
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100_000))
+            self.p = int(options.get("partitions", 2))
+            self.per_batch = int(options.get("rows_per_batch", 1000))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            lo = start["i"]
+            hi = min(lo + self.per_batch, self.n)
+            rows = [(f"Key{i % self.p}", str(i)) for i in range(lo, hi)]
+            return iter(rows), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(f"Key{i % self.p}", str(i)) for i in range(start["i"], end["i"])]
+            )
+
+    class KeyedIntSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "keyed_int"
+
+        def schema(self):
+            return "key string, value string"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
+
+    spark.dataSource.register(KeyedIntSource)

@@ -428,3 +428,66 @@ def test_state_datasource_reads_checkpoint_state(spark, tdir):
         r["key"]["key"]: r["value"]["count"] for r in state.collect()
     }
     assert inspected == emitted == {"Key0": 20, "Key1": 20, "Key2": 20}
+
+
+def test_keyed_int_custom_source_batch_matches_builtin(spark):
+    """The registered Python data source (reference A1 as
+    format('keyed_int')) must produce exactly the builtin fixture's
+    rows, in parallel partitions."""
+    from kafkastreamer_spark.streaming.sources import register_keyed_int_source
+
+    register_keyed_int_source(spark)
+    df = (
+        spark.read.format("keyed_int")
+        .option("n", 500)
+        .option("partitions", 3)
+        .option("tasks", 4)
+        .load()
+    )
+    want = sorted(
+        (f"Key{i % 3}", str(i)) for i in range(500)
+    )
+    assert sorted(map(tuple, df.collect())) == want
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_keyed_int_custom_source_streams_through_stage_chain(spark, tdir):
+    """Streaming mode: the custom source's offset is the next id, so
+    an availableNow drain through an adder stage yields each value
+    exactly once (END = i + 1), across multiple micro-batches."""
+    from kafkastreamer_spark.streaming.sources import register_keyed_int_source
+
+    register_keyed_int_source(spark)
+    stream = (
+        spark.readStream.format("keyed_int")
+        .option("n", 300)
+        .option("partitions", 2)
+        .option("rows_per_batch", 100)
+        .load()
+    )
+    out = stage_transform(stream, ["adder"], quarantine=False)
+    ckpt = os.path.join(tdir, "ckpt")
+    # continuous micro-batches (availableNow only drains the simple
+    # reader's first prefetched batch): poll until the bounded source
+    # is exhausted, then stop.
+    import time as _time
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ki_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table("ki_sink").count() >= 300:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    vals = sorted(
+        int(r["value"]) for r in spark.table("ki_sink").collect()
+    )
+    assert vals == list(range(1, 301))
