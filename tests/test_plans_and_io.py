@@ -609,3 +609,28 @@ def test_hll_daily_merge_accuracy(spark, sf_dir):
     exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     est = row["distinct_users_estimate"]
     assert abs(est - exact) <= max(1, 0.05 * exact), (est, exact)
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The production value of mergeable sketches is PERSISTENCE:
+    daily sketch bytes written to parquet, read back, and unioned must
+    give the same estimate as a direct union — so date-range distinct
+    counts never rescan raw events."""
+    from kafkastreamer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    direct = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+
+    out = str(tmp_path / "daily_sketches")
+    daily.write.parquet(out)
+    reread = (
+        spark.read.parquet(out)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert reread == direct
