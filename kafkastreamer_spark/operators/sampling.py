@@ -311,3 +311,93 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sample_pps_systematic",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, n_chars AS wt,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(n_chars) OVER () AS total
+            FROM documents
+        ),
+        sel AS (
+            SELECT doc_id, wt, cum,
+                   (cum // (total // 100)) - ((cum - wt) // (total // 100))
+                       AS n_picks
+            FROM w
+        )
+        SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+               CAST(n_picks AS BIGINT) AS n_picks
+        FROM sel WHERE n_picks >= 1 ORDER BY doc_id
+    """,
+    tags=("sampling", "training-data"),
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    documents along a line in doc_id order, each occupying ``n_chars``
+    units, and pick every (total/100)-th unit — a document is selected
+    with probability proportional to its weight (large docs can be
+    picked more than once; ``n_picks`` is the multiplicity). All
+    integer arithmetic, so the selected set is engine-exact.
+
+    The exact GLOBAL running sum is computed scalably: doc_id range
+    buckets (``doc_id div 1024``, order-preserving) get within-bucket
+    running sums under a PARTITIONED window, and each bucket's
+    starting offset comes from a running sum over the tiny per-bucket
+    totals table — the same two-phase shape as deskew.md5_ranked, so
+    no full-table single-partition window exists in the plan
+    (plan-asserted in test_pps_cumsum_is_bucketed).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("wt")
+    )
+    b = (F.col("doc_id") / 1024).cast("long").alias("b")
+    d = d.select("doc_id", "wt", b)
+    # phase 1: within-bucket running sum (partitioned window)
+    win_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_in", F.sum("wt").over(win_in))
+    # phase 2: per-bucket totals -> exclusive running offsets (the
+    # window here is over |buckets| rows, not the table)
+    totals = d.groupBy("b").agg(F.sum("wt").alias("bt"))
+    win_b = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "b", (F.sum("bt").over(win_b) - F.col("bt")).alias("off")
+    )
+    grand = totals.agg(F.sum("bt").alias("total"))
+    sel = (
+        d.join(offsets, "b")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "doc_id",
+            "wt",
+            (F.col("off") + F.col("cum_in")).alias("cum"),
+            F.col("total"),
+        )
+        .select(
+            "doc_id",
+            "wt",
+            (
+                F.expr("cum div (total div 100)")
+                - F.expr("(cum - wt) div (total div 100)")
+            ).alias("n_picks"),
+        )
+    )
+    return (
+        sel.filter(F.col("n_picks") >= 1)
+        .select(
+            "doc_id",
+            F.col("wt").cast("long").alias("wt"),
+            F.col("n_picks").cast("long").alias("n_picks"),
+        )
+        .orderBy("doc_id")
+    )

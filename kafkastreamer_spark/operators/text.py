@@ -1249,3 +1249,76 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   (tf.tf * n.n_docs * 1000) // df.df AS score_q
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score_q,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_q DESC, term) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    tags=("llm-data", "text"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document with LOG-FREE integer scoring:
+    score_q = tf * N * 1000 div df — rank-equivalent to tf * (N/df)
+    (the idf log is monotone in N/df, so per-document top-k by the
+    rational score ranks identically to unsmoothed tf-idf), and exact
+    integer division keeps the ranking bit-identical across engines
+    where a floating ln() would not be.
+
+    Scale shape: explode → (doc, term) count (map-side combined);
+    document frequency is an aggregate of THAT table (no second
+    explode); the df join shuffles on the term key — vocabulary-sized,
+    zipf-distributed, and AQE's skew handling covers the stop-word
+    head. The per-doc top-3 is a bounded window per document.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * n_docs * 1000 div df").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("score_q").cast("long").alias("score_q"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

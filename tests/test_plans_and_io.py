@@ -634,3 +634,27 @@ def test_hll_sketches_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
         .collect()[0]["est"]
     )
     assert reread == direct
+
+
+def test_pps_cumsum_is_bucketed(spark, sf_dir):
+    """The exact global running sum must be two-phase: the full-table
+    window partitioned by the range bucket, and the only
+    single-partition exchange feeding the per-bucket totals aggregate
+    (|buckets| rows), never the documents table."""
+    df = REGISTRY["sample_pps_systematic"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    cum_win = plan.index("AS cum_in")
+    # the cum_in window's partition list is [b#...]
+    assert "], [b#" in plan[cum_win : cum_win + 200]
+    # every single-partition exchange is fed by an aggregate (bucket
+    # totals / grand total — bounded rows), never by the raw table
+    idx = 0
+    n_sp = 0
+    while True:
+        idx = plan.find("Exchange SinglePartition", idx)
+        if idx == -1:
+            break
+        assert "HashAggregate" in plan[idx : idx + 300], plan[idx : idx + 300]
+        idx += 1
+        n_sp += 1
+    assert 1 <= n_sp <= 2
