@@ -762,3 +762,88 @@ def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_sql_cos('q.qv', 'e.v')} AS c_full,
+                   {_sql_cos('q.qv[1:16]', 'e.v[1:16]')} AS c_16
+            FROM q JOIN e ON e.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c_full DESC, neighbor_id) AS r_full,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c_16 DESC, neighbor_id) AS r_16
+            FROM scored
+        )
+        SELECT f.query_id,
+               f.neighbor_id AS top1_full,
+               p.neighbor_id AS top1_prefix16,
+               CAST(f.neighbor_id = p.neighbor_id AS BIGINT) AS agree
+        FROM (SELECT * FROM ranked WHERE r_full = 1) f
+        JOIN (SELECT * FROM ranked WHERE r_16 = 1) p USING (query_id)
+        ORDER BY query_id
+    """,
+    tags=("llm-data", "similarity", "embedding"),
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: for each query vector, compare the
+    exact top-1 neighbor under FULL 64-dim cosine against the top-1
+    under the FIRST-16-dims prefix cosine — the measurement a pipeline
+    runs before switching retrieval to truncated (MRL-style)
+    embeddings, where the prefix is supposed to carry most of the
+    signal at 1/4 the storage and FLOPs.
+
+    Scale shape: identical to the brute-force baseline (broadcast
+    queries, one corpus scan — both scores computed in the same
+    pass), so auditing truncation costs one extra fold per row, not a
+    second scan. At 100 TB the same audit runs on a deterministic
+    md5-bucket sample of queries.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pre = lambda c: F.slice(c, 1, 16)  # noqa: E731
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("c_full"),
+        cosine(pre(F.col("qv")), pre(F.col("v"))).alias("c_16"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("c_full").desc(), "neighbor_id"
+    )
+    w_16 = Window.partitionBy("query_id").orderBy(F.col("c_16").desc(), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_16).alias("r_16"),
+    )
+    f = ranked.filter(F.col("r_full") == 1).select(
+        "query_id", F.col("neighbor_id").alias("top1_full")
+    )
+    p = ranked.filter(F.col("r_16") == 1).select(
+        "query_id", F.col("neighbor_id").alias("top1_prefix16")
+    )
+    return (
+        f.join(p, "query_id")
+        .select(
+            "query_id",
+            "top1_full",
+            "top1_prefix16",
+            (F.col("top1_full") == F.col("top1_prefix16"))
+            .cast("long")
+            .alias("agree"),
+        )
+        .orderBy("query_id")
+    )

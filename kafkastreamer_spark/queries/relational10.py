@@ -286,3 +286,97 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decade")
     )
+
+
+_RESTATE_CUTOFF = 95000  # event_id >= cutoff plays the late-arrival batch
+
+
+@register(
+    "events_window_restatement",
+    oracle=f"""
+        WITH base AS (
+            SELECT * FROM events WHERE event_id < {_RESTATE_CUTOFF}
+        ),
+        late AS (
+            SELECT * FROM events WHERE event_id >= {_RESTATE_CUTOFF}
+        ),
+        affected AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS hr FROM late
+        ),
+        old AS (
+            SELECT date_trunc('hour', b.ts) AS hr,
+                   COUNT(*) AS old_n,
+                   SUM(CAST(FLOOR(b.value * 10000) AS BIGINT)) AS old_s4
+            FROM base b JOIN affected a ON date_trunc('hour', b.ts) = a.hr
+            GROUP BY 1
+        ),
+        corrected AS (
+            SELECT date_trunc('hour', ts) AS hr,
+                   COUNT(*) AS new_n,
+                   SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS new_s4
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM late) u
+            JOIN affected ON date_trunc('hour', u.ts) = affected.hr
+            GROUP BY 1
+        )
+        SELECT strftime(c.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(COALESCE(o.old_n, 0) AS BIGINT) AS old_n,
+               CAST(c.new_n AS BIGINT) AS new_n,
+               CAST(c.new_n - COALESCE(o.old_n, 0) AS BIGINT) AS delta_n,
+               CAST(c.new_s4 - COALESCE(o.old_s4, 0) AS DOUBLE) / 10000
+                   AS delta_sum
+        FROM corrected c LEFT JOIN old o ON c.hr = o.hr
+        ORDER BY hour
+    """,
+    tags=("events", "streaming", "backfill"),
+)
+def events_window_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data backfill correction: given a published hourly
+    aggregate (events below the cutoff) and a late-arrival batch
+    (events at/above it), recompute ONLY the hour windows the late
+    batch touches and emit correction records (old/new/delta) — the
+    batch restatement pattern that pairs with the streaming
+    watermark: watermarked pipelines drop what this job repairs.
+
+    Scale shape: the affected-window set is tiny (distinct hours of
+    the late batch) and broadcast into both the old and corrected
+    aggregations, so the recompute scans prune to affected windows
+    instead of re-aggregating history; deltas join on the hour key
+    (bounded rows).
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") < _RESTATE_CUTOFF)
+    late = ev.filter(F.col("event_id") >= _RESTATE_CUTOFF)
+    hr = F.date_trunc("hour", F.col("ts")).alias("hr")
+    affected = late.select(hr).distinct()
+    s4 = F.sum(F.floor(F.col("value") * 10000).cast("long"))
+    old = (
+        base.select(hr, "value")
+        .join(F.broadcast(affected), "hr")
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("old_n"), s4.alias("old_s4"))
+    )
+    corrected = (
+        base.unionByName(late)
+        .select(hr, "value")
+        .join(F.broadcast(affected), "hr")
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("new_n"), s4.alias("new_s4"))
+    )
+    return (
+        corrected.join(old, "hr", "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("old_n"), F.lit(0)).cast("long").alias("old_n"),
+            F.col("new_n").cast("long").alias("new_n"),
+            (F.col("new_n") - F.coalesce(F.col("old_n"), F.lit(0)))
+            .cast("long")
+            .alias("delta_n"),
+            (
+                (F.col("new_s4") - F.coalesce(F.col("old_s4"), F.lit(0))).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("delta_sum"),
+        )
+        .orderBy("hour")
+    )
