@@ -288,17 +288,22 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RESTATE_CUTOFF = 95000  # event_id >= cutoff plays the late-arrival batch
+# The late-arrival batch is the top 5% of the event_id range, so the
+# scenario exists at every scale factor (a fixed id cutoff would make
+# the query degenerate-empty below the SF it was tuned for).
 
 
 @register(
     "events_window_restatement",
     oracle=f"""
-        WITH base AS (
-            SELECT * FROM events WHERE event_id < {_RESTATE_CUTOFF}
+        WITH cut AS (
+            SELECT (MAX(event_id) + 1) * 95 // 100 AS c FROM events
+        ),
+        base AS (
+            SELECT e.* FROM events e CROSS JOIN cut WHERE e.event_id < cut.c
         ),
         late AS (
-            SELECT * FROM events WHERE event_id >= {_RESTATE_CUTOFF}
+            SELECT e.* FROM events e CROSS JOIN cut WHERE e.event_id >= cut.c
         ),
         affected AS (
             SELECT DISTINCT date_trunc('hour', ts) AS hr FROM late
@@ -344,8 +349,12 @@ def events_window_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded rows).
     """
     ev = _t(spark, sf_dir, "events")
-    base = ev.filter(F.col("event_id") < _RESTATE_CUTOFF)
-    late = ev.filter(F.col("event_id") >= _RESTATE_CUTOFF)
+    cut = ev.agg(
+        F.expr("(max(event_id) + 1) * 95 div 100").alias("c")
+    )
+    withc = ev.crossJoin(F.broadcast(cut))
+    base = withc.filter(F.col("event_id") < F.col("c")).drop("c")
+    late = withc.filter(F.col("event_id") >= F.col("c")).drop("c")
     hr = F.date_trunc("hour", F.col("ts")).alias("hr")
     affected = late.select(hr).distinct()
     s4 = F.sum(F.floor(F.col("value") * 10000).cast("long"))
