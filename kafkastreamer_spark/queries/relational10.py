@@ -13,7 +13,7 @@ capability closure along two axes a curation pipeline hits:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.queries._util import SCALE, fixed
@@ -388,4 +388,55 @@ def events_window_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_sum"),
         )
         .orderBy("hour")
+    )
+
+
+@register(
+    "events_purchase_attribution",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   LAG(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS last_touch
+            FROM events
+        )
+        SELECT COALESCE(last_touch, 'none') AS touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM ordered WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY touch
+    """,
+    tags=("events", "attribution", "window"),
+)
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding NON-purchase event of the same user (LAG ... 
+    IGNORE NULLS over the user timeline — purchases masked to NULL so
+    they can't self-attribute), rolled up to purchases per touch type.
+
+    Scale shape: one shuffle on user_id for the timeline window, then
+    a counts-only groupBy over five touch keys. Hot users are the
+    usual skew concern; the window carries only (event_id, ts, type),
+    never payloads. (ts, event_id) is the total order — event_id alone
+    is unique (fixture-canaried) and breaks timestamp ties.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("last_touch"),
+    )
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select(F.coalesce(F.col("last_touch"), F.lit("none")).alias("touch"))
+        .groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch")
     )
