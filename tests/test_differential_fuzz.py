@@ -209,3 +209,37 @@ def test_random_window_plan_matches_duckdb(spark, sf_dir, oracle_con, plan):
         f"FROM lineitem WHERE l_quantity > {q_cut}"
     )
     assert_matches_oracle(df, oracle_con, sql, name=f"fuzz-window:{sql[:80]}")
+
+
+@st.composite
+def setop_plans(draw):
+    op = draw(st.sampled_from(["union_all", "intersect", "except_"]))
+    a_cut = draw(st.integers(min_value=10, max_value=50))
+    b_cut = draw(st.integers(min_value=10, max_value=50))
+    return op, a_cut, b_cut
+
+
+@SLOW_OK
+@given(plan=setop_plans())
+def test_random_setop_matches_duckdb(spark, sf_dir, oracle_con, plan):
+    """Set-operation fuzz: two filtered integer projections combined
+    by a random UNION ALL / INTERSECT / EXCEPT, vs DuckDB. INTERSECT
+    and EXCEPT are the distinct (set) forms in both engines."""
+    op, a_cut, b_cut = plan
+    li = load_table(spark, sf_dir, "lineitem")
+    proj = ["l_orderkey", "l_linenumber"]
+    a = li.filter(F.col("l_quantity") > a_cut).select(*proj)
+    b = li.filter(F.col("l_partkey") % 3 == b_cut % 3).select(*proj)
+    if op == "union_all":
+        df, sql_op = a.unionAll(b), "UNION ALL"
+    elif op == "intersect":
+        df, sql_op = a.intersect(b), "INTERSECT"
+    else:
+        df, sql_op = a.subtract(b), "EXCEPT"  # set semantics, like SQL
+    cols = ", ".join(proj)
+    sql = (
+        f"SELECT {cols} FROM lineitem WHERE l_quantity > {a_cut} "
+        f"{sql_op} "
+        f"SELECT {cols} FROM lineitem WHERE l_partkey % 3 = {b_cut % 3}"
+    )
+    assert_matches_oracle(df, oracle_con, sql, name=f"fuzz-setop:{op}")

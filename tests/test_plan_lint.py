@@ -36,3 +36,13 @@ def test_no_cartesian_or_row_python(spark, sf_dir, name):
     plan = _physical(REGISTRY[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name}: non-broadcast all-pairs join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_bench_headline_queries_all_registered():
+    """bench.py's frozen HEADLINE list must stay resolvable — a
+    registry rename would otherwise crash the driver's bench run
+    (round-2 postmortem class)."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
