@@ -143,3 +143,29 @@ def test_binary_corpus_feeds_multimodal_stats(spark, tmp_path):
         "asset_id", F.length("content").alias("n"), F.md5(F.hex("content")).alias("h")
     ).collect()
     assert out[0].n == 16
+
+
+def test_csv_permissive_captures_malformed_rows(spark, tmp_path):
+    """Batch CSV ingestion with the quarantine contract the streaming
+    stages already have (SURVEY §7 hard-part d): PERMISSIVE mode
+    parses what it can and lands the raw text of malformed rows in a
+    corrupt-record column instead of crashing — the reference's
+    Integer.parseInt crash behavior, corrected, on the batch path."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "raw.csv"
+    p.write_text("1,alpha,10\n2,beta,not_a_number\n3,gamma,30\nbroken row\n")
+    schema = "id INT, name STRING, qty INT, _bad STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(str(p))
+    )
+    df = df.cache()  # corrupt-record column requires a raw-row pass
+    good = df.filter(F.col("_bad").isNull())
+    bad = df.filter(F.col("_bad").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_rows = sorted(r["_bad"] for r in bad.collect())
+    assert bad_rows == ["2,beta,not_a_number", "broken row"]
+    df.unpersist()
