@@ -31,3 +31,59 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count(F.lit(1)), F.sum(F.floor(F.col("o_totalprice"))).cast("long")
     )
     assert plain.collect() == salted.collect()
+
+
+def test_aqe_skew_join_fires_at_runtime(spark):
+    """The 100 TB skew posture leans on AQE's skew-join
+    (ENGINE_CONF enables it): prove it actually splits a hot
+    partition at runtime — the executed plan must show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead.
+
+    Caveat pinned here because it bites in production: AQE will NOT
+    split the skewed partition when the join feeds an aggregate on
+    the join key (splitting would break the aggregate's required
+    distribution) — which is exactly when the engine's explicit
+    salting operators (join_skew_salted / skew_salted_agg) are the
+    right tool instead.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = (
+            spark.range(0, 400_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .unionAll(
+                spark.range(0, 99_000).select(
+                    (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = (
+            big.join(small, "k")
+            .groupBy((F.col("v") % 13).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = j.collect()
+        assert sum(r["n"] for r in rows) == 499_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
