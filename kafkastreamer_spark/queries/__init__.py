@@ -15,5 +15,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational8,
     relational9,
     relational10,
+    relational11,
 )
 from kafkastreamer_spark import operators  # noqa: F401
