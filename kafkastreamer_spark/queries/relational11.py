@@ -19,6 +19,7 @@ capability closure along shapes Spark has no native operator for:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -274,6 +275,90 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rank"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+_COGROUP_SCHEMA = (
+    "user_id long, n_purch long, n_click long,"
+    " first_purch_us long, clicks_after long"
+)
+
+
+def _purchase_click_stats(key, purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped pandas function: BOTH per-user groups arrive together
+    as two frames (either possibly empty — cogroup keys are the union
+    of both sides). Integer-only outputs, order-insensitive within the
+    group, so the result is exact across partitionings. -1 sentinels
+    the no-purchase case (nullable ints round-trip as floats through
+    pandas, which would break the value hash)."""
+    n_p, n_c = len(purchases), len(clicks)
+    first = int(purchases["us"].min()) if n_p else -1
+    after = int((clicks["us"] >= first).sum()) if (n_p and n_c) else 0
+    return pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_purch": [n_p],
+            "n_click": [n_c],
+            "first_purch_us": [first],
+            "clicks_after": [after],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_purchase_clicks",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, COUNT(*) AS n_purch, MIN(epoch_us(ts)) AS first_us
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        c AS (
+            SELECT user_id, COUNT(*) AS n_click
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        ca AS (
+            SELECT e.user_id, COUNT(*) AS n_after
+            FROM events e JOIN p ON e.user_id = p.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) >= p.first_us
+            GROUP BY e.user_id
+        )
+        SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+               COALESCE(n_purch, 0) AS n_purch,
+               COALESCE(n_click, 0) AS n_click,
+               COALESCE(first_us, -1) AS first_purch_us,
+               COALESCE(n_after, 0) AS clicks_after
+        FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+        LEFT JOIN ca ON COALESCE(p.user_id, c.user_id) = ca.user_id
+        ORDER BY user_id
+    """,
+    tags=("udf", "cogroup", "events"),
+)
+def udf_cogrouped_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF surface (``groupBy().cogroup().applyInPandas``)
+    — the third Arrow UDF kind after scalar pandas_udf and grouped
+    applyInPandas: per user, the purchase group and the click group
+    arrive TOGETHER as two pandas frames, here computing post-purchase
+    click attribution. The stats are SQL-expressible (the oracle is
+    the join form) — the point is exact-checked plumbing for two-sided
+    per-key logic that built-ins can't express (per-key sequence
+    alignment, custom as-of matching, per-entity model scoring against
+    a reference series).
+
+    Scale shape: one hash exchange per side on user_id (the cogroup
+    key), then Arrow-batched per-key frames; nothing is collected, and
+    group size bounds memory exactly like any grouped-map UDF. The
+    filters push to the scan so each side ships only its event type.
+    """
+    ev = widen(load_table(spark, sf_dir, "events"))
+    side = lambda tp: ev.filter(F.col("event_type") == tp).select(  # noqa: E731
+        "user_id", epoch_us("ts").alias("us")
+    )
+    return (
+        side("purchase")
+        .groupBy("user_id")
+        .cogroup(side("click").groupBy("user_id"))
+        .applyInPandas(_purchase_click_stats, schema=_COGROUP_SCHEMA)
+        .orderBy("user_id")
     )
 
 
