@@ -357,3 +357,71 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
         .limit(30)
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH edges AS ({_TRADE_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        l0 AS (SELECT node, node AS lbl FROM nodes),
+        n1 AS (SELECT s.dst AS node, MIN(l0.lbl) AS m
+               FROM sym s JOIN l0 ON l0.node = s.src GROUP BY s.dst),
+        l1 AS (SELECT l0.node, LEAST(l0.lbl, COALESCE(n1.m, l0.lbl)) AS lbl
+               FROM l0 LEFT JOIN n1 ON n1.node = l0.node),
+        n2 AS (SELECT s.dst AS node, MIN(l1.lbl) AS m
+               FROM sym s JOIN l1 ON l1.node = s.src GROUP BY s.dst),
+        l2 AS (SELECT l1.node, LEAST(l1.lbl, COALESCE(n2.m, l1.lbl)) AS lbl
+               FROM l1 LEFT JOIN n2 ON n2.node = l1.node)
+        SELECT node, lbl AS label FROM l2 ORDER BY node
+    """,
+    tags=("graph", "community", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation, two supersteps over the symmetrized
+    trade graph: every node starts labeled with its own id and each
+    step adopts the minimum label in its closed neighborhood — the
+    deterministic LPA variant (plain LPA breaks ties randomly; min is
+    engine- and order-independent), and exactly the per-superstep
+    update connected-components iterates to a fixed point. Two
+    unrolled steps keep the oracle a finite CTE chain while exercising
+    the iterative-superstep machinery on its own.
+
+    Scale shape: identical cost model to graph_pagerank_two_iter —
+    the edge list is built once, symmetrized, and persisted; each
+    superstep broadcasts the (tiny) label vector onto the edges
+    (map-side join, edges never shuffle) and reduces by dst. Label
+    vectors are |nodes| rows, so at 100 TB the iteration cost is one
+    broadcast + one |nodes|-group aggregate per step, with the edge
+    relation staying hash-partitioned in cache across steps.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    lbl = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(2):
+        nbr = (
+            sym.join(F.broadcast(lbl), sym.src == lbl.node)
+            .groupBy(F.col("dst").alias("n_node"))
+            .agg(F.min("lbl").alias("m"))
+        )
+        lbl = (
+            lbl.join(F.broadcast(nbr), lbl.node == nbr.n_node, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+    return lbl.select("node", F.col("lbl").alias("label")).orderBy("node")
