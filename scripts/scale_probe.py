@@ -57,6 +57,14 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     "events_sessionization": (("events",), (1, 4, 16)),
     "q1_pricing_summary": (("lineitem",), (1, 2, 4)),
     "q4_order_priority": (("orders", "lineitem"), (1, 2, 4)),
+    # Copy-inflated events keep their timestamps, so interval density
+    # grows with k and the bucket-blocked join's candidate volume grows
+    # ~k² — the designed cost model (candidates ∝ density², not rows²);
+    # the probe measures it rather than hiding it.
+    "join_interval_overlap": (("events",), (1, 4, 16)),
+    "events_wau_sliding": (("events",), (1, 4, 16)),
+    "search_hybrid_rrf": (("embeddings",), (1, 4, 16)),
+    "supplier_return_rate_wilson": (("lineitem",), (1, 2, 4)),
 }
 
 
