@@ -334,3 +334,109 @@ def agg_hll_sketch_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_users_estimate"),
     )
+
+
+@register(
+    "agg_theta_setops_audience",
+    oracle=None,  # Datasketches Theta binary sketches are engine-specific
+    tags=("relational", "agg", "approx", "sketch", "setop"),
+)
+def agg_theta_setops_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra on Theta sketches (Spark 4 Datasketches):
+    purchase vs click user sets — union, intersection, and difference
+    estimated from two per-segment sketches, with the exact counts
+    computed alongside for the accuracy contract. Theta is the sketch
+    that supports INTERSECTION and A-NOT-B (HLL only unions), which is
+    why it's the production answer to "how many purchasers also
+    clicked" at 100 TB: per-segment sketches are persisted and any
+    audience overlap question is sketch algebra in milliseconds,
+    never a fact-table join.
+
+    Rows-only by design (same policy as agg_hll_sketch_daily_merge):
+    the sketch bytes are engine-specific, so the test suite bounds
+    the estimates against the exact columns this query itself emits
+    (below ~4096 distinct keys a Theta sketch is in exact mode, so at
+    test scale the estimates are equal, not just close).
+
+    Scale: each segment sketch builds map-side (partial
+    theta_sketch_agg per scan partition); the shuffle carries one
+    ≤32 KB sketch per partition per segment, and all set operations
+    run on the two final sketches — one row out.
+    """
+    ev = widen(load_table(spark, sf_dir, "events"))
+    seg = lambda tp: F.theta_sketch_agg(  # noqa: E731
+        F.when(F.col("event_type") == tp, F.col("user_id"))
+    )
+    exact = lambda tp: F.count_distinct(  # noqa: E731
+        F.when(F.col("event_type") == tp, F.col("user_id"))
+    )
+    sk = ev.agg(
+        seg("purchase").alias("sk_p"),
+        seg("click").alias("sk_c"),
+        exact("purchase").cast("long").alias("exact_purchasers"),
+        exact("click").cast("long").alias("exact_clickers"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_any"),
+        F.count_distinct(
+            F.when(F.col("event_type").isin("purchase", "click"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("exact_either"),
+    )
+    return sk.select(
+        "exact_purchasers",
+        "exact_clickers",
+        "exact_either",
+        F.theta_sketch_estimate(F.theta_union("sk_p", "sk_c"))
+        .cast("long")
+        .alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_p", "sk_c"))
+        .cast("long")
+        .alias("est_intersect"),
+        F.theta_sketch_estimate(F.theta_difference("sk_p", "sk_c"))
+        .cast("long")
+        .alias("est_purchase_only"),
+    )
+
+
+@register(
+    "agg_kll_value_quantiles",
+    oracle=None,  # Datasketches KLL binary sketches are engine-specific
+    tags=("relational", "agg", "approx", "sketch", "percentile"),
+)
+def agg_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantiles via KLL sketches (Spark 4
+    Datasketches): per-event-type p50/p95 of ``value`` from one sketch
+    per group, each built map-side and merged — the rank-error-bounded
+    answer to percentiles over data too big to sort. Completes the
+    percentile family: exact-sorted (agg_percentile_cont_manual /
+    agg_median_exact), t-digest-style approximate (agg_approx), and
+    now a MERGEABLE sketch that can be persisted per day/shard and
+    re-queried at any rank without rescanning (same production shape
+    as the HLL and Theta rollups).
+
+    Rows-only by design: sketch internals are engine-specific; the
+    accuracy contract lives in tests (KLL k=200 has ~1.65% one-sided
+    rank error at 99% confidence; the test checks the returned value's
+    true rank against that bound).
+
+    Scale: the shuffle carries one ~KB sketch per scan partition per
+    group; quantile readout is O(k). n is carried from the sketch
+    itself (kll_sketch_get_n) — no second count pass.
+    """
+    ev = widen(load_table(spark, sf_dir, "events"))
+    sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    return (
+        sk.select(
+            "event_type",
+            F.kll_sketch_get_n_double("sk").cast("long").alias("n"),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias(
+                "p50_est"
+            ),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 6).alias(
+                "p95_est"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -658,3 +658,43 @@ def test_pps_cumsum_is_bucketed(spark, sf_dir):
         idx += 1
         n_sp += 1
     assert 1 <= n_sp <= 2
+
+
+def test_theta_setops_exact_at_test_scale(spark, sf_dir):
+    """Below ~4096 distinct keys a Theta sketch runs in exact mode, so
+    at test scale every set-operation estimate must EQUAL its exact
+    companion column (union = either-segment distinct; purchase-only =
+    purchasers - both; intersection via inclusion-exclusion)."""
+    from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    r = REGISTRY["agg_theta_setops_audience"].fn(spark, sf_dir).collect()[0]
+    exact_both = r["exact_purchasers"] + r["exact_clickers"] - r["exact_either"]
+    assert r["est_union"] == r["exact_either"], r
+    assert r["est_intersect"] == exact_both, r
+    assert r["est_purchase_only"] == r["exact_purchasers"] - exact_both, r
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    """Every KLL quantile readout must land within the sketch's rank
+    error of the requested rank (k=200 -> ~1.65% one-sided rank error
+    at 99% confidence; allow 3%): the TRUE rank of the returned value,
+    measured against the exactly-sorted group, stays near p."""
+    from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
+    from kafkastreamer_spark.tables import load_table
+
+    _ensure_loaded()
+    rows = REGISTRY["agg_kll_value_quantiles"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    for r in rows:
+        vals = sorted(
+            x["value"]
+            for x in ev.filter(F.col("event_type") == r["event_type"])
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        assert r["n"] == n
+        for p, est in ((0.5, r["p50_est"]), (0.95, r["p95_est"])):
+            true_rank = sum(1 for v in vals if v <= est) / n
+            assert abs(true_rank - p) <= 0.03, (r["event_type"], p, est, true_rank)
