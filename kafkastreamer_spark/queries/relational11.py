@@ -499,6 +499,75 @@ def agg_percentile_cont_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_try_error_handling",
+    oracle="""
+        WITH t AS (
+            SELECT
+                CASE WHEN CAST(FLOOR(value) AS BIGINT) % 3 = 0 THEN NULL
+                     ELSE value / (CAST(FLOOR(value) AS BIGINT) % 3) END AS div_v,
+                TRY_CAST(CASE WHEN event_id % 2 = 0
+                              THEN CAST(event_id AS VARCHAR)
+                              ELSE event_type END AS BIGINT) AS cast_v,
+                string_split(props, ',')[3] AS elem_v,
+                CASE WHEN event_id > 7 THEN NULL
+                     ELSE 9223372036854775800 + event_id END AS add_v
+            FROM events
+        )
+        SELECT COUNT(*) AS n_rows,
+               COUNT(div_v) AS n_div_ok,
+               CAST(SUM(CAST(FLOOR(div_v * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   AS div_sum,
+               COUNT(cast_v) AS n_cast_ok,
+               CAST(SUM(cast_v) AS BIGINT) AS cast_sum,
+               COUNT(elem_v) AS n_elem_ok,
+               COUNT(add_v) AS n_add_ok,
+               MIN(add_v) AS add_min
+        FROM t
+    """,
+    tags=("scalar", "error-handling"),
+)
+def scalar_try_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling battery: the ``try_*`` function family
+    (try_divide on zero denominators, Column.try_cast on mixed
+    numeric/word strings, try_element_at past the end of an array,
+    try_add at BIGINT overflow) — the engine's null-on-failure policy
+    (SURVEY.md §7 hard-part d: the reference crashes on the first
+    malformed payload, Streamer.java:328 Integer.parseInt; this engine
+    never fails a job on one bad record). The oracle mirrors each
+    try-op with its explicit guarded form (CASE/TRY_CAST/list OOB), so
+    the NULL surface — not just the happy path — is value-hash-checked
+    cross-engine.
+
+    Scale shape: a single projection + global aggregate; every try-op
+    stays inside whole-stage codegen (no exception-driven control
+    flow — Spark compiles try_* to guarded expressions, which is why
+    this costs nothing vs the unguarded forms).
+    """
+    ev = widen(load_table(spark, sf_dir, "events"))
+    denom = (F.floor("value").cast("long") % 3).cast("long")
+    t = ev.select(
+        F.try_divide(F.col("value"), denom).alias("div_v"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id").cast("string"))
+        .otherwise(F.col("event_type"))
+        .try_cast("long")
+        .alias("cast_v"),
+        F.try_element_at(F.split("props", ","), F.lit(3)).alias("elem_v"),
+        F.try_add(F.lit(9223372036854775800), F.col("event_id")).alias("add_v"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("div_v").alias("n_div_ok"),
+        (F.sum(F.floor(F.col("div_v") * 10000).cast("long")).cast("double") / 10000)
+        .alias("div_sum"),
+        F.count("cast_v").alias("n_cast_ok"),
+        F.sum("cast_v").cast("long").alias("cast_sum"),
+        F.count("elem_v").alias("n_elem_ok"),
+        F.count("add_v").alias("n_add_ok"),
+        F.min("add_v").alias("add_min"),
+    )
+
+
 WAU_DAYS = 7
 
 
