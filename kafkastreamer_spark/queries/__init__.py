@@ -16,5 +16,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational9,
     relational10,
     relational11,
+    relational12,
 )
 from kafkastreamer_spark import operators  # noqa: F401
