@@ -25,8 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafkastreamer_spark.operators.deskew import md5_ranked
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
+
+# Quadratic-projection degree ceiling (round-3 verdict item #4): a key
+# with more than this many bipartite neighbors keeps a deterministic
+# md5-rank sample of them before any pairing self-join, bounding the
+# per-key candidate blowup at C(64,2) ≈ 2k pairs.
+_DEGREE_CAP = 64
 
 # Rank fixed-point scale: 1e9 micro-units per unit of probability
 # mass.  Integer division (Spark `div` == DuckDB `//`) makes every
@@ -315,8 +322,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_bipartite_projection",
     oracle="""
-        WITH ps AS (
+        WITH ps0 AS (
             SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        ps AS (
+            SELECT p, s FROM (
+                SELECT p, s,
+                       row_number() OVER (
+                           PARTITION BY p
+                           ORDER BY md5(CAST(s AS VARCHAR)), s) AS rn
+                FROM ps0
+            ) WHERE rn <= 64
         ),
         pairs AS (
             SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS shared_parts
@@ -338,16 +354,30 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure graph_connected_components propagates over.
 
     Scale shape: the projection is a self-join on the part key, so
-    cost is Σ_p deg(p)² — dominated by high-degree parts.  The
-    fixture's part degrees are small; at web scale the standard
-    mitigations apply in this exact plan: cap or sample each part's
-    supplier list (the degree ceiling basket_pair_cooccurrence
-    documents) before the pairing join.  Top-30 compiles to
+    cost is Σ_p deg(p)² — dominated by high-degree parts.  The degree
+    ceiling is therefore IN the plan (round-3 verdict item #4, not
+    prose): each part keeps at most ``_DEGREE_CAP`` suppliers, chosen
+    by deterministic md5-rank (``operators/deskew.md5_ranked`` — the
+    rank computation itself is skew-free), so a viral part contributes
+    ≤ C(64,2) pairs instead of deg². The oracle applies the identical
+    cap, so the contract is exact at ANY degree distribution — the
+    fixture's ~4-supplier parts never hit it, but the semantics no
+    longer depend on that.  Top-30 compiles to
     TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct().persist()  # both sides of the pairing join
+    ps = (
+        md5_ranked(
+            li.select(
+                F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+            ).distinct(),
+            ["p"],
+            key_col="s",
+            rank_name="rn",
+        )
+        .filter(F.col("rn") <= _DEGREE_CAP)
+        .select("p", "s")
+        .persist()  # both sides of the pairing join
+    )
     b = ps.select(F.col("p").alias("pb"), F.col("s").alias("supp_b"))
     return (
         ps.withColumnRenamed("s", "supp_a")

@@ -14,9 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkastreamer_spark.operators.deskew import md5_ranked
 from kafkastreamer_spark.queries._util import fixed, sql_fixed
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table, widen
+
+# Per-basket item ceiling for the pairing self-join (see
+# basket_pair_cooccurrence — round-3 verdict item #4).
+_BASKET_CAP = 64
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -393,9 +398,18 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "basket_pair_cooccurrence",
     oracle="""
-        WITH items AS (
+        WITH items0 AS (
             SELECT DISTINCT l_orderkey AS ok, l_partkey % 50 AS item
             FROM lineitem
+        ),
+        items AS (
+            SELECT ok, item FROM (
+                SELECT ok, item,
+                       row_number() OVER (
+                           PARTITION BY ok
+                           ORDER BY md5(CAST(item AS VARCHAR)), item) AS rn
+                FROM items0
+            ) WHERE rn <= 64
         ),
         pairs AS (
             SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_orders
@@ -413,19 +427,33 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top-20 item-category pairs by
     number of orders containing both (support counts). Items are
-    DISTINCT'd within the order first, so the within-order self-join
-    generates at most C(items_per_order, 2) candidates per order —
-    bounded by basket size (~7 here), never by catalog size. This is
-    the frequent-itemset k=2 pass; higher k iterates the same shape
-    on surviving pairs.
+    DISTINCT'd within the order first, then capped at ``_BASKET_CAP``
+    per order by deterministic md5-rank (round-3 verdict item #4 — the
+    degree ceiling is in the plan, not prose), so the within-order
+    self-join generates at most C(64, 2) candidates per order even for
+    a pathological basket that touches the whole catalog; the
+    fixture's ~7-item baskets never hit the cap, but the semantics no
+    longer depend on that.  The oracle applies the identical cap.
+    This is the frequent-itemset k=2 pass; higher k iterates the same
+    shape on surviving pairs.
 
     Scale: one shuffle on orderkey co-locates each basket; the pair
     explosion and count are map-side from there, and the top-20 is a
     TakeOrderedAndProject, not a global sort."""
     li = widen(load_table(spark, sf_dir, "lineitem"))
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 50).alias("item")
-    ).distinct()
+    items = (
+        md5_ranked(
+            li.select(
+                F.col("l_orderkey").alias("ok"),
+                (F.col("l_partkey") % 50).alias("item"),
+            ).distinct(),
+            ["ok"],
+            key_col="item",
+            rank_name="rn",
+        )
+        .filter(F.col("rn") <= _BASKET_CAP)
+        .select("ok", "item")
+    )
     a, b = items.alias("a"), items.alias("b")
     pairs = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
