@@ -339,11 +339,21 @@ def upsert_parquet_sink(
     checkpoint: str,
     n_buckets: int = 64,
     available_now: bool = True,
+    post_write_hook=None,
 ) -> StreamingQuery:
     """Streaming keyed upsert (Type-1 / last-writer-wins) into a
     hash-bucket-partitioned parquet table — the CDC-apply sink the
     reference's state-changelog consumers would need, without a table
     format.
+
+    ``post_write_hook(batch_id)``, if given, runs after the dynamic
+    overwrite lands but BEFORE foreachBatch returns (i.e. before the
+    checkpoint commit) — the failure-injection point for the
+    mid-commit crash test: a hook that raises simulates a driver
+    death in the window where the table already holds the batch but
+    the checkpoint does not, forcing a replay of the same batch
+    against the already-updated table
+    (tests/test_streaming_upsert_crash.py asserts convergence).
 
     Per micro-batch (foreachBatch):
 
@@ -397,6 +407,8 @@ def upsert_parquet_sink(
             .partitionBy("_bkt")
             .parquet(table_dir)
         )
+        if post_write_hook is not None:
+            post_write_hook(batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
