@@ -571,6 +571,36 @@ def scalar_try_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAU_DAYS = 7
 
 
+def wau_from_day_user(day_user: DataFrame) -> DataFrame:
+    """(d date, user_id) pairs → per-day trailing-7-day distinct-user
+    counts. Shared by the batch query below and its streaming twin
+    (streaming/sketches.sliding_distinct_pairs): the streaming side
+    materializes the distinct pairs statefully, then this exact
+    aggregation runs on the emitted pairs — the stream==batch parity
+    test (tests/test_streaming_wau.py) leans on both paths calling
+    this one function. Tolerates duplicate pairs (the streaming side
+    may re-emit a pruned day): countDistinct collapses them."""
+    observed = day_user.select("d").distinct().withColumnRenamed("d", "day_d")
+    exploded = day_user.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(WAU_DAYS - 1)),
+                lambda i: F.date_add(F.col("d"), i.cast("int")),
+            )
+        ).alias("wend"),
+        "user_id",
+    )
+    return (
+        exploded.join(
+            F.broadcast(observed), exploded["wend"] == observed["day_d"], "left_semi"
+        )
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("wend", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
 @register(
     "events_wau_sliding",
     oracle=f"""
@@ -605,22 +635,4 @@ def events_wau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_user = ev.select(
         F.to_date("ts").alias("d"), "user_id"
     ).distinct()
-    observed = day_user.select("d").distinct().withColumnRenamed("d", "day_d")
-    exploded = day_user.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(WAU_DAYS - 1)),
-                lambda i: F.date_add(F.col("d"), i.cast("int")),
-            )
-        ).alias("wend"),
-        "user_id",
-    )
-    return (
-        exploded.join(
-            F.broadcast(observed), exploded["wend"] == observed["day_d"], "left_semi"
-        )
-        .groupBy("wend")
-        .agg(F.countDistinct("user_id").alias("wau"))
-        .select(F.date_format("wend", "yyyy-MM-dd").alias("day"), "wau")
-        .orderBy("day")
-    )
+    return wau_from_day_user(day_user)

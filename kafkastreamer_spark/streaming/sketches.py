@@ -190,3 +190,61 @@ def quota_sample_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_distinct_pairs(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: int = 7,
+) -> DataFrame:
+    """Streaming half of the rolling-window COUNT(DISTINCT) — the
+    stateful twin of the batch ``events_wau_sliding``
+    (queries/relational11.py), closing round-3 verdict item #6.
+
+    A sliding distinct count is non-mergeable, so no watermark window
+    aggregate computes it. The decomposition mirrors the batch side:
+    the hard stateful part is a streaming DISTINCT of (key, day)
+    pairs, after which the trailing-``horizon`` aggregation is the
+    shared ``wau_from_day_user`` (explode each pair into the ≤7
+    window-ends it feeds, countDistinct per window).
+
+    State per key is its recent distinct days pruned to the last
+    ``horizon`` (a CSV of ISO dates — ≤ 77 bytes/user at horizon 7,
+    bounded regardless of stream length). Pruning is SAFE, not
+    best-effort: a day that recurs after being pruned re-emits its
+    pair, and the downstream countDistinct collapses duplicates — the
+    contract is "every active (key, day) emitted at least once", which
+    makes the state bound exact rather than a memory/correctness
+    trade-off.
+
+    Output (append mode): one row per newly-seen (key, day) pair with
+    ``d`` as an ISO date string.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (seen_csv,) = state.get if state.exists else ("",)
+        seen = set(seen_csv.split(",")) if seen_csv else set()
+        new_days: list[str] = []
+        for pdf in pdfs:
+            for d in pdf[ts_col].dt.strftime("%Y-%m-%d"):
+                if d not in seen:
+                    seen.add(d)
+                    new_days.append(d)
+        if new_days:
+            state.update((",".join(sorted(seen)[-horizon:]),))
+            yield pd.DataFrame({key_col: key[0], "d": new_days})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, d string",
+        stateStructType="days string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
