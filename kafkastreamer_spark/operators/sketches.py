@@ -375,7 +375,6 @@ def agg_theta_setops_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg("click").alias("sk_c"),
         exact("purchase").cast("long").alias("exact_purchasers"),
         exact("click").cast("long").alias("exact_clickers"),
-        F.count_distinct(F.col("user_id")).cast("long").alias("exact_any"),
         F.count_distinct(
             F.when(F.col("event_type").isin("purchase", "click"), F.col("user_id"))
         )

@@ -669,6 +669,11 @@ def test_theta_setops_exact_at_test_scale(spark, sf_dir):
 
     _ensure_loaded()
     r = REGISTRY["agg_theta_setops_audience"].fn(spark, sf_dir).collect()[0]
+    assert r["exact_either"] < 4096, (
+        "fixture distinct-user count outgrew the Theta sketch's exact "
+        "mode; the equality assertions below are only valid in exact "
+        "mode — switch them to tolerance bounds"
+    )
     exact_both = r["exact_purchasers"] + r["exact_clickers"] - r["exact_either"]
     assert r["est_union"] == r["exact_either"], r
     assert r["est_intersect"] == exact_both, r

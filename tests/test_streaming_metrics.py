@@ -71,7 +71,10 @@ def test_stage_counter_and_listener_progress(spark, tmp_path):
     assert batch_ids == [0, 1]  # one file per trigger -> two batches
     assert collector.total_input_rows() == 100
     assert collector.total_observed("0") == 100
+    # FileStreamSource orders files by modification time; a coarse-
+    # mtime filesystem can tie-break the two files either way, so
+    # assert the multiset of per-batch counts, not their order.
     per_batch = {
         b.batch_id: b.observed.get("stage_0") for b in collector.batches
     }
-    assert per_batch[0] == 40 and per_batch[1] == 60
+    assert sorted([per_batch[0], per_batch[1]]) == [40, 60]
