@@ -20,7 +20,7 @@ engine's OWN scale gaps:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators.deskew import bucketed_row_number
@@ -106,3 +106,196 @@ def agg_equidepth_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
         .orderBy("bin")
     )
+
+
+@register(
+    "relational_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                       AS n_urgent,
+                   CAST(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev4
+            FROM orders GROUP BY 1
+        )
+        SELECT month, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (n_orders, n_urgent, rev4))
+        ORDER BY month, metric
+    """,
+    tags=("relational", "reshape", "unpivot"),
+)
+def relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of events_type_pivot, closing the
+    reshape pair: a wide per-month metrics row becomes (month, metric,
+    value) long form via ``stack`` (Spark's UNPIVOT primitive, a
+    map-only Generate — no shuffle beyond the feeding aggregate).
+
+    Scale shape: the aggregate collapses orders to |months| rows
+    map-side; the stack then triples a tiny frame. Metric values share
+    one BIGINT type (counts + fixed-point revenue), the UNPIVOT
+    type-unification rule both engines enforce."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+            "n_urgent"
+        ),
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev4"),
+    )
+    return (
+        wide.select(
+            "month",
+            F.expr(
+                "stack(3, 'n_orders', n_orders, 'n_urgent', n_urgent,"
+                " 'rev4', rev4) AS (metric, value)"
+            ),
+        )
+        .orderBy("month", "metric")
+    )
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        anchored AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS anchor
+            FROM du
+        ),
+        islands AS (
+            SELECT user_id, min(d) AS island_start, max(d) AS island_end,
+                   count(*) AS n_days
+            FROM anchored GROUP BY user_id, anchor
+        )
+        SELECT user_id, strftime(island_start, '%Y-%m-%d') AS island_start,
+               strftime(island_end, '%Y-%m-%d') AS island_end, n_days
+        FROM islands
+        WHERE n_days >= 3
+        ORDER BY user_id, island_start
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (islands of ≥3 days) — the classic SQL streak/retention
+    pattern (login streaks, uptime stretches, continuous-coverage
+    intervals). The island anchor is ``day - row_number()``: constant
+    within a consecutive run, strictly decreasing across a gap.
+
+    Scale shape: raw events first collapse to DISTINCT (user, day)
+    pairs (map-side partial), so the per-user window sorts at most
+    |calendar days| rows per user — state bounded by the horizon, not
+    event volume; the island aggregate reuses the same (user) shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = du.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("s"),
+            F.max("d").alias("e"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .select(
+            "user_id",
+            F.date_format("s", "yyyy-MM-dd").alias("island_start"),
+            F.date_format("e", "yyyy-MM-dd").alias("island_end"),
+            "n_days",
+        )
+        .orderBy("user_id", "island_start")
+    )
+
+
+@register(
+    "agg_ols_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+                   CAST(floor(sum(o_totalprice)) AS BIGINT) AS y
+            FROM orders GROUP BY 1, 2
+        ),
+        sums AS (
+            SELECT priority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM daily GROUP BY 1
+        )
+        SELECT priority, n,
+               CAST(floor(10000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    AS BIGINT) AS slope4,
+               CAST(floor(10000 * (CAST(sy AS DOUBLE)
+                         - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                    AS BIGINT) AS icept4,
+               CAST(floor(10000 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                                   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                    AS BIGINT) AS r2_4
+        FROM sums ORDER BY priority
+    """,
+    tags=("aggregate", "regression", "statistics"),
+)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line — regr_slope / regr_intercept / R²
+    re-derived from exact integer moment sums, because the native
+    regression aggregates accumulate doubles in partial-aggregation
+    order (engine-dependent last bits). Daily revenue (whole currency
+    units, BIGINT) regresses on the day index x = days since
+    1992-01-01; all five moment sums (Σx Σy Σxy Σx² Σy²) are exact
+    BIGINTs (bounds checked: y ≤ ~1e6/day, x ≤ ~2500 ⇒ Σy² ≤ ~2e15),
+    and only the final slope/intercept/R² arithmetic runs in doubles —
+    each operation a correctly-rounded IEEE op both engines perform
+    identically, then fixed-point-floored.
+
+    Scale shape: two map-side-combinable aggregates (orders → daily,
+    daily → 5 moment rows); nothing else shuffles. This is the
+    map-reduce formulation every distributed regression uses — the
+    moments are the sufficient statistics."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("x"),
+    ).agg(F.floor(F.sum("o_totalprice")).cast("long").alias("y"))
+    x, y = F.col("x").cast("long"), F.col("y")
+    sums = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = nd * F.col("sxy") - sxd * F.col("sy")
+    varx = nd * F.col("sxx") - sxd * F.col("sx")
+    vary = nd * F.col("syy") - syd * F.col("sy")
+    slope = cov / varx
+    return sums.select(
+        "priority",
+        "n",
+        F.floor(10000 * slope).cast("long").alias("slope4"),
+        F.floor(10000 * (syd - slope * sxd) / nd).cast("long").alias("icept4"),
+        F.floor(10000 * (cov * cov) / (varx * vary)).cast("long").alias("r2_4"),
+    ).orderBy("priority")
