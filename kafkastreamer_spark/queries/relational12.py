@@ -299,3 +299,131 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(10000 * (syd - slope * sxd) / nd).cast("long").alias("icept4"),
         F.floor(10000 * (cov * cov) / (varx * vary)).cast("long").alias("r2_4"),
     ).orderBy("priority")
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS t1,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+               count(*) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
+    tags=("events", "sequence-mining", "window"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths across user timelines — the
+    k-gram generalization of events_markov_transitions (first-order
+    pairs): two LEADs over the per-user (ts, event_id) order emit
+    every consecutive type triple, counted and ranked. The
+    path-frequency table behind funnel discovery and next-action
+    models.
+
+    Scale shape: one shuffle on user_id for the window (per-user
+    partitions bounded by per-user event counts), then the count is
+    map-side-combining on |types|³ keys and top-20 compiles to
+    TakeOrderedAndProject — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "events_ewma_halflife",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, day, c,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) - 1 AS i
+            FROM daily
+        ),
+        acc AS (
+            SELECT event_type, day, c, i,
+                   sum(c * (CAST(1 AS BIGINT) << i)) OVER (
+                       PARTITION BY event_type ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM idx
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+               CAST(floor(10000 * (CAST(cum AS DOUBLE)
+                    / CAST(CAST(1 AS BIGINT) << i AS DOUBLE))) AS BIGINT)
+                   AS ewma4
+        FROM acc ORDER BY event_type, day
+    """,
+    tags=("events", "time-series", "window"),
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts
+    with half-life one day (α = 1/2) — the smoothing primitive behind
+    alerting baselines and trend dashboards, usually impossible to
+    oracle-check exactly because exp/pow differ across libms. α = 1/2
+    makes every term a dyadic rational: ewma_n · 2ⁿ = Σ cᵢ·2ⁱ, an
+    exact BIGINT running sum (cᵢ ≤ ~2¹³ per day, i < ~30 days ⇒ < 2⁴⁴,
+    no overflow), and the final cum / 2ⁱ is an exact power-of-two
+    division — bit-identical in both engines with zero transcendental
+    calls (2ⁱ is a shift, not pow()).
+
+    Scale shape: raw events collapse to |types|×|days| daily rows
+    map-side; only those tiny partials feed the per-type ordered
+    window. The 2ⁱ trick caps the horizon at ~50 days of BIGINT
+    headroom per series; a production rollout re-anchors i per
+    ~40-day block (ewma carrying over as the block seed) — same
+    plan, windowed anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wi = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn(
+        "i", (F.row_number().over(wi) - 1).cast("long")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = idx.withColumn(
+        "cum",
+        F.sum(F.expr("c * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).over(wc),
+    )
+    return acc.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        F.floor(
+            10000
+            * (
+                F.col("cum").cast("double")
+                / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) AS DOUBLE)")
+            )
+        )
+        .cast("long")
+        .alias("ewma4"),
+    ).orderBy("event_type", "day")

@@ -703,3 +703,37 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
         for p, est in ((0.5, r["p50_est"]), (0.95, r["p95_est"])):
             true_rank = sum(1 for v in vals if v <= est) / n
             assert abs(true_rank - p) <= 0.03, (r["event_type"], p, est, true_rank)
+
+
+def test_dynamic_partition_pruning_on_joined_dim(spark, sf_dir, tmp_path):
+    """DYNAMIC partition pruning (the runtime companion of the static
+    PartitionFilters test above): the fact side is partitioned by day,
+    the dim side's filter is on a NON-partition attribute, so only a
+    runtime subquery can know which day directories survive. Catalyst
+    must inject a dynamicpruning#... predicate into the fact scan —
+    at 100 TB this is the difference between scanning 3 partitions
+    and 3,000."""
+    from kafkastreamer_spark.io import write_parquet
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day_dpp")
+    write_parquet(ev, path, partition_by=["day"])
+
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("day").distinct()
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    pruned = fact.join(dim.filter(F.col("dow") == 2), "day")  # Mondays only
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+    # correctness: identical to the unpartitioned formulation
+    want = ev.join(
+        ev.select("day").distinct()
+        .withColumn("dow", F.dayofweek("day"))
+        .filter(F.col("dow") == 2),
+        "day",
+    ).count()
+    assert pruned.count() == want and want > 0
