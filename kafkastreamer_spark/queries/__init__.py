@@ -17,5 +17,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational10,
     relational11,
     relational12,
+    relational13,
 )
 from kafkastreamer_spark import operators  # noqa: F401
