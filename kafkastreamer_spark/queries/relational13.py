@@ -267,3 +267,241 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "relational_pivot_multi_agg",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y') AS year,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS urgent_n,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+                   AS urgent_rev4,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_n,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                    FILTER (WHERE o_orderpriority = '5-LOW'), 0) AS BIGINT)
+                   AS low_rev4
+        FROM orders GROUP BY 1 ORDER BY year
+    """,
+    tags=("relational", "pivot", "reshape"),
+)
+def relational_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell — events_type_pivot
+    rotates one measure; real reporting pivots rotate several (count
+    AND revenue per priority column). Spark's ``pivot()`` with a
+    values list and two aggs compiles to one pass of conditional
+    aggregates — exactly the FILTER-clause form the oracle spells out,
+    so there is no second scan per measure.
+
+    Scale: a single map-side-combining aggregate to |years| rows; the
+    pivot list is explicit (no distinct-values pre-query)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.withColumn("year", F.date_format("o_orderdate", "yyyy"))
+        .groupBy("year")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev4"),
+        )
+    )
+    return piv.select(
+        "year",
+        F.col("1-URGENT_n").alias("urgent_n"),
+        F.col("1-URGENT_rev4").alias("urgent_rev4"),
+        F.col("5-LOW_n").alias("low_n"),
+        F.col("5-LOW_rev4").alias("low_rev4"),
+    ).orderBy("year")
+
+
+@register(
+    "orders_updown_runs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   CAST(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        steps AS (
+            SELECT d, rev,
+                   lag(rev) OVER (ORDER BY d) AS prev
+            FROM daily
+        ),
+        signs AS (
+            SELECT CASE WHEN rev > prev THEN 1 ELSE 0 END AS up,
+                   CASE WHEN (rev > prev) <> (lag(rev > prev) OVER (ORDER BY d))
+                        THEN 1 ELSE 0 END AS flip
+            FROM steps WHERE prev IS NOT NULL AND rev <> prev
+        )
+        SELECT CAST(sum(up) AS BIGINT) AS n_up,
+               CAST(count(*) - sum(up) AS BIGINT) AS n_down,
+               CAST(1 + coalesce(sum(flip), 0) AS BIGINT) AS n_runs
+        FROM signs
+    """,
+    tags=("aggregate", "statistics", "time-series"),
+)
+def orders_updown_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz up/down runs count over the daily-revenue
+    series: how many maximal runs of consecutive increases/decreases
+    the sequence holds (few runs = trending, many = oscillating) —
+    the non-parametric randomness check a forecasting pipeline applies
+    before trusting a trend model. Equal-revenue days are dropped
+    (standard treatment); revenue compares in exact fixed-point so
+    the up/down signs are engine-identical.
+
+    Scale note: the sign/flip windows order by day over the DAILY
+    aggregate (|days| rows, map-side reduced from orders) — a global
+    window over a bounded calendar series, the same accepted shape as
+    events_daily_delta; never over raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("d")
+    steps = daily.withColumn("prev", F.lag("rev").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("rev") != F.col("prev"))
+    )
+    signs = steps.select(
+        "d",
+        F.when(F.col("rev") > F.col("prev"), 1).otherwise(0).alias("up"),
+    ).withColumn(
+        "flip",
+        F.when(
+            F.col("up") != F.lag("up").over(Window.orderBy("d")), 1
+        ).otherwise(0),
+    )
+    return signs.agg(
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
+        (F.lit(1) + F.coalesce(F.sum("flip"), F.lit(0)))
+        .cast("long")
+        .alias("n_runs"),
+    )
+
+
+@register(
+    "orders_mann_whitney_u",
+    oracle="""
+        WITH ab AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS is_a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        per_v AS (
+            SELECT v, CAST(sum(is_a) AS BIGINT) AS a,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM ab GROUP BY v
+        ),
+        cum AS (
+            SELECT v, a, m,
+                   CAST(coalesce(sum(m) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS c
+            FROM per_v
+        ),
+        sums AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                   CAST(sum(m - a) AS BIGINT) AS n_b,
+                   CAST(sum(a * (2*c + m + 1)) AS BIGINT) AS two_r_a,
+                   CAST(sum(m*m*m - m) AS BIGINT) AS tie_term
+            FROM cum
+        )
+        SELECT n_a, n_b,
+               two_r_a - n_a * (n_a + 1) AS two_u_a,
+               CAST(floor(10000 * ((CAST(two_r_a - n_a*(n_a+1) AS DOUBLE) / 2
+                                    - CAST(n_a AS DOUBLE) * n_b / 2)
+                    / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+                           * ((n_a + n_b + 1)
+                              - CAST(tie_term AS DOUBLE)
+                                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))))
+                    AS BIGINT) AS z4
+        FROM sums
+    """,
+    tags=("aggregate", "statistics", "deskew"),
+)
+def orders_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test: do URGENT and LOW priority orders draw
+    from the same price distribution? The exact tie-corrected rank-sum
+    statistic, computed distributively:
+
+    * doubled average ranks keep everything integer — for a distinct
+      value with c smaller observations and multiplicity m, every
+      tied observation's doubled rank is 2c + m + 1, so
+      2·R_A = Σ a·(2c+m+1) is an exact BIGINT;
+    * the exclusive cumulative count c comes from the two-phase
+      range-bucket cumsum (the sample_pps_systematic shape): buckets
+      of floor(price/4096) get partitioned within-bucket windows and
+      the |buckets|-row totals table provides offsets — no
+      single-partition window over the distinct-value table;
+    * the z-score (tie-corrected variance) is formed from the exact
+      integer sums in doubles — +,*,/,sqrt are all correctly-rounded
+      IEEE ops both engines execute identically.
+
+    Scale shape: one groupBy on price value (map-side combine), the
+    tiny bucket-offsets window, one final 4-number reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    ab = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    per_v = ab.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    ).withColumn("b", F.floor(F.col("v") / 4096).cast("long"))
+    win_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_v = per_v.withColumn(
+        "c_in", F.coalesce(F.sum("m").over(win_in), F.lit(0))
+    )
+    totals = per_v.groupBy("b").agg(F.sum("m").alias("bt"))
+    win_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "b", F.coalesce(F.sum("bt").over(win_b), F.lit(0)).alias("off")
+    )
+    cum = per_v.join(offs, "b").withColumn("c", F.col("off") + F.col("c_in"))
+    sums = cum.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.col("m") - F.col("a")).cast("long").alias("n_b"),
+        F.sum(F.col("a") * (2 * F.col("c") + F.col("m") + 1))
+        .cast("long")
+        .alias("two_r_a"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    two_u_a = F.col("two_r_a") - F.col("n_a") * (F.col("n_a") + 1)
+    n = F.col("n_a") + F.col("n_b")
+    var = (na * nb / 12) * (
+        (n + 1).cast("double")
+        - F.col("tie_term").cast("double") / (n.cast("double") * (n - 1).cast("double"))
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        two_u_a.alias("two_u_a"),
+        F.floor(
+            10000
+            * ((two_u_a.cast("double") / 2 - na * nb / 2) / F.sqrt(var))
+        )
+        .cast("long")
+        .alias("z4"),
+    )

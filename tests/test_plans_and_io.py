@@ -737,3 +737,45 @@ def test_dynamic_partition_pruning_on_joined_dim(spark, sf_dir, tmp_path):
         "day",
     ).count()
     assert pruned.count() == want and want > 0
+
+
+def test_mann_whitney_cumsum_is_bucketed(spark, sf_dir):
+    """The MWU rank cumsum must use the two-phase bucket shape: the
+    per-value window partitions on the price bucket, and any
+    SinglePartition exchange feeds only the |buckets|-row totals
+    aggregate, never the distinct-value table."""
+    df = REGISTRY["orders_mann_whitney_u"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    import re
+    # within-bucket window partitioned by b
+    assert re.search(r"windowspecdefinition\(b#\d+L?, v#", plan), plan[:1500]
+    idx = 0
+    while True:
+        idx = plan.find("Exchange SinglePartition", idx)
+        if idx == -1:
+            break
+        assert "HashAggregate" in plan[idx : idx + 300], plan[idx : idx + 300]
+        idx += 1
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution across parquet file generations: an appended
+    column is visible with mergeSchema (NULL for old files), and the
+    default fast path (footer of one file) stays cheap — the reader
+    contract a long-lived 100 TB table relies on as columns accrete."""
+    out = str(tmp_path / "evolving")
+    n = load_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("append").parquet(out)
+    n.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("region_added")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "region_added"}
+    assert merged.count() == 2 * n.count()
+    # old-generation rows surface NULL for the new column
+    assert merged.filter(F.col("region_added").isNull()).count() == n.count()
+    # evolved column filters push down like any other
+    plan = merged.filter(F.col("region_added") == 0)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(region_added), EqualTo(region_added,0)]" in plan
