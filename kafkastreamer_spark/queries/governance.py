@@ -612,3 +612,64 @@ def governance_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bytes_removed"),
         F.min("redacted").alias("sample_redacted"),
     )
+
+
+@register(
+    "governance_l_diversity_audit",
+    oracle="""
+        WITH grp AS (
+            SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                   count(*) AS n_rows,
+                   count(DISTINCT CAST(floor(c.c_acctbal / 1000) AS BIGINT))
+                       AS l_distinct
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation, segment,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(l_distinct AS BIGINT) AS l_distinct,
+               CASE WHEN l_distinct >= 3 THEN 'ok' ELSE 'violates' END
+                   AS l3_status
+        FROM grp ORDER BY nation, segment
+    """,
+    tags=("governance", "privacy", "aggregate"),
+)
+def governance_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check to k-anonymity
+    (agg_k_anonymous_rollup): a quasi-identifier group can be large
+    (k-anonymous) yet leak its sensitive attribute if every member
+    shares one value. Per (nation, segment) group, count distinct
+    sensitive-value classes (account balance in 1000-unit bands) and
+    flag groups below l = 3 — those need suppression or wider
+    generalization before release.
+
+    Scale shape: one groupBy with a two-phase count-distinct over the
+    banded sensitive value — the distinct set per group is bounded by
+    the band count, so partials stay small; no joins beyond the
+    broadcast nation dim."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    grp = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000).cast("long")
+            )
+            .cast("long")
+            .alias("l_distinct"),
+        )
+    )
+    return grp.select(
+        "nation",
+        "segment",
+        "n_rows",
+        "l_distinct",
+        F.when(F.col("l_distinct") >= 3, "ok")
+        .otherwise("violates")
+        .alias("l3_status"),
+    ).orderBy("nation", "segment")

@@ -65,6 +65,14 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     "events_wau_sliding": (("events",), (1, 4, 16)),
     "search_hybrid_rrf": (("embeddings",), (1, 4, 16)),
     "supplier_return_rate_wilson": (("lineitem",), (1, 2, 4)),
+    # Round-4 additions. Span dedup: copy inflation multiplies duplicate
+    # SPAN density with k (every copy duplicates every span), so the
+    # dup-occurrence join legitimately grows ~k² in copy mode — run it
+    # with SCALE_PROBE_DISJOINT=1 to measure pure volume growth.
+    "dedup_span_excise": (("documents",), (1, 4, 16)),
+    "graph_link_prediction_jaccard": (("lineitem",), (1, 2, 4)),
+    "events_top_paths": (("events",), (1, 4, 16)),
+    "orders_mann_whitney_u": (("orders",), (1, 2, 4)),
 }
 
 

@@ -377,3 +377,68 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     assert by_id[1]["rkey"] == "x"  # matched pair keeps its right side
     assert 2 in by_id, f"unmatched left row never emitted: {sorted(by_id)}"
     assert by_id[2]["rkey"] is None and by_id[2]["r_event_id"] is None
+
+
+def test_stream_stream_left_semi_join(spark, tmp_path):
+    """Left-semi stream-stream join (Spark 3.4+): emit the left rows
+    that HAVE a time-bounded right match, left columns only, each
+    matched left row exactly once even with several right matches —
+    the streaming EXISTS filter."""
+    left_in, right_in, ckpt, out = (
+        str(tmp_path / x) for x in ("slin", "srin", "sckpt", "sout")
+    )
+    _append(
+        spark, left_in,
+        [(1, _ts(1), "a"), (2, _ts(2), "b"), (3, _ts(3), "c")],
+    )
+    # event 1 matches twice (dedup to one emit), 2 matches once inside
+    # the window, 3 has a too-late right row (> 30 min) -> no emit
+    _append(
+        spark, right_in,
+        [
+            (1, _ts(5), "x"),
+            (1, _ts(6), "x2"),
+            (2, _ts(20), "y"),
+            (3, _ts(50), "z"),
+        ],
+    )
+
+    left = (
+        file_source(spark, left_in, SCHEMA)
+        .withColumnRenamed("key", "lkey")
+        .withColumnRenamed("ts", "lts")
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        file_source(spark, right_in, SCHEMA)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("rts"),
+        )
+        .withWatermark("rts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    assert joined.columns == ["event_id", "lts", "lkey"]  # left side only
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    q = (
+        joined.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = []
+    for b in sorted(os.listdir(out)):
+        rows += spark.read.parquet(os.path.join(out, b)).collect()
+    got = sorted((r["event_id"], r["lkey"]) for r in rows)
+    assert got == [(1, "a"), (2, "b")]
