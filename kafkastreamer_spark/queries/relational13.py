@@ -505,3 +505,183 @@ def orders_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z4"),
     )
+
+
+@register(
+    "pipeline_dag_diamond",
+    oracle="""
+        WITH src AS (
+            SELECT CONCAT('Key', CAST(user_id % 2 AS VARCHAR)) AS key,
+                   event_id AS v
+            FROM events
+        ),
+        clean AS (SELECT key, v + 1 AS v FROM src),
+        lft AS (SELECT key, v + 1 AS v FROM clean),
+        rgt AS (SELECT key, v - 1 AS v FROM clean),
+        merged AS (
+            SELECT key, v, 'left' AS branch FROM lft
+            UNION ALL
+            SELECT key, v, 'right' AS branch FROM rgt
+        )
+        SELECT key, CAST(v AS BIGINT) AS value, branch
+        FROM merged ORDER BY value, branch, key
+    """,
+    tags=("reference", "pipeline", "dag"),
+)
+def pipeline_dag_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAG compiler (plans/dag.py) under the driver's oracle gate:
+    a diamond topology — source → clean(+1) forking into a +1 branch
+    and a −1 branch, union-merged — evaluated through validate_dag +
+    compile_dag, against the oracle's CTE spelling of the same DAG.
+    Generalizes ref_stage_chain_adder (A14's linear chain) to the
+    fan-out/fan-in composition the reference cannot express; every
+    input record i emerges exactly twice, as i+2 and as i.
+
+    Plan shape: the whole DAG folds into two projections over one
+    scan unioned — no shuffle at all until the output sort."""
+    from kafkastreamer_spark.plans.dag import compile_dag, from_dict
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.concat(F.lit("Key"), (F.col("user_id") % 2).cast("string")).alias("key"),
+        F.col("event_id").cast("long").alias("value"),
+    )
+    spec = from_dict(
+        {
+            "stream_id": "diamond",
+            "sinks": ["left", "right"],
+            "nodes": [
+                {"name": "src", "operation": "source"},
+                {"name": "clean", "operation": "adder", "inputs": ["src"]},
+                {"name": "left", "operation": "adder", "inputs": ["clean"]},
+                {"name": "right", "operation": "diff", "inputs": ["clean"]},
+            ],
+        }
+    )
+    out = compile_dag(spec)({"src": src})
+    merged = out["left"].withColumn("branch", F.lit("left")).unionByName(
+        out["right"].withColumn("branch", F.lit("right"))
+    )
+    return merged.select("key", "value", "branch").orderBy(
+        "value", "branch", "key"
+    )
+
+
+def _avg_doubled_ranks(df: DataFrame, valcol: str, bucket_w: float) -> DataFrame:
+    """(value, dr) — doubled average rank 2c+m+1 per distinct value of
+    ``valcol`` (c = exclusive cumulative count, m = multiplicity),
+    via the two-phase range-bucket cumsum so no single-partition
+    window ever sees the distinct-value table (same shape as
+    orders_mann_whitney_u / sample_pps_systematic)."""
+    per_v = df.groupBy(F.col(valcol).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    ).withColumn("b", F.floor(F.col("v") / bucket_w).cast("long"))
+    win_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_v = per_v.withColumn(
+        "c_in", F.coalesce(F.sum("m").over(win_in), F.lit(0))
+    )
+    totals = per_v.groupBy("b").agg(F.sum("m").alias("bt"))
+    win_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "b", F.coalesce(F.sum("bt").over(win_b), F.lit(0)).alias("off")
+    )
+    return (
+        per_v.join(offs, "b")
+        .select(
+            "v",
+            (2 * (F.col("off") + F.col("c_in")) + F.col("m") + 1).alias("dr"),
+        )
+    )
+
+
+@register(
+    "lineitem_spearman_rho",
+    oracle="""
+        WITH rows_ AS (
+            SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem
+        ),
+        rq AS (
+            SELECT v, 2 * (CAST(coalesce(sum(m) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT)) + m + 1 AS dr
+            FROM (SELECT q AS v, CAST(count(*) AS BIGINT) AS m
+                  FROM rows_ GROUP BY q)
+        ),
+        rp AS (
+            SELECT v, 2 * (CAST(coalesce(sum(m) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT)) + m + 1 AS dr
+            FROM (SELECT p AS v, CAST(count(*) AS BIGINT) AS m
+                  FROM rows_ GROUP BY p)
+        ),
+        ranked AS (
+            SELECT rq.dr AS x, rp.dr AS y
+            FROM rows_ r JOIN rq ON rq.v = r.q JOIN rp ON rp.v = r.p
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM ranked
+        )
+        SELECT n,
+               CAST(floor(10000 *
+                    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                    AS BIGINT) AS rho4
+        FROM sums
+    """,
+    tags=("aggregate", "statistics", "deskew"),
+)
+def lineitem_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price —
+    the tie-robust monotonic-association statistic, exact across
+    engines because it is Pearson over integer average ranks: doubled
+    average ranks (2c+m+1 per distinct value, rho is invariant under
+    the 2× affine transform) keep every moment sum an exact BIGINT
+    (Σdr² ≤ 4n³ — safe through ~2M rows; beyond that the sums move to
+    DECIMAL(38), same plan), and the final rho is formed from those
+    sums with correctly-rounded double ops shared verbatim with the
+    oracle.
+
+    Scale shape: each variable's rank table comes from a
+    map-side-combining per-value aggregate with the two-phase bucket
+    cumsum (no single-partition window over distinct values — the
+    quantity table has ~50 rows, the price table ~|rows|); rows join
+    their two rank tables by value (AQE broadcasts the tiny one), and
+    everything reduces to one 6-number row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
+    )
+    rq = _avg_doubled_ranks(li, "q", 8.0).withColumnRenamed("dr", "x")
+    rp = _avg_doubled_ranks(li, "p", 4096.0).withColumnRenamed("dr", "y")
+    ranked = (
+        li.join(rq, li.q == rq.v)
+        .drop("v")
+        .join(rp, li.p == rp.v)
+        .select("x", "y")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    vx = nd * F.col("sxx") - sxd * F.col("sx")
+    vy = nd * F.col("syy") - syd * F.col("sy")
+    return sums.select(
+        "n",
+        F.floor(10000 * num / F.sqrt(vx * vy)).cast("long").alias("rho4"),
+    )
