@@ -297,3 +297,99 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_frame_energy", LongType()),
+    ]
+)
+
+_FRAME = 256  # samples per analysis frame
+
+
+def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched PCM analysis: interpret each payload's bytes as
+    unsigned 8-bit samples (the fixture blobs are ASCII, so byte ==
+    code point — mirrored exactly by the oracle's ascii(substr(...)))
+    and reduce per-frame sum-of-squares energies with numpy reduceat —
+    the vectorized batch shape a real librosa/torchaudio feature
+    extractor plugs into."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = int(arr.size)
+            if n == 0:
+                rows.append((doc_id, 0, 0, 0, 0))
+                continue
+            sq = arr * arr
+            idx = np.arange(0, n, _FRAME)
+            frames = np.add.reduceat(sq, idx)
+            rows.append(
+                (
+                    doc_id,
+                    n,
+                    int(idx.size),
+                    int(sq.sum()),
+                    int(frames.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "n_frames", "total_energy",
+                "peak_frame_energy",
+            ],
+        )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+        WITH samples AS (
+            SELECT doc_id, (i - 1) // {_FRAME} AS frame,
+                   ascii(substr(text, CAST(i AS INTEGER), 1)) AS s
+            FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+        ),
+        frames AS (
+            SELECT doc_id, frame, CAST(sum(s * s) AS BIGINT) AS e
+            FROM samples GROUP BY 1, 2
+        )
+        SELECT f.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_samples,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(e) AS BIGINT) AS total_energy,
+               CAST(max(e) AS BIGINT) AS peak_frame_energy
+        FROM frames f JOIN documents d ON d.doc_id = f.doc_id
+        GROUP BY f.doc_id, length(d.text) ORDER BY f.doc_id
+    """,
+    tags=("llm-data", "multimodal", "audio"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: per-frame
+    sum-of-squares energy (256-sample frames) with total and peak per
+    blob — the windowed-energy pass behind voice-activity detection
+    and silence trimming in an audio-corpus pipeline. The "decoder"
+    interprets bytes as unsigned 8-bit PCM, which on the ASCII fixture
+    blobs is exactly reproducible in SQL (ascii of each character), so
+    unlike the md5-fake decode stubs this Arrow path is value-checked
+    end-to-end against the oracle — integer arithmetic only.
+
+    Scale shape: pure mapInPandas (no shuffle until the output sort);
+    each Arrow batch holds whole blobs, numpy reduceat does the
+    framing in one vectorized pass. A real 100 TB audio corpus swaps
+    the byte interpretation for the codec decode and keeps the exact
+    same batch shape and schema."""
+    b = _blobs(spark, sf_dir)
+    return (
+        b.select("doc_id", "payload")
+        .mapInPandas(_audio_energy_batches, schema=_AUDIO_SCHEMA)
+        .orderBy("doc_id")
+    )
