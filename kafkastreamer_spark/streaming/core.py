@@ -416,3 +416,93 @@ def upsert_parquet_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def scd2_upsert_sink(
+    stream: DataFrame,
+    table_dir: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    available_now: bool = True,
+    post_write_hook=None,
+) -> StreamingQuery:
+    """Streaming SCD **type-2** apply: maintain a full version-history
+    dimension table (one row per (key, value, valid_from) with
+    valid_to = next version's start, NULL while current) from a change
+    stream — the history-keeping sibling of ``upsert_parquet_sink``'s
+    type-1 last-writer-wins, and the streaming twin of the batch
+    ``events_scd2_intervals`` LEAD formulation.
+
+    Per micro-batch (foreachBatch):
+
+    1. keys bucket by ``pmod(xxhash64(key), n_buckets)`` (stable —
+       a key's history never moves buckets);
+    2. the existing VERSIONS of only the affected buckets read back
+       (partition-pruned), reduced to their underlying change events
+       (key, value, valid_from);
+    3. union with the batch's change events, exact-dedup on
+       (key, valid_from, value) — the replay guard: a re-applied batch
+       contributes no new change events, so the rebuilt history is
+       byte-identical (idempotent under the mid-commit crash window,
+       same hook contract as upsert_parquet_sink);
+    4. intervals recomputed per key with one LEAD window (ordered by
+       valid_from, value tie-break), dynamic partition overwrite
+       rewrites only the affected buckets.
+
+    Scale: per batch the work is |batch| + |versions in affected
+    buckets|; history grows per key, so at very deep histories a real
+    deployment splits current/closed rows into separate partitions
+    (closed rows are immutable — only the open tail rewrites). Window
+    partitions are per-key version chains — bounded by change rate,
+    never corpus size.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bkt = F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+        changes = batch_df.select(
+            F.col(key_col).alias("k"),
+            F.col(value_col).alias("v"),
+            F.col(ts_col).alias("valid_from"),
+        ).withColumn("_bkt", F.pmod(F.xxhash64("k"), F.lit(n_buckets)).cast("int"))
+        affected = [r["_bkt"] for r in changes.select("_bkt").distinct().collect()]
+        if not affected:
+            return
+        try:
+            existing = (
+                spark.read.parquet(table_dir)
+                .filter(F.col("_bkt").isin(affected))
+                .select("k", "v", "valid_from", "_bkt")
+            )
+            events = existing.unionByName(changes)
+        except Exception:  # first batch
+            events = changes
+        events = events.dropDuplicates(["k", "valid_from", "v"])
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy("k").orderBy("valid_from", "v")
+        history = events.select(
+            "k",
+            "v",
+            "valid_from",
+            "_bkt",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        ).withColumn("is_current", F.col("valid_to").isNull())
+        (
+            history.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bkt")
+            .parquet(table_dir)
+        )
+        if post_write_hook is not None:
+            post_write_hook(batch_id)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
