@@ -218,3 +218,122 @@ def register_keyed_int_source(spark: SparkSession) -> None:
             return _StreamReader(self.options)
 
     spark.dataSource.register(KeyedIntSource)
+
+
+def register_keyval_text_sink(spark: SparkSession) -> None:
+    """Register the sink half of the custom-datasource surface: a
+    ``keyval_text`` Python data source whose WRITER lands records as
+    ``key=value`` text lines — the reference's wire format, its
+    URL-encoded ``k=v`` state serialization (Streamer.java:552-591),
+    as a Spark 4 DataSource writer with the full task-commit protocol:
+
+    * each task writes its partition to a uniquely-named part file and
+      returns the name in its WriterCommitMessage;
+    * ``commit`` finalizes by writing a ``_MANIFEST`` listing exactly
+      the committed files (readers ignore uncommitted stragglers) —
+      batch writes one manifest, streaming one per micro-batch
+      (``_MANIFEST.<batchId>``), which is what makes a replayed batch
+      idempotent at the manifest level;
+    * ``abort`` removes the orphaned part files.
+
+    Usable as both ``df.write.format("keyval_text")`` and
+    ``df.writeStream.format("keyval_text")`` after registration.
+    Defined inside the function for the same pickling reason as
+    register_keyed_int_source.
+    """
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    def _write_partition(path: str, it) -> _Msg:
+        os.makedirs(path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.kv"
+        n = 0
+        with open(os.path.join(path, name), "w") as f:
+            for row in it:
+                f.write(f"{row['key']}={row['value']}\n")
+                n += 1
+        return _Msg(name, n)
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, it):
+            return _write_partition(self.path, it)
+
+        def commit(self, messages):
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                for m in messages:
+                    f.write(f"{m.filename}\t{m.n_rows}\n")
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+    class _StreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, it):
+            return _write_partition(self.path, it)
+
+        def commit(self, messages, batchId):
+            with open(os.path.join(self.path, f"_MANIFEST.{batchId}"), "w") as f:
+                for m in messages:
+                    f.write(f"{m.filename}\t{m.n_rows}\n")
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+    class KeyValTextSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "keyval_text"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+        def streamWriter(self, schema, overwrite):
+            return _StreamWriter(self.options)
+
+    spark.dataSource.register(KeyValTextSink)
+
+
+def read_keyval_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a keyval_text directory through its manifests: only
+    files named in a ``_MANIFEST*`` are visible — uncommitted/aborted
+    part files are invisible, which is the sink's atomicity contract."""
+    import glob as _glob
+    import os
+
+    files: list[str] = []
+    for manifest in sorted(_glob.glob(os.path.join(path, "_MANIFEST*"))):
+        with open(manifest) as f:
+            for line in f:
+                files.append(os.path.join(path, line.split("\t")[0]))
+    if not files:
+        return spark.createDataFrame([], "key string, value string")
+    df = spark.read.text(files)
+    return df.select(
+        F.split_part("value", F.lit("="), F.lit(1)).alias("key"),
+        F.split_part("value", F.lit("="), F.lit(2)).alias("value"),
+    )
