@@ -685,3 +685,182 @@ def lineitem_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(10000 * num / F.sqrt(vx * vy)).cast("long").alias("rho4"),
     )
+
+
+@register(
+    "events_cusum_detect",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        target AS (
+            SELECT event_type,
+                   CAST(sum(c) // count(*) AS BIGINT) AS k
+            FROM daily GROUP BY 1
+        ),
+        dev AS (
+            SELECT d.event_type, d.day, d.c, d.c - t.k AS dv
+            FROM daily d JOIN target t USING (event_type)
+        ),
+        cums AS (
+            SELECT event_type, day, c,
+                   CAST(sum(dv) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM dev
+        ),
+        acc AS (
+            SELECT event_type, day, c, cum,
+                   CAST(least(CAST(0 AS BIGINT),
+                        min(cum) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                        AS BIGINT) AS floor_min
+            FROM cums
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+               cum - floor_min AS cusum,
+               CASE WHEN cum - floor_min > 2 * c THEN 1 ELSE 0 END AS alarm
+        FROM acc ORDER BY event_type, day
+    """,
+    tags=("events", "time-series", "anomaly"),
+)
+def events_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over daily event counts — the
+    change-point primitive behind "did this metric's level shift?"
+    alerting, complementing the point-anomaly z-score/MAD family. The
+    textbook recursion S_n = max(0, S_{n-1} + (c_n − k)) is not a
+    window function, but its closed form IS:
+    S_n = cum_n − min(0, min_{i≤n} cum_i) — a running sum and a
+    running min over the same frame, both exact BIGINTs (k is the
+    integer mean daily count per type).
+
+    Scale shape: events collapse to |types|×|days| daily rows
+    map-side; the windows order the small per-type calendar series —
+    the same accepted bounded-series shape as events_ewma_halflife."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    target = daily.groupBy("event_type").agg(
+        F.expr("sum(c) div count(*)").cast("long").alias("k")
+    )
+    dev = daily.join(target, "event_type").withColumn(
+        "dv", F.col("c") - F.col("k")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = dev.withColumn("cum", F.sum("dv").over(w).cast("long")).withColumn(
+        "floor_min",
+        F.least(F.lit(0).cast("long"), F.min("cum").over(w)).cast("long"),
+    )
+    s = F.col("cum") - F.col("floor_min")
+    return acc.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        s.alias("cusum"),
+        F.when(s > 2 * F.col("c"), 1).otherwise(0).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "events_resample_interpolate",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                       AS v4
+            FROM events GROUP BY 1, 2
+        ),
+        hops AS (
+            SELECT user_id, day, v4,
+                   lead(day) OVER w AS nday,
+                   lead(v4) OVER w AS nv4
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        ),
+        obs AS (
+            SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v4,
+                   'obs' AS kind
+            FROM daily
+        ),
+        interp AS (
+            SELECT user_id,
+                   strftime(day + CAST(g AS INTEGER), '%Y-%m-%d') AS day,
+                   CAST(floor(CAST(v4 AS DOUBLE)
+                        + CAST(nv4 - v4 AS DOUBLE) * g
+                          / date_diff('day', day, nday)) AS BIGINT) AS v4,
+                   'interp' AS kind
+            FROM hops, unnest(range(1, date_diff('day', day, nday))) AS t(g)
+            WHERE nday IS NOT NULL AND date_diff('day', day, nday) > 1
+        )
+        SELECT * FROM obs
+        UNION ALL
+        SELECT * FROM interp
+        ORDER BY user_id, day
+    """,
+    tags=("events", "time-series", "resample"),
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by LINEAR interpolation — the companion to
+    events_resample_ffill (carry-forward): interior missing days in
+    each user's daily value series are filled on the straight line
+    between the surrounding observations. Fixed-point endpoints make
+    the interpolant deterministic: v₀ + (v₁−v₀)·g/gap evaluated in
+    doubles over exact BIGINTs (two correctly-rounded IEEE ops), then
+    floored — identical in both engines, no float accumulation.
+
+    Scale shape: events collapse to per-(user, day) fixed-point sums
+    map-side; one LEAD window per user over its observation days
+    (bounded by the calendar); gap explosion emits only the missing
+    days. Leading/trailing edges get no rows — interpolation needs
+    both endpoints, unlike ffill's carry."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("v4")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    hops = daily.withColumn("nday", F.lead("day").over(w)).withColumn(
+        "nv4", F.lead("v4").over(w)
+    )
+    obs = daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "v4",
+        F.lit("obs").alias("kind"),
+    )
+    gap = F.datediff("nday", "day")
+    interp = (
+        hops.filter(F.col("nday").isNotNull() & (gap > 1))
+        .select(
+            "user_id",
+            "day",
+            "v4",
+            "nv4",
+            gap.alias("gap"),
+            F.explode(F.sequence(F.lit(1), gap - 1)).alias("g"),
+        )
+        .select(
+            "user_id",
+            F.date_format(
+                F.date_add(F.col("day"), F.col("g").cast("int")), "yyyy-MM-dd"
+            ).alias("day"),
+            F.floor(
+                F.col("v4").cast("double")
+                + (F.col("nv4") - F.col("v4")).cast("double")
+                * F.col("g")
+                / F.col("gap")
+            )
+            .cast("long")
+            .alias("v4"),
+            F.lit("interp").alias("kind"),
+        )
+    )
+    return obs.unionByName(interp).orderBy("user_id", "day")
