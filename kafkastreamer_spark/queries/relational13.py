@@ -864,3 +864,129 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return obs.unionByName(interp).orderBy("user_id", "day")
+
+
+_RAKE_STOPS = "('the', 'a', 'and', 'of', 'to')"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        toks AS (
+            SELECT doc_id, i AS pos, w[i] AS t,
+                   CASE WHEN w[i] IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS stop
+            FROM words, unnest(range(1, len(w) + 1)) AS u(i)
+        ),
+        nonstop AS (
+            SELECT doc_id, pos, t,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS anchor
+            FROM toks WHERE stop = 0
+        ),
+        phrase_occ AS (
+            SELECT doc_id, anchor,
+                   string_agg(t, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM nonstop GROUP BY doc_id, anchor
+        ),
+        word_stats AS (
+            SELECT n.t,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(p.plen) AS BIGINT) AS deg
+            FROM nonstop n JOIN phrase_occ p
+              ON p.doc_id = n.doc_id AND p.anchor = n.anchor
+            GROUP BY n.t
+        ),
+        occ_scores AS (
+            SELECT p.doc_id, p.anchor, p.phrase, p.plen,
+                   CAST(sum(CAST(floor(10000.0 * s.deg / s.freq) AS BIGINT))
+                        AS BIGINT) AS score4
+            FROM nonstop n
+            JOIN phrase_occ p ON p.doc_id = n.doc_id AND p.anchor = n.anchor
+            JOIN word_stats s ON s.t = n.t
+            GROUP BY p.doc_id, p.anchor, p.phrase, p.plen
+        )
+        SELECT phrase, CAST(max(plen) AS BIGINT) AS plen,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(score4) AS BIGINT) AS score4
+        FROM occ_scores
+        WHERE plen >= 2
+        GROUP BY phrase
+        ORDER BY score4 DESC, phrase
+        LIMIT 20
+    """,
+    tags=("llm-data", "text", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs — delimited by the language's
+    function words — scored by Σ degree(w)/frequency(w) over their
+    words, favoring longer collocations over bare frequent terms.
+    Top-20 multi-word phrases corpus-wide.
+
+    Determinism discipline: the per-word score is floored to
+    fixed-point BEFORE the per-phrase sum (a sum of BIGINTs is
+    order-independent; summing the rational scores as doubles would
+    be partial-aggregation-order-dependent). Phrase runs group by the
+    ``pos − row_number()`` anchor — the gaps-and-islands trick applied
+    to token positions.
+
+    Scale shape: tokenization is map-only; the phrase grouping and
+    word-stats aggregates shuffle (doc, anchor) and word keys with
+    map-side combine; per-doc windows are bounded by document length.
+    Top-20 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    stops = ("the", "a", "and", "of", "to")
+    nonstop = (
+        toks.filter(~F.col("t").isin(*stops))
+        .withColumn(
+            "anchor",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    phrase_occ = nonstop.groupBy("doc_id", "anchor").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    word_stats = (
+        nonstop.join(phrase_occ, ["doc_id", "anchor"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn(
+            "wscore4",
+            F.floor(10000.0 * F.col("deg") / F.col("freq")).cast("long"),
+        )
+    )
+    occ_scores = (
+        nonstop.join(phrase_occ, ["doc_id", "anchor"])
+        .join(word_stats.select("t", "wscore4"), "t")
+        .groupBy("doc_id", "anchor", "phrase", "plen")
+        .agg(F.sum("wscore4").cast("long").alias("score4"))
+    )
+    return (
+        occ_scores.filter(F.col("plen") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("plen"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("score4").cast("long").alias("score4"),
+        )
+        .orderBy(F.desc("score4"), "phrase")
+        .limit(20)
+    )
