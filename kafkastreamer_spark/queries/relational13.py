@@ -990,3 +990,171 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score4"), "phrase")
         .limit(20)
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        ma AS (
+            SELECT day, c,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN (sum(c) OVER w * 10000) // 7 END AS trend4,
+                   CAST(dayofweek(day) AS BIGINT) AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT day, c, dow, trend4, c * 10000 - trend4 AS det4
+            FROM ma
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(floor(CAST(sum(det4) AS DOUBLE) / count(det4))
+                        AS BIGINT) AS seasonal4
+            FROM det WHERE det4 IS NOT NULL GROUP BY dow
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day, d.c, d.trend4,
+               s.seasonal4,
+               d.det4 - s.seasonal4 AS remainder4
+        FROM det d JOIN seas s USING (dow)
+        ORDER BY day
+    """,
+    tags=("events", "time-series", "decomposition"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event series:
+    trend = centered 7-day moving average (exact: (Σc·10⁴) div 7 on
+    BIGINTs, emitted only where the full window exists), weekly
+    seasonal = per-day-of-week mean of the detrended series (floored
+    via the double route — integer div would round toward zero on
+    negative residuals where DuckDB floors), remainder = what's left.
+    The classic STL-lite every metrics pipeline runs before anomaly
+    thresholds, entirely transcendental-free.
+
+    Scale shape: events reduce to |days| rows map-side; all windows
+    and joins run on that bounded calendar series (the accepted
+    events_daily_delta shape). The seasonal table is 7 rows,
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "c",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.expr("(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING"
+                   " AND 3 FOLLOWING) * 10000) div 7"),
+        ).alias("trend4"),
+        F.dayofweek("day").cast("long").alias("dow"),
+    )
+    det = ma.withColumn("det4", F.col("c") * 10000 - F.col("trend4"))
+    seas = (
+        det.filter(F.col("det4").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.floor(
+                F.sum("det4").cast("double") / F.count("det4")
+            )
+            .cast("long")
+            .alias("seasonal4")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "c",
+            "trend4",
+            "seasonal4",
+            (F.col("det4") - F.col("seasonal4")).alias("remainder4"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_banded_moments",
+    oracle="""
+        WITH banded AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS y
+            FROM orders
+        ),
+        sums AS (
+            SELECT priority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s1,
+                   CAST(sum(y*y) AS BIGINT) AS s2,
+                   CAST(sum(y*y*y) AS BIGINT) AS s3,
+                   CAST(sum(y*y*y*y) AS BIGINT) AS s4
+            FROM banded GROUP BY 1
+        )
+        SELECT priority, n,
+               CAST(floor(10000 * (CAST(s3 AS DOUBLE)/n
+                        - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n
+                            - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                        - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                          *(CAST(s1 AS DOUBLE)/n))
+                    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)
+                        *(CAST(s1 AS DOUBLE)/n))
+                       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)
+                              *(CAST(s1 AS DOUBLE)/n)))) AS BIGINT) AS skew4,
+               CAST(floor(10000 * (CAST(s4 AS DOUBLE)/n
+                        - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+                        + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                          *(CAST(s2 AS DOUBLE)/n)
+                        - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                          *(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)
+                        *(CAST(s1 AS DOUBLE)/n))
+                       * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)
+                          *(CAST(s1 AS DOUBLE)/n)))) AS BIGINT) AS kurt4
+        FROM sums ORDER BY priority
+    """,
+    tags=("aggregate", "statistics", "moments"),
+)
+def agg_banded_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and kurtosis per group from exact raw moment sums —
+    the 3rd/4th-moment completion of the covar/corr fixed-point family
+    (native skewness()/kurtosis() accumulate doubles in partial order;
+    these derive from exact BIGINT Σy..Σy⁴ over 1000-unit price bands,
+    bounded so Σy⁴ fits int64 through ~sf10). Every double op in the
+    final formulas (Fisher skew, Pearson kurtosis) is a
+    correctly-rounded IEEE step shared verbatim with the oracle.
+
+    Scale: one map-side-combining aggregate to |groups| rows; the
+    moment formulas run on 5 numbers per group."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.floor(F.col("o_totalprice") / 1000).cast("long")
+    sums = o.select(
+        F.col("o_orderpriority").alias("priority"), y.alias("y")
+    ).groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y")).cast("long").alias("s3"),
+        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2r = F.col("s2").cast("double") / nd
+    m3r = F.col("s3").cast("double") / nd
+    m4r = F.col("s4").cast("double") / nd
+    var = m2r - m1 * m1
+    m3c = m3r - 3 * m1 * var - m1 * m1 * m1
+    m4c = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
+    return sums.select(
+        "priority",
+        "n",
+        F.floor(10000 * m3c / (var * F.sqrt(var))).cast("long").alias("skew4"),
+        F.floor(10000 * m4c / (var * var)).cast("long").alias("kurt4"),
+    ).orderBy("priority")
