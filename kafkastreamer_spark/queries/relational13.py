@@ -1158,3 +1158,131 @@ def agg_banded_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(10000 * m3c / (var * F.sqrt(var))).cast("long").alias("skew4"),
         F.floor(10000 * m4c / (var * var)).cast("long").alias("kurt4"),
     ).orderBy("priority")
+
+
+_NEAR_TOL_US = 600_000_000  # ±10 minutes
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS cid, user_id, epoch_us(ts) AS cus
+            FROM events WHERE event_type = 'click'
+        ),
+        cand AS (
+            SELECT p.pid, p.user_id, c.cid,
+                   c.cus - p.pus AS diff_us,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY abs(c.cus - p.pus), c.cus, c.cid) AS rn
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND abs(c.cus - p.pus) <= {_NEAR_TOL_US}
+        )
+        SELECT pid, user_id, cid, diff_us
+        FROM cand WHERE rn = 1
+        ORDER BY pid
+    """,
+    tags=("join", "asof", "time"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join, BOTH directions with tolerance:
+    each purchase pairs with its temporally closest click by the same
+    user within ±10 minutes (ties: earlier click, then id) — the
+    symmetric sibling of join_asof_prev_purchase (backward-only) and
+    the argmin refinement of join_time_proximity_bucketed (all
+    pairs).
+
+    Scale shape: candidates come from an EQUI join on
+    (user_id, time-bucket) with each purchase probing its own and
+    both adjacent 10-minute buckets (any match within tolerance is
+    within ±1 bucket), so candidate volume is per-user-per-window
+    density, never |purchases|×|clicks|; the argmin window partitions
+    per purchase id over those few candidates. The oracle spells the
+    same semantics as a plain theta join (fine single-node)."""
+    from kafkastreamer_spark.queries._util import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        epoch_us(F.col("ts")).alias("pus"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuser"),
+        epoch_us(F.col("ts")).alias("cus"),
+    )
+    pb = p.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("pus") / _NEAR_TOL_US).cast("long") - 1,
+                (F.col("pus") / _NEAR_TOL_US).cast("long"),
+                (F.col("pus") / _NEAR_TOL_US).cast("long") + 1,
+            )
+        ).alias("bkt"),
+    )
+    cb = c.withColumn("cbkt", (F.col("cus") / _NEAR_TOL_US).cast("long"))
+    cand = pb.join(
+        cb,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("bkt") == F.col("cbkt"))
+        & (F.abs(F.col("cus") - F.col("pus")) <= _NEAR_TOL_US),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.abs(F.col("cus") - F.col("pus")), "cus", "cid"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pid", "user_id", "cid", (F.col("cus") - F.col("pus")).alias("diff_us")
+        )
+        .orderBy("pid")
+    )
+
+
+@register(
+    "window_distinct_trailing",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(len(list_distinct(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+                   AS BIGINT) AS n_distinct_5
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("window", "distinct", "events"),
+)
+def window_distinct_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a window frame — which no SQL engine's
+    window aggregate supports directly (distinct doesn't merge across
+    frames): per user, the number of distinct event types in the
+    trailing 5 rows, via collect_list over the frame + array_distinct
+    (DuckDB mirrors with list()/list_distinct). The behavioral-variety
+    signal behind "is this session exploring or stuck" features.
+
+    Scale note: the frame is 5 rows, so the collected array is
+    O(frame) per row — this pattern is safe exactly when the frame is
+    small and bounded (an unbounded-preceding variant would
+    materialize whole partitions per row; events_cumulative_-
+    distinct_users does that computation shuffle-side instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_distinct_5"),
+    ).orderBy("event_id")

@@ -779,3 +779,24 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     plan = merged.filter(F.col("region_added") == 0)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "PushedFilters: [IsNotNull(region_added), EqualTo(region_added,0)]" in plan
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip"])
+def test_parquet_codec_roundtrip(spark, sf_dir, tmp_path, codec):
+    """Compression codec matrix: every codec the 100 TB tiering story
+    needs (snappy hot, zstd warm, gzip archive) round-trips
+    losslessly and actually produces the requested encoding."""
+    out = str(tmp_path / f"codec_{codec}")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.option("compression", codec).mode("overwrite").parquet(out)
+    import glob as _glob
+    import os as _os
+
+    ext = {"snappy": ".snappy.parquet", "zstd": ".zstd.parquet", "gzip": ".gz.parquet"}
+    files = _glob.glob(_os.path.join(out, "*.parquet"))
+    assert files and all(f.endswith(ext[codec]) for f in files), files[:3]
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    a = o.agg(F.sum(F.floor(F.col("o_totalprice") * 10000)).cast("long")).collect()
+    b = back.agg(F.sum(F.floor(F.col("o_totalprice") * 10000)).cast("long")).collect()
+    assert a == b
