@@ -1286,3 +1286,87 @@ def window_distinct_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct_5"),
     ).orderBy("event_id")
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+        WITH dims AS (
+            SELECT label, i AS d,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                       AS fx
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        per_label AS (
+            SELECT label, d, CAST(sum(fx) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM dims GROUP BY 1, 2
+        ),
+        gctr AS (
+            SELECT d, CAST(sum(s) AS BIGINT) AS g, CAST(sum(n) AS BIGINT) AS m
+            FROM per_label GROUP BY d
+        ),
+        terms AS (
+            SELECT p.label, p.n,
+                   CAST(floor(100000000 *
+                        (CAST(p.s AS DOUBLE) / p.n - CAST(g.g AS DOUBLE) / g.m)
+                        * (CAST(p.s AS DOUBLE) / p.n - CAST(g.g AS DOUBLE) / g.m))
+                        AS BIGINT) AS t8
+            FROM per_label p JOIN gctr g USING (d)
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(max(n) AS BIGINT) AS n_vectors,
+               CAST(sum(t8) AS BIGINT) AS dist_sq8
+        FROM terms GROUP BY label ORDER BY label
+    """,
+    tags=("llm-data", "embedding", "drift"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift from the corpus centroid — the
+    embedding-space monitoring statistic behind "did this slice's
+    representation shift" checks (covariate drift between data
+    sources, before/after a re-embed). Exact across engines despite
+    float vectors: per-dimension fixed-point components sum to exact
+    BIGINTs, each dimension's squared mean-difference is floored to
+    fixed-point as ONE deterministic double expression, and only
+    those BIGINTs are summed — so neither partial-aggregation order
+    nor dimension order can perturb the result (the naive Σ(μᵢ−γᵢ)²
+    double sum would).
+
+    Scale shape: the (vector → dimension) explode is map-only and the
+    per-(label, dim) aggregate map-side combines to |labels|×64 rows;
+    everything after runs on that tiny frame. The global centroid is
+    re-reduced from the per-label sums, not a second corpus pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("v").cast("double") * 10000).cast("long").alias("fx"),
+    )
+    per_label = dims.groupBy("label", "d").agg(
+        F.sum("fx").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = per_label.groupBy("d").agg(
+        F.sum("s").cast("long").alias("g"), F.sum("n").cast("long").alias("m")
+    )
+    diff = (
+        F.col("s").cast("double") / F.col("n")
+        - F.col("g").cast("double") / F.col("m")
+    )
+    terms = per_label.join(glob, "d").select(
+        "label",
+        "n",
+        F.floor(100000000 * diff * diff).cast("long").alias("t8"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.sum("t8").cast("long").alias("dist_sq8"),
+        )
+        .select(F.col("label").cast("long").alias("label"), "n_vectors", "dist_sq8")
+        .orderBy("label")
+    )
