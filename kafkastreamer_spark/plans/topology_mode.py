@@ -21,6 +21,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.query import StreamingQuery
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -120,3 +121,81 @@ def run_topology_available_now(
     for i in range(len(spec.stages)):
         q = start_stage(spark, spec, i, channels, checkpoint_root, available_now=True)
         q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# DAG deployment mode: one streaming query per DAG node, channels per
+# node output (plans/dag.py is the single-query compilation; this is
+# the reference's process-per-stage deployment shape generalized to
+# fan-out/fan-in — a channel with several consumers IS the fan-out,
+# a union node reading several channels IS the fan-in).
+# ---------------------------------------------------------------------------
+
+
+def _named_path(channels: DirChannels, name: str) -> str:
+    return os.path.join(channels.root, f"node_{channels.stream_id}_{name}")
+
+
+def start_dag_node(
+    spark: SparkSession,
+    spec,
+    node_name: str,
+    channels: DirChannels,
+    checkpoint_root: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run one DAG node as its own streaming query: read the channel
+    of every input (unioned for fan-in), apply the node's stage
+    function, write the node's own channel. Source nodes have no
+    query — their channel is seeded externally (exactly like stage 0's
+    input topic in the linear mode)."""
+    from kafkastreamer_spark.plans.dag import SOURCE_OP, UNION_OP, validate_dag
+    from kafkastreamer_spark.streaming.stages import apply_stage
+
+    spec = validate_dag(spec)
+    node = next(n for n in spec.nodes if n.name == node_name)
+    if node.operation == SOURCE_OP:
+        raise ValueError(f"source node {node_name!r} is seeded, not started")
+    src = None
+    for i in node.inputs:
+        part = file_source(spark, _named_path(channels, i), RECORD_SCHEMA)
+        src = part if src is None else src.unionByName(part)
+    if node.operation != UNION_OP:
+        src = apply_stage(
+            src.withColumn("value", src["value"].cast("long")), node.operation,
+            arg=node.arg,
+        ).withColumn("value", F.col("value").cast("string"))
+    ckpt = os.path.join(checkpoint_root, f"node_{node_name}")
+    writer = (
+        src.writeStream.format("parquet")
+        .option("path", _named_path(channels, node_name))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_dag_available_now(
+    spark: SparkSession,
+    spec,
+    channels: DirChannels,
+    checkpoint_root: str,
+) -> dict[str, str]:
+    """Drain a bounded DAG topology: nodes run in topological order
+    with availableNow triggers (each consumes everything upstream
+    produced). Returns {sink name: channel path} for reading results.
+    Unbounded deployments start every node's query concurrently and
+    let micro-batches flow."""
+    from kafkastreamer_spark.plans.dag import SOURCE_OP, validate_dag
+
+    spec = validate_dag(spec)
+    for node in spec.nodes:  # topologically ordered by validate_dag
+        if node.operation == SOURCE_OP:
+            continue
+        q = start_dag_node(
+            spark, spec, node.name, channels, checkpoint_root, available_now=True
+        )
+        q.awaitTermination()
+    return {s: _named_path(channels, s) for s in spec.sinks}

@@ -252,3 +252,56 @@ def test_streaming_diamond(spark, tmp_path):
         int(r["value"]) for r in spark.read.parquet(dst).collect()
     )
     assert got == sorted(list(range(0, 40)) + list(range(2, 42)))
+
+
+def test_dag_deployment_mode_matches_single_query(spark, tmp_path):
+    """Stage-per-query DAG deployment (channels per node, one
+    checkpointed streaming query per non-source node) produces the
+    same multiset as the single-query compilation — the deployment-
+    shape parity the linear topology mode proves for chains,
+    generalized to the diamond."""
+    from kafkastreamer_spark.plans.topology_mode import (
+        DirChannels,
+        _named_path,
+        run_dag_available_now,
+    )
+
+    channels = DirChannels(str(tmp_path / "ch"), "d1")
+    src = keyed_int_batch(spark, 60, 2)
+    src.write.mode("append").parquet(_named_path(channels, "src"))
+
+    sinks = run_dag_available_now(spark, DIAMOND, channels, str(tmp_path / "ck"))
+    assert set(sinks) == {"merged"}
+    chained = spark.read.parquet(sinks["merged"])
+
+    single = compile_dag(DIAMOND)(
+        {"src": src.withColumn("value", F.col("value").cast("long"))}
+    )["merged"]
+    assert sorted(int(r["value"]) for r in chained.collect()) == _vals(single)
+
+
+def test_dag_deployment_incremental_restart(spark, tmp_path):
+    """Each node's checkpoint is independent: appending new source
+    records and re-draining processes exactly the delta."""
+    from kafkastreamer_spark.plans.topology_mode import (
+        DirChannels,
+        _named_path,
+        run_dag_available_now,
+    )
+
+    channels = DirChannels(str(tmp_path / "ch2"), "d2")
+    ck = str(tmp_path / "ck2")
+    keyed_int_batch(spark, 20, 2).write.mode("append").parquet(
+        _named_path(channels, "src")
+    )
+    run_dag_available_now(spark, DIAMOND, channels, ck)
+
+    keyed_int_batch(spark, 50, 2).filter(
+        F.col("value").cast("long") >= 20
+    ).write.mode("append").parquet(_named_path(channels, "src"))
+    sinks = run_dag_available_now(spark, DIAMOND, channels, ck)
+
+    got = sorted(
+        int(r["value"]) for r in spark.read.parquet(sinks["merged"]).collect()
+    )
+    assert got == sorted(list(range(0, 50)) + list(range(2, 52)))  # no dups
