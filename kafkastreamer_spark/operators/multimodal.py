@@ -393,3 +393,133 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_audio_energy_batches, schema=_AUDIO_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_VAD_FRAME = 64  # finer frames than the energy rollup: segments need runs
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame", LongType()),
+        StructField("e", LongType()),
+    ]
+)
+
+
+def _frame_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow 1→N: each blob expands to one row per 64-sample frame
+    with its integer sum-of-squares energy."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, frames, es = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            if arr.size == 0:
+                continue
+            sq = arr * arr
+            idx = np.arange(0, arr.size, _VAD_FRAME)
+            fe = np.add.reduceat(sq, idx)
+            ids.extend([doc_id] * len(fe))
+            frames.extend(range(len(fe)))
+            es.extend(int(x) for x in fe)
+        yield pd.DataFrame({"doc_id": ids, "frame": frames, "e": es})
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+        WITH samples AS (
+            SELECT doc_id, (i - 1) // {_VAD_FRAME} AS frame,
+                   ascii(substr(text, CAST(i AS INTEGER), 1)) AS s
+            FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+        ),
+        frames AS (
+            SELECT doc_id, frame, CAST(sum(s * s) AS BIGINT) AS e,
+                   CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_frames,
+                   CAST(sum(sum(s * s)) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS tot
+            FROM samples GROUP BY doc_id, frame
+        ),
+        active AS (
+            SELECT doc_id, frame,
+                   frame - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY frame) AS anchor
+            FROM frames WHERE e * n_frames > tot
+        ),
+        segs AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS seg_len
+            FROM active GROUP BY doc_id, anchor
+        )
+        SELECT f.doc_id,
+               CAST(max(f.n_frames) AS BIGINT) AS n_frames,
+               CAST(coalesce(s.n_active, 0) AS BIGINT) AS n_active,
+               CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(s.longest, 0) AS BIGINT) AS longest_segment
+        FROM frames f
+        LEFT JOIN (
+            SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS n_active,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(max(seg_len) AS BIGINT) AS longest
+            FROM segs GROUP BY doc_id
+        ) s ON s.doc_id = f.doc_id
+        GROUP BY f.doc_id, s.n_active, s.n_segments, s.longest
+        ORDER BY f.doc_id
+    """,
+    tags=("llm-data", "multimodal", "audio"),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation over the frame-energy stream — the VAD
+    (voice-activity-detection) shape: frames whose energy exceeds
+    their blob's mean frame energy (integer cross-multiplication
+    ``e·n_frames > total`` — no float threshold) group into maximal
+    consecutive runs via the frame − row_number anchor. Per blob:
+    active-frame count, segment count, longest segment.
+
+    Composition showcase: the Arrow ``mapInPandas`` 1→N pass emits
+    (doc, frame, energy) rows and ALL segmentation logic stays
+    JVM-side on those rows — the recommended split for real codecs
+    (Python touches bytes once; runs/thresholds are relational).
+
+    Scale: map-only expansion (≤ |bytes|/64 rows per blob), one
+    doc-partitioned window over per-blob frame counts."""
+    b = _blobs(spark, sf_dir)
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    frames = b.select("doc_id", "payload").mapInPandas(
+        _frame_energy_batches, schema=_FRAMES_SCHEMA
+    )
+    wd = Window.partitionBy("doc_id")
+    fr = frames.select(
+        "doc_id",
+        "frame",
+        "e",
+        F.count(F.lit(1)).over(wd).cast("long").alias("n_frames"),
+        F.sum("e").over(wd).cast("long").alias("tot"),
+    )
+    active = fr.filter(F.col("e") * F.col("n_frames") > F.col("tot")).withColumn(
+        "anchor",
+        F.col("frame")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("frame")),
+    )
+    segs = active.groupBy("doc_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("seg_len")
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.sum("seg_len").cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("seg_len").cast("long").alias("longest"),
+    )
+    base = fr.groupBy("doc_id").agg(F.max("n_frames").cast("long").alias("n_frames"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("longest", F.lit(0)).cast("long").alias("longest_segment"),
+        )
+        .orderBy("doc_id")
+    )
