@@ -1370,3 +1370,101 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("long").alias("label"), "n_vectors", "dist_sq8")
         .orderBy("label")
     )
+
+
+_SHARED_SQL_GAPS = """
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        FROM du
+    ),
+    gaps AS (
+        SELECT user_id,
+               CAST(floor((epoch_us(CAST(d AS TIMESTAMP))
+                           - epoch_us(CAST(prev_d AS TIMESTAMP)))
+                          / CAST(86400000000 AS DOUBLE)) AS BIGINT)
+                   AS gap_days
+        FROM seq WHERE prev_d IS NOT NULL
+    )
+    SELECT gap_days, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM gaps GROUP BY gap_days ORDER BY gap_days
+"""
+
+
+@register(
+    "sql_text_shared_dialect_gaps",
+    oracle=_SHARED_SQL_GAPS,
+    tags=("sql-surface", "events", "window"),
+)
+def sql_text_shared_dialect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface proof #3, time-series form: LAG over a
+    DISTINCT reduction and a date_diff histogram, one shared-dialect
+    ANSI string executed verbatim by BOTH engines (see
+    sql_text_shared_dialect_rollup for the mechanism). the gap arithmetic
+    rides the shared ``epoch_us`` helper (a DuckDB driver macro,
+    mirrored as a Spark SQL scalar UDF by ``run_sql``) because date
+    subtraction is NOT in the dialect intersection — DuckDB yields an
+    INTERVAL and the engines disagree on date_diff's unit spelling;
+    exactly the portability trap this entry pins.
+
+    Scale: DISTINCT pairs reduce map-side; the LAG window partitions
+    per user over calendar days."""
+    from kafkastreamer_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SHARED_SQL_GAPS)
+
+
+@register(
+    "scalar_collation_ci",
+    oracle="""
+        WITH named AS (
+            SELECT CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name)
+                        WHEN n_nationkey % 3 = 1 THEN lower(n_name)
+                        ELSE n_name END AS display_name,
+                   n_name
+            FROM nation
+        )
+        SELECT lower(display_name) AS name_ci,
+               CAST(count(*) AS BIGINT) AS n,
+               min(display_name) AS first_variant
+        FROM named
+        GROUP BY lower(display_name)
+        ORDER BY name_ci
+    """,
+    tags=("scalar", "collation", "sql-surface"),
+)
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS: the mixed-case
+    display names group under ``collate(name, 'UTF8_LCASE')`` — the
+    engine-native way to get CI semantics without rewriting every
+    predicate through lower() (the oracle uses lower(), the dialect
+    intersection; the point is that Spark's collated grouping agrees
+    with it on ASCII data). Output columns are plain lowercase strings
+    so the value-hash sees identical bytes from both engines.
+
+    Scale note: collated grouping hashes the collation key exactly
+    like any groupBy — map-side combine intact; at 100 TB prefer the
+    collated column over wrapping every reference in lower() so
+    predicate pushdown still sees the raw column."""
+    n = load_table(spark, sf_dir, "nation")
+    named = n.select(
+        F.when(F.col("n_nationkey") % 3 == 0, F.upper("n_name"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lower("n_name"))
+        .otherwise(F.col("n_name"))
+        .alias("display_name")
+    )
+    grouped = named.groupBy(
+        F.collate("display_name", "UTF8_LCASE").alias("ci_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("display_name").alias("first_variant"),
+    )
+    return grouped.select(
+        F.lower(F.col("ci_key").cast("string")).alias("name_ci"),
+        "n",
+        "first_variant",
+    ).orderBy("name_ci")
