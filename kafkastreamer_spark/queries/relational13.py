@@ -1468,3 +1468,107 @@ def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "first_variant",
     ).orderBy("name_ci")
+
+
+@register(
+    "split_kfold_assign",
+    oracle="""
+        WITH folded AS (
+            SELECT doc_id,
+                   CAST(instr('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS BIGINT) % 5 AS fold
+            FROM documents
+        )
+        SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM folded GROUP BY fold ORDER BY fold
+    """,
+    tags=("sampling", "training-data", "splits"),
+)
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5): fold = first md5 hex
+    digit of the id, mod k — the same engine/partition/scale-invariant
+    membership discipline as split_train_valid_test, extended to
+    cross-validation. Any engine recomputes identical folds from ids
+    alone (no stored assignment table), so fold membership survives
+    re-partitioning, re-ingestion, and engine swaps.
+
+    Scale: pure map-side projection + one tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+            ).cast("long")
+        )
+        % 5
+    ).alias("fold")
+    return (
+        d.select("doc_id", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "features_target_encoding_loo",
+    oracle="""
+        WITH fx AS (
+            SELECT o_orderkey, o_orderpriority AS cat,
+                   CAST(floor(o_totalprice * 10000) AS BIGINT) AS t4
+            FROM orders
+        ),
+        stats AS (
+            SELECT cat, CAST(sum(t4) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM fx GROUP BY cat
+        )
+        SELECT f.o_orderkey, f.cat,
+               CAST(floor(CAST(s.s - f.t4 AS DOUBLE) / (s.n - 1))
+                    AS BIGINT) AS loo_enc4
+        FROM fx f JOIN stats s ON s.cat = f.cat
+        ORDER BY f.o_orderkey
+    """,
+    tags=("features", "training-data", "encoding"),
+)
+def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-free categorical
+    feature: each row's category is encoded as the mean target of all
+    OTHER rows in the category, (Σ − own)/(n−1), so a row never sees
+    its own label. Exact: fixed-point targets sum to BIGINTs per
+    category and each row's encoding is one correctly-rounded double
+    division, floored.
+
+    Scale: one map-side aggregate to |categories| rows, broadcast
+    back onto the fact scan — the encoding is a projection, not a
+    second shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    fx = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 10000).cast("long").alias("t4"),
+    )
+    stats = fx.groupBy("cat").agg(
+        F.sum("t4").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        fx.join(F.broadcast(stats), "cat")
+        .select(
+            "o_orderkey",
+            "cat",
+            F.floor(
+                (F.col("s") - F.col("t4")).cast("double") / (F.col("n") - 1)
+            )
+            .cast("long")
+            .alias("loo_enc4"),
+        )
+        .orderBy("o_orderkey")
+    )

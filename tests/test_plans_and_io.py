@@ -800,3 +800,35 @@ def test_parquet_codec_roundtrip(spark, sf_dir, tmp_path, codec):
     a = o.agg(F.sum(F.floor(F.col("o_totalprice") * 10000)).cast("long")).collect()
     b = back.agg(F.sum(F.floor(F.col("o_totalprice") * 10000)).cast("long")).collect()
     assert a == b
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """MERGE and SHUFFLE_HASH hints must override the planner's
+    default choice — the operator's escape hatch when statistics
+    mislead at scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in _physical_plan(merged)
+
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in _physical_plan(hashed)
+
+    bcast = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in _physical_plan(bcast)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE must collapse the 32 configured shuffle partitions of a
+    small aggregate into far fewer actual post-shuffle partitions —
+    the runtime right-sizing that keeps 100 TB configs from drowning
+    small stages in empty tasks."""
+    n = load_table(spark, sf_dir, "nation")
+    agg = n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+    agg.collect()  # materialize so AQE finalizes the plan
+    plan = _physical_plan(agg)
+    assert "AQEShuffleRead coalesced" in plan, plan[:1200]
+    assert agg.rdd.getNumPartitions() < int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
