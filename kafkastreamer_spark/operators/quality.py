@@ -686,3 +686,53 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib is not expressible in DuckDB SQL — rows-only
+    tags=("llm-data", "quality", "text"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-family heuristic
+    the rule battery in quality_gopher_rules cannot express in pure
+    SQL): highly repetitive or templated text compresses far below
+    natural prose, so ratio = deflate_bytes/raw_bytes separates
+    boilerplate from content. zlib level 6, a deterministic pure
+    function of the bytes, evaluated in an Arrow-batched pandas UDF
+    (one C call per document, vectorized transfer).
+
+    Rows-only by design: no SQL engine exposes deflate, so the driver
+    checks row count/schema and the pytest suite pins the semantics
+    (repetitive ≪ diverse, determinism, byte accounting,
+    tests/test_compression_ratio.py).
+
+    Scale: map-only projection; CPU-bound and embarrassingly parallel
+    exactly like the multimodal decode pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _zsize_series(texts):  # pd.Series -> pd.Series; the lambda
+        # form sidesteps `from __future__ import annotations`, which
+        # stringifies hints pandas_udf would otherwise introspect
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    zsize = pandas_udf(_zsize_series, "long")
+
+    d = widen(load_table(spark, sf_dir, "documents"))
+    raw = F.length(F.encode("text", "UTF-8")).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            raw.alias("n_bytes"),
+            zsize("text").alias("n_compressed"),
+        )
+        .withColumn(
+            "ratio4",
+            F.floor(
+                F.col("n_compressed").cast("double") * 10000 / F.col("n_bytes")
+            ).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
