@@ -1572,3 +1572,160 @@ def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_CONC_SPAN_US = 600_000_000  # each event holds a resource for 10 min
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+        WITH iv AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   epoch_us(ts) AS s, epoch_us(ts) + {_CONC_SPAN_US} AS e
+            FROM events
+        ),
+        deltas AS (
+            SELECT day, s // 60000000 AS minute, 1 AS d FROM iv
+            UNION ALL
+            SELECT day, e // 60000000 AS minute, -1 FROM iv
+        ),
+        per_min AS (
+            SELECT day, minute, CAST(sum(d) AS BIGINT) AS net
+            FROM deltas GROUP BY day, minute
+        ),
+        run AS (
+            SELECT day, minute,
+                   CAST(sum(net) OVER (PARTITION BY day ORDER BY minute
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS conc
+            FROM per_min
+        ),
+        peak AS (
+            SELECT day, conc, minute,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY conc DESC, minute) AS rn
+            FROM run
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               conc AS peak_concurrency,
+               CAST(minute % 1440 AS BIGINT) AS peak_minute_of_day
+        FROM peak WHERE rn = 1
+        ORDER BY day
+    """,
+    tags=("events", "time-series", "sweep-line"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via sweep line: each event holds a resource
+    for 10 minutes; +1/−1 deltas at interval ends, pre-aggregated to
+    NET CHANGE PER MINUTE, then a running sum finds each day's peak
+    simultaneous holders and when it occurred — capacity planning's
+    core question, and the aggregate dual of join_interval_overlap
+    (which enumerates the overlapping pairs this query only counts).
+
+    Scale shape: the delta stream collapses to ≤ 2·1440 rows per day
+    by an ordinary map-side-combining aggregate BEFORE any window —
+    the running sum orders a bounded per-day minute series no matter
+    how many events the day holds (day-boundary spillover of the
+    10-minute holds is ignored by construction — documented, exact in
+    both engines). Cross-midnight analyses re-anchor day to the
+    interval start, same plan."""
+    from kafkastreamer_spark.queries._util import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.to_date("ts").alias("day"),
+        epoch_us(F.col("ts")).alias("s"),
+        (epoch_us(F.col("ts")) + _CONC_SPAN_US).alias("e"),
+    )
+    deltas = iv.select(
+        "day", F.expr("s div 60000000").alias("minute"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select(
+            "day", F.expr("e div 60000000").alias("minute"), F.lit(-1).alias("d")
+        )
+    )
+    per_min = deltas.groupBy("day", "minute").agg(
+        F.sum("d").cast("long").alias("net")
+    )
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = per_min.withColumn("conc", F.sum("net").over(wrun).cast("long"))
+    wpk = Window.partitionBy("day").orderBy(F.desc("conc"), "minute")
+    return (
+        run.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("conc").alias("peak_concurrency"),
+            (F.col("minute") % 1440).cast("long").alias("peak_minute_of_day"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_otif_rate",
+    oracle="""
+        WITH lines AS (
+            SELECT l.l_orderkey,
+                   bool_and(l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY)
+                       AS all_on_time
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_orderkey
+        )
+        SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE l.all_on_time) AS BIGINT)
+                   AS n_otif,
+               CAST(floor(CAST(count(*) FILTER (WHERE l.all_on_time)
+                    AS DOUBLE) * 10000 / count(*)) AS BIGINT) AS otif_pct4
+        FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY month
+    """,
+    tags=("relational", "aggregate", "kpi"),
+)
+def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Time-In-Full rate per order month — the supply-chain KPI:
+    an order counts as OTIF only if EVERY line shipped within 60 days
+    of the order date (``every``/``bool_and``, the universally-
+    quantified aggregate no battery query exercises standalone).
+    Fixed-point percentage.
+
+    Scale: the lineitem-orders join is the one big shuffle (q4's
+    shape); lines then reduce per order with a map-side-combining
+    bool_and, and the month rollup carries one boolean per order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lines = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.every(
+                F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 60)
+            ).alias("all_on_time")
+        )
+    )
+    return (
+        o.join(lines, o.o_orderkey == lines.l_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count(F.when(F.col("all_on_time"), 1))
+            .cast("long")
+            .alias("n_otif"),
+        )
+        .withColumn(
+            "otif_pct4",
+            F.floor(
+                F.col("n_otif").cast("double") * 10000 / F.col("n_orders")
+            ).cast("long"),
+        )
+        .orderBy("month")
+    )
