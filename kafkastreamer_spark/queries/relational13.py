@@ -1729,3 +1729,49 @@ def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "features_hashing_trick",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        toks AS (SELECT doc_id, unnest(w) AS t FROM words),
+        hashed AS (
+            SELECT doc_id,
+                   CAST((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1
+                        AS BIGINT) % 64 AS dim
+            FROM toks
+        )
+        SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY doc_id, dim
+        ORDER BY doc_id, dim
+    """,
+    tags=("features", "training-data", "text"),
+)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): project the unbounded
+    token vocabulary onto a fixed 64-dimension count vector via
+    ``md5(token) mod 64`` — the vocabulary-free featurization linear
+    models and wide-and-deep pipelines use when a dictionary is
+    impractical. Emitted as sparse (doc, dim, count) triples — the
+    layout a trainer ingests directly, and what keeps the output
+    linear in token volume rather than |docs|×64 dense.
+
+    Engine-invariance: the dimension is a pure function of the token
+    bytes, so any engine/partitioning reproduces identical vectors —
+    the same md5-membership discipline as the samplers.
+
+    Scale: tokenize map-only, one map-side-combining aggregate on
+    (doc, dim)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    dim = (
+        F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("long") % 64
+    ).alias("dim")
+    return (
+        toks.select("doc_id", dim)
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("doc_id", "dim")
+    )
