@@ -1775,3 +1775,61 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy("doc_id", "dim")
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+        WITH words AS (
+            SELECT source, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT DISTINCT md5(array_to_string(w[1:8], ' ')) AS h, source
+            FROM words
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM hashed a JOIN hashed b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared
+        FROM pairs
+        ORDER BY source_a, source_b
+    """,
+    tags=("llm-data", "dedup", "reporting"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix: for every source pair,
+    how many 8-token prefix fingerprints both contain (the standard
+    head-fingerprint blocking key — tolerant of tail edits, strict on
+    shared openings) — the provenance view of dedup (dedup_exact
+    collapses copies; this shows
+    WHICH ingestion feeds mirror each other, the signal for dropping
+    a wholesale-duplicated feed instead of deduping it row by row).
+
+    Scale shape: documents reduce to DISTINCT (hash, source) pairs —
+    32-byte keys — and the self-join on hash is bounded per hash by
+    C(|sources|, 2) (sources are a small set by construction; a
+    web-scale run caps per-hash source lists exactly like the
+    md5-rank degree caps). Upper-triangle only via source_a <
+    source_b."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 8))
+    ).alias("h")
+    hashed = d.select(h, "source").distinct().persist()
+    b = hashed.select(F.col("h").alias("hb"), F.col("source").alias("source_b"))
+    return (
+        hashed.withColumnRenamed("source", "source_a")
+        .join(
+            b,
+            (F.col("h") == F.col("hb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
