@@ -1833,3 +1833,72 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "events_autocorrelation_lag7",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT c AS x,
+                   lag(c, 7) OVER (ORDER BY day) AS y
+            FROM daily
+        ),
+        pairs AS (SELECT x, y FROM lagged WHERE y IS NOT NULL),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs
+        )
+        SELECT n,
+               CAST(floor(10000 *
+                    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                    AS BIGINT) AS acf7_4
+        FROM sums
+    """,
+    tags=("events", "time-series", "statistics"),
+)
+def events_autocorrelation_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of the daily event-count series — the
+    weekly-periodicity detector (ACF spike at 7 = strong day-of-week
+    structure; the statistic events_seasonal_decompose's weekly model
+    presumes). Exact: daily counts are integers, so all five moment
+    sums over (cₜ, cₜ₋₇) pairs are exact BIGINTs and the correlation
+    is formed in correctly-rounded double ops shared verbatim with
+    the oracle — the same discipline as lineitem_spearman_rho.
+
+    Scale shape: events reduce to |days| rows map-side; the LAG and
+    the 6-number reduce run on the bounded calendar series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lagged = daily.select(
+        F.col("c").alias("x"),
+        F.lag("c", 7).over(Window.orderBy("day")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    sums = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    vx = nd * F.col("sxx") - sxd * F.col("sx")
+    vy = nd * F.col("syy") - syd * F.col("sy")
+    return sums.select(
+        "n",
+        F.floor(10000 * num / F.sqrt(vx * vy)).cast("long").alias("acf7_4"),
+    )
