@@ -1902,3 +1902,46 @@ def events_autocorrelation_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(10000 * num / F.sqrt(vx * vy)).cast("long").alias("acf7_4"),
     )
+
+
+@register(
+    "split_group_kfold",
+    oracle="""
+        WITH folded AS (
+            SELECT doc_id, source,
+                   CAST(instr('0123456789abcdef',
+                              substr(md5(source), 1, 1)) - 1
+                        AS BIGINT) % 5 AS fold
+            FROM documents
+        )
+        SELECT fold,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_groups
+        FROM folded GROUP BY fold ORDER BY fold
+    """,
+    tags=("sampling", "training-data", "splits"),
+)
+def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment: the fold hashes the GROUP key
+    (source), not the row id, so every document from one source lands
+    in the same fold — the leakage guard plain k-fold
+    (split_kfold_assign) lacks when near-duplicate rows cluster
+    within groups: a source's boilerplate can never sit on both sides
+    of a validation split. Same md5 membership discipline, so
+    assignment is engine/partition/scale-invariant.
+
+    Scale: map-side projection + one tiny aggregate (the distinct
+    group count per fold is bounded by |sources|)."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5("source"), 1, 1), 16, 10).cast("long") % 5
+    ).alias("fold")
+    return (
+        d.select("doc_id", "source", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("source").cast("long").alias("n_groups"),
+        )
+        .orderBy("fold")
+    )
