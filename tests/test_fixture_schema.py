@@ -170,3 +170,24 @@ def test_primary_keys_unique(spark, sf_dir, table):
         f"read_parquet('{sf_dir}/{table}.parquet')"
     ).fetchone()
     assert n == dk, f"{table}.{key}: {n} rows but {dk} distinct ids"
+
+
+def test_documents_text_is_ascii(sf_dir):
+    """The audio-over-bytes operators (multimodal_audio_energy /
+    multimodal_audio_vad) equate byte values with code points —
+    exactly true only for pure-ASCII text (and their oracles' ascii()
+    of each character presumes it). A regenerated fixture with
+    multibyte characters must fail HERE, not as an opaque hash
+    mismatch: length(text) would diverge from octet_length and
+    uint8 bytes from ascii codes."""
+    import duckdb
+
+    n_bad, n_len_mismatch = duckdb.sql(
+        "SELECT count(*) FILTER (WHERE text != regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')), "
+        "count(*) FILTER (WHERE length(text) != octet_length(encode(text))) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    assert n_bad == 0, f"{n_bad} documents contain non-ASCII characters"
+    assert n_len_mismatch == 0, (
+        f"{n_len_mismatch} documents: char length != byte length"
+    )
