@@ -1245,3 +1245,115 @@ def dedup_lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_tenths")
     )
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+        sh AS (SELECT doc_id, {sql_shingles('w')} AS sh FROM words WHERE len(w) >= 3),
+        posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        -- exact-truth side: df-capped postings, Jaccard >= threshold
+        dfreq AS (SELECT s, COUNT(*) AS df FROM posting GROUP BY s),
+        cposting AS (
+            SELECT p.doc_id, p.s FROM posting p
+            JOIN dfreq d ON p.s = d.s AND d.df <= {NGRAM_DF_CAP}
+        ),
+        csizes AS (SELECT doc_id, COUNT(*) AS n FROM cposting GROUP BY doc_id),
+        ccommon AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM cposting a JOIN cposting b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        true_pairs AS (
+            SELECT doc_a, doc_b FROM ccommon
+            JOIN csizes sa ON sa.doc_id = doc_a
+            JOIN csizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        -- LSH candidate side (uncapped postings, as dedup_minhash_lsh)
+        {sql_minhash_ctes(MINHASH_PERMS)},
+        bands AS (
+            SELECT doc_id, p // {MINHASH_PERMS // MINHASH_BANDS} AS band,
+                   string_agg(mh, '|' ORDER BY p) AS sig
+            FROM minhash GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        hits AS (
+            SELECT t.doc_a, t.doc_b FROM true_pairs t
+            JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit,
+               CAST(floor(10000.0 * (SELECT count(*) FROM hits)
+                    / (SELECT count(*) FROM true_pairs)) AS BIGINT) AS recall4,
+               CAST(floor(10000.0 * (SELECT count(*) FROM hits)
+                    / (SELECT count(*) FROM cand)) AS BIGINT) AS precision4
+    """,
+    tags=("llm-data", "dedup", "lsh", "audit"),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH quality audit: of the pairs the exact df-capped
+    Jaccard pipeline flags as near-dups (dedup_ngram_jaccard's truth),
+    how many did the MinHash band bucketing surface as candidates
+    (recall), and what fraction of raised candidates are true
+    (precision) — the text-dedup analogue of similarity_recall_at_k,
+    turning the s-curve's THEORETICAL collision probabilities
+    (dedup_lsh_scurve_table) into a measured operating point for this
+    corpus and band configuration.
+
+    Scale shape: composes the two existing pipelines' plans unchanged
+    (inverted-index truth, band-bucket candidates) plus two pair-set
+    joins on (doc_a, doc_b); everything reduces to one 5-number row.
+    """
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    sh = _shingle_sets(spark, sf_dir)
+    bands = (
+        sh.select("doc_id", minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"))
+        .select(
+            "doc_id",
+            F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
+                "band", "sig"
+            ),
+        )
+        .filter(F.col("sig") != "")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    # one plan, no driver-side counting: three 1-row aggregates
+    # broadcast-crossed into the summary row
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.floor(10000.0 * F.col("n_hit") / F.col("n_true"))
+            .cast("long")
+            .alias("recall4"),
+            F.floor(10000.0 * F.col("n_hit") / F.col("n_cand"))
+            .cast("long")
+            .alias("precision4"),
+        )
+    )
