@@ -1945,3 +1945,45 @@ def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "agg_decimal128_bigsum",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(sum(CAST(CAST(floor(o_totalprice * 10000) AS BIGINT)
+                        AS DECIMAL(38, 0)) * 100000000) AS DECIMAL(38, 0))
+                   AS pico_total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1 ORDER BY priority
+    """,
+    tags=("aggregate", "decimal", "exactness"),
+)
+def agg_decimal128_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit exact accumulation — the overflow escape hatch the
+    BIGINT fixed-point discipline needs at extreme scale: each value
+    becomes an exact picounit integer (fixed4 × 10⁸) whose corpus sum
+    exceeds int64 headroom around ~10⁵ rows, carried in DECIMAL(38,0)
+    (Spark's 128-bit decimal ↔ DuckDB's HUGEINT-backed DECIMAL —
+    integer-exact in both, unlike double→DECIMAL casts whose rounding
+    modes differ; the chain here is floor→BIGINT→DECIMAL, every step
+    exact). This is the documented upgrade path for
+    lineitem_spearman_rho-class moment sums beyond ~2M rows.
+
+    Scale: an ordinary map-side-combining aggregate; decimal partials
+    are 16 bytes instead of 8."""
+    o = load_table(spark, sf_dir, "orders")
+    pico = (
+        F.floor(F.col("o_totalprice") * 10000)
+        .cast("long")
+        .cast("decimal(38,0)")
+        * 100000000
+    )
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(pico).cast("decimal(38,0)").alias("pico_total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("priority")
+    )
