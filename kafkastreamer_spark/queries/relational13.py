@@ -1987,3 +1987,155 @@ def agg_decimal128_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "events_changepoint_single",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, c,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                   CAST(sum(c) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS ps
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(max(i) AS BIGINT) AS n, CAST(max(ps) AS BIGINT) AS s
+            FROM idx
+        ),
+        gains AS (
+            SELECT day, i,
+                   CAST(floor(
+                        (CAST(ps AS DOUBLE) * ps) / i
+                        + (CAST(s - ps AS DOUBLE) * (s - ps)) / (n - i)
+                        - (CAST(s AS DOUBLE) * s) / n) AS BIGINT) AS gain
+            FROM idx, tot
+            WHERE i < n
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS split_day,
+               CAST(i AS BIGINT) AS left_days, gain
+        FROM gains
+        ORDER BY gain DESC, split_day
+        LIMIT 1
+    """,
+    tags=("events", "time-series", "changepoint"),
+)
+def events_changepoint_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection (binary segmentation's first
+    split): the day boundary that maximizes the between-segment
+    sum-of-squares gain ps²/i + (s−ps)²/(n−i) − s²/n — equivalently
+    the split minimizing within-segment variance of the daily count
+    series. Prefix sums make every candidate split O(1), so the whole
+    scan is one window pass over the bounded calendar series; gains
+    are formed from exact BIGINT prefix sums with three
+    correctly-rounded double divisions, floored. Iterating on each
+    side yields full binary segmentation — one level is registered so
+    the oracle stays a finite query.
+
+    Scale: events reduce to |days| map-side; everything after is
+    |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.sum("c").over(w).cast("long").alias("ps"),
+    )
+    tot = idx.agg(
+        F.max("i").cast("long").alias("n"), F.max("ps").cast("long").alias("s")
+    )
+    psd = F.col("ps").cast("double")
+    rd = (F.col("s") - F.col("ps")).cast("double")
+    gains = (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "day",
+            "i",
+            F.floor(
+                psd * F.col("ps") / F.col("i")
+                + rd * (F.col("s") - F.col("ps")) / (F.col("n") - F.col("i"))
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            .cast("long")
+            .alias("gain"),
+        )
+    )
+    return (
+        gains.orderBy(F.desc("gain"), "day")
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("i").alias("left_days"),
+            "gain",
+        )
+    )
+
+
+@register(
+    "embedding_power_iteration_step",
+    oracle="""
+        WITH dims AS (
+            SELECT vec_id, i AS d,
+                   CAST(embedding[i] AS DOUBLE) AS x,
+                   CAST(embedding[1] AS DOUBLE) AS x1
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        contrib AS (
+            SELECT d,
+                   CAST(sum(CAST(floor(10000 * x * x1) AS BIGINT)) AS BIGINT)
+                       AS v4
+            FROM dims GROUP BY d
+        )
+        SELECT CAST(d AS BIGINT) AS dim, v4, abs(v4) AS mag4
+        FROM contrib
+        ORDER BY abs(v4) DESC, d
+        LIMIT 8
+    """,
+    tags=("llm-data", "embedding", "linear-algebra"),
+)
+def embedding_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One matrix-free power-iteration step toward the corpus's top
+    principal direction: v₁ = Σ_docs x·(x·e₁) starting from the unit
+    basis vector e₁ — i.e. column 1 of the Gram matrix XᵀX, computed
+    without ever materializing it. Per (doc, dim) the contribution
+    x_d·x_1 is floored to fixed-point as one deterministic double
+    product, then summed exactly in BIGINTs, so neither aggregation
+    nor dimension order perturbs the vector (the embedding_-
+    centroid_drift discipline applied to second moments). Top-8
+    dimensions by magnitude.
+
+    Scale: the explode is map-only; the per-dim aggregate map-side
+    combines to 64 rows. Full PCA iterates this against the running
+    normalized vector (broadcast, like the k-means centroids) —
+    one corpus pass per iteration, the standard distributed
+    formulation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode("embedding").alias("d0", "x"),
+        F.element_at("embedding", 1).alias("x1"),
+    ).select(
+        (F.col("d0") + 1).cast("long").alias("d"),
+        F.col("x").cast("double").alias("x"),
+        F.col("x1").cast("double").alias("x1"),
+    )
+    contrib = dims.groupBy("d").agg(
+        F.sum(F.floor(10000 * F.col("x") * F.col("x1")).cast("long"))
+        .cast("long")
+        .alias("v4")
+    )
+    return (
+        contrib.select(F.col("d").alias("dim"), "v4", F.abs("v4").alias("mag4"))
+        .orderBy(F.desc("mag4"), "dim")
+        .limit(8)
+    )
