@@ -248,3 +248,67 @@ def sliding_distinct_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_zscore_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    z_threshold_x100: int = 300,
+    min_history: int = 5,
+) -> DataFrame:
+    """Streaming point-anomaly gate: each event is scored against its
+    key's history SO FAR — |v − mean| vs (threshold/100)·stddev — and
+    flagged when it deviates, with the history then updated. The
+    stateful twin of the batch prefix-window z-score
+    (events_value_zscore's family), for live alerting.
+
+    Exactness discipline: state per key is (n, Σv₄, Σv₄²) in exact
+    integers (fixed-point values ≤ ~10⁵ ⇒ Σv₄² safe past 10⁸ events
+    per key), so replaying micro-batches or re-partitioning the
+    stream reproduces identical flags. The comparison is cross-
+    multiplied — (100·|v₄·n − Σv₄|)² vs z²·n·(n·Σv₄² − Σv₄²) — so no
+    square root or division ever runs; everything is int arithmetic
+    (python ints, overflow-free).
+
+    Batch parity (tested): when events arrive ordered (ts, id) per
+    key, flags equal the batch formulation computed with prefix
+    windows over the same fixed-point sums."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        ids, flags = [], []
+        for pdf in pdfs:
+            for eid, v in zip(pdf[id_col], pdf[value_col]):
+                v4 = int(v * 10000 // 1)  # floor, matches F.floor(v*1e4)
+                flagged = False
+                if n >= min_history:
+                    # |v - mean| > z * stddev  <=>
+                    # (100*|v4*n - s1|)^2 > z100^2 * n * (n*s2 - s1^2)
+                    lhs = (100 * abs(v4 * n - s1)) ** 2
+                    rhs = z_threshold_x100**2 * n * (n * s2 - s1 * s1)
+                    flagged = lhs > rhs
+                ids.append(int(eid))
+                flags.append(flagged)
+                n, s1, s2 = n + 1, s1 + v4, s2 + v4 * v4
+        state.update((n, s1, s2))
+        if ids:
+            yield pd.DataFrame(
+                {key_col: key[0], id_col: ids, "is_anomaly": flags}
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, {id_col} long, is_anomaly boolean",
+        stateStructType="n long, s1 long, s2 long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
