@@ -10,7 +10,10 @@ command:
 `single` compiles the whole topology into one query (default, no
 intermediate hops); `chained` reproduces the reference's
 stage-per-query deployment with directory channels (Kafka channels in
-production via --bootstrap).
+production via --bootstrap); `dag` runs a fan-out/fan-in topology
+JSON (plans/dag.py nodes/sinks format — a shape the reference cannot
+express) through the single-query compiler, one result directory per
+sink.
 """
 
 from __future__ import annotations
@@ -27,7 +30,9 @@ from pyspark.sql import functions as F
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kafkastreamer_spark")
     ap.add_argument("--topology", required=True, help="topology XML (reference format) or JSON")
-    ap.add_argument("--mode", choices=["single", "chained"], default="single")
+    ap.add_argument(
+        "--mode", choices=["single", "chained", "dag"], default="single"
+    )
     ap.add_argument("--records", type=int, default=1000, help="bounded source size")
     ap.add_argument("--out", default="", help="output directory (default: temp)")
     ap.add_argument("--bootstrap", default="", help="Kafka bootstrap (chained mode)")
@@ -45,7 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     from kafkastreamer_spark.plans.pipeline import TopologyError
 
     try:
-        if args.topology.endswith(".json"):
+        if args.mode == "dag":
+            from kafkastreamer_spark.plans.dag import from_dict as dag_from_dict
+
+            with open(args.topology) as fh:
+                dag_spec = dag_from_dict(json.load(fh))
+            spec = None
+        elif args.topology.endswith(".json"):
             with open(args.topology) as fh:
                 spec = from_dict(json.load(fh))
         else:
@@ -54,9 +65,38 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: invalid topology: {exc}", file=sys.stderr)
         return 2
 
-    spark = get_spark(app_name=f"kafkastreamer-{spec.stream_id}")
+    stream_id = (dag_spec.stream_id or "dag") if args.mode == "dag" else spec.stream_id
+    from pyspark.sql import SparkSession
+
+    # only stop the session if this CLI call created it — embedding
+    # callers (tests, notebooks) keep theirs
+    _owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name=f"kafkastreamer-{stream_id}")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = args.out or tempfile.mkdtemp(prefix=f"ks_{spec.stream_id}_")
+    out_dir = args.out or tempfile.mkdtemp(prefix=f"ks_{stream_id}_")
+
+    if args.mode == "dag":
+        from kafkastreamer_spark.plans.dag import SOURCE_OP, compile_dag
+
+        src_names = [n.name for n in dag_spec.nodes if n.operation == SOURCE_OP]
+        sources = {
+            name: keyed_int_batch(spark, args.records, 2).withColumn(
+                "value", F.col("value").cast("long")
+            )
+            for name in src_names
+        }
+        results = compile_dag(dag_spec)(sources)
+        for sink, df in results.items():
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, sink))
+            print(f"-- sink {sink}:")
+            df.orderBy(F.col("value")).show(args.show, truncate=False)
+        print(
+            f"stream_id={stream_id} nodes={len(dag_spec.nodes)} "
+            f"sinks={len(results)} out={out_dir}"
+        )
+        if _owns_session:
+            spark.stop()
+        return 0
 
     if args.mode == "single":
         src = keyed_int_batch(spark, args.records, spec.partitions).withColumn(
@@ -86,8 +126,9 @@ def main(argv: list[str] | None = None) -> int:
             final = spark.read.parquet(channels.path(len(spec.stages)))
             final.orderBy(F.col("value").cast("long")).show(args.show, truncate=False)
 
-    print(f"stream_id={spec.stream_id} stages={len(spec.stages)} out={out_dir}")
-    spark.stop()
+    print(f"stream_id={stream_id} stages={len(spec.stages)} out={out_dir}")
+    if _owns_session:
+        spark.stop()
     return 0
 
 

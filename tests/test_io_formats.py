@@ -169,3 +169,42 @@ def test_csv_permissive_captures_malformed_rows(spark, tmp_path):
     bad_rows = sorted(r["_bad"] for r in bad.collect())
     assert bad_rows == ["2,beta,not_a_number", "broken row"]
     df.unpersist()
+
+
+def test_json_permissive_captures_malformed_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """JSON ingestion quarantine — the JSON twin of the CSV
+    PERMISSIVE test above: malformed lines land in _corrupt_record
+    with every well-formed field parsed, instead of failing the job
+    (the engine-wide no-crash parse policy, SURVEY §7 hard-part d)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        '{"k": 2, "v": "also ok"}\n'
+        '{"k": "not-a-number", "v": "bad type"}\n'
+        "this is not json at all\n"
+    )
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["k"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 2  # type mismatch + unparseable line
+    raw = [r["_corrupt_record"] for r in bad.collect()]
+    assert any("not-a-number" in x for x in raw)
+    assert any("not json" in x for x in raw)
