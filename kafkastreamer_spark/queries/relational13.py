@@ -2139,3 +2139,85 @@ def embedding_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("mag4"), "dim")
         .limit(8)
     )
+
+
+@register(
+    "embedding_jl_projection",
+    oracle="""
+        WITH dims AS (
+            SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        signed AS (
+            SELECT vec_id, j, d,
+                   CASE WHEN instr('0123456789abcdef',
+                            substr(md5('jl:' || j || ':' || d), 1, 1)) - 1 < 8
+                        THEN x ELSE -x END AS sx
+            FROM dims, unnest(range(1, 17)) AS u(j)
+        )
+        SELECT vec_id, CAST(j AS BIGINT) AS j,
+               CAST(sum(CAST(floor(10000 * sx) AS BIGINT)) AS BIGINT) AS y4
+        FROM signed GROUP BY vec_id, j
+        ORDER BY vec_id, j
+    """,
+    tags=("llm-data", "embedding", "projection"),
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→16 dims with a
+    DETERMINISTIC ±1 matrix (sign = first md5 hex digit of "jl:j:d" —
+    the same seedless md5 discipline as the LSH hyperplanes, so any
+    engine regenerates the identical matrix from nothing): the cheap
+    distance-preserving reduction that sits between full vectors and
+    the learned truncations (matryoshka) / quantizations (PQ, int8)
+    already in the registry. Per projected coordinate the signed
+    components are floored to fixed-point then summed exactly, so
+    aggregation order cannot perturb the output.
+
+    Scale: the (vector → dim → 16 coordinates) expansion is map-only
+    ×16; the aggregate map-side combines on (vec, j). At 100 TB you'd
+    fold the 16 signs per dimension into one array literal broadcast
+    (64×16 signs = 1 KB) and compute all coordinates in a single
+    higher-order-function projection — same semantics, one pass; the
+    explode form here keeps the oracle row-parallel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.col("x").cast("double").alias("x"),
+    )
+    signed = dims.select(
+        "vec_id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+    ).select(
+        "vec_id",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jl:"), F.col("j"), F.lit(":"), F.col("d"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < 8,
+            F.col("x"),
+        )
+        .otherwise(-F.col("x"))
+        .alias("sx"),
+    )
+    return (
+        signed.groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.floor(10000 * F.col("sx")).cast("long"))
+            .cast("long")
+            .alias("y4")
+        )
+        .select("vec_id", F.col("j").cast("long").alias("j"), "y4")
+        .orderBy("vec_id", "j")
+    )
