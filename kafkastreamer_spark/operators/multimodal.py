@@ -523,3 +523,130 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_AHASH_MAX_HAMMING = 10
+
+
+@register(
+    "multimodal_image_ahash_pairs",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ascii(substr(text, CAST(i AS INTEGER), 1)) AS p
+            FROM documents, unnest(range(1, 65)) AS t(i)
+            WHERE length(text) >= 64
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(p) AS BIGINT) AS s FROM px GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT px.doc_id, pos // 16 AS c,
+                   CASE WHEN px.p * 64 > t.s
+                        THEN (CAST(1 AS BIGINT) << CAST(pos % 16 AS INT))
+                        ELSE 0 END AS bit
+            FROM px JOIN tot t ON t.doc_id = px.doc_id
+        ),
+        chunks AS (
+            SELECT doc_id, c, CAST(sum(bit) AS BIGINT) AS chunk
+            FROM bits GROUP BY doc_id, c
+        ),
+        sig AS (
+            SELECT doc_id, list(chunk ORDER BY c) AS ch FROM chunks GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM chunks a JOIN chunks b
+              ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(range(4),
+                    i -> bit_count(xor(sa.ch[CAST(i+1 AS INT)],
+                                       sb.ch[CAST(i+1 AS INT)]))))
+                    AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE list_sum(list_transform(range(4),
+              i -> bit_count(xor(sa.ch[CAST(i+1 AS INT)],
+                                 sb.ch[CAST(i+1 AS INT)]))))
+              <= {_AHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-data", "multimodal", "dedup", "image"),
+)
+def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) image near-dup: interpret each
+    blob's first 64 bytes as an 8×8 grayscale thumbnail, hash bit i =
+    (pixel_i > mean) — cross-multiplied as p·64 > Σp, no float mean —
+    packed into four 16-bit chunks, then the SimHash playbook:
+    any-equal-chunk candidate blocking (recall guaranteed to
+    hamming ≤ 3) and xor+popcount verification at hamming ≤ 10. On
+    real images the byte interpretation becomes the resize+grayscale
+    decode; every stage downstream of it is unchanged — which is the
+    point: the blocking/verify machinery is modality-independent.
+
+    Scale: signature build is a bounded 64-row explode per blob with
+    map-side packing; the candidate join is an equi join on 16-bit
+    chunk keys (collision ≈ 2⁻¹⁶ per chunk), so pair volume tracks
+    true near-dup density exactly as dedup_simhash."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 64
+    )
+    px = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"),
+    ).select(
+        "doc_id",
+        (F.col("i") - 1).alias("pos"),
+        F.ascii(F.expr("substring(text, i, 1)")).alias("p"),
+    )
+    tot = px.groupBy("doc_id").agg(F.sum("p").cast("long").alias("s"))
+    bits = px.join(tot, "doc_id").select(
+        "doc_id",
+        F.expr("pos div 16").alias("c"),
+        F.when(
+            F.col("p") * 64 > F.col("s"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 16 AS INT))"),
+        )
+        .otherwise(0)
+        .alias("bit"),
+    )
+    chunks = bits.groupBy("doc_id", "c").agg(
+        F.sum("bit").cast("long").alias("chunk")
+    ).persist()
+    sig = chunks.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "chunk"))),
+            lambda s: s["chunk"],
+        ).alias("ch")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("ch").alias("cha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("ch").alias("chb"))
+    hamming = F.aggregate(
+        F.zip_with(
+            "cha", "chb", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
