@@ -2221,3 +2221,84 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("j").cast("long").alias("j"), "y4")
         .orderBy("vec_id", "j")
     )
+
+
+@register(
+    "orders_cohens_d",
+    oracle="""
+        WITH fx AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+                       AS grp,
+                   CAST(floor(o_totalprice) AS BIGINT) AS y
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        sums AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s1,
+                   CAST(sum(y * y) AS BIGINT) AS s2
+            FROM fx GROUP BY grp
+        ),
+        wide AS (
+            SELECT max(CASE WHEN grp = 'a' THEN n END) AS na,
+                   max(CASE WHEN grp = 'a' THEN s1 END) AS sa1,
+                   max(CASE WHEN grp = 'a' THEN s2 END) AS sa2,
+                   max(CASE WHEN grp = 'b' THEN n END) AS nb,
+                   max(CASE WHEN grp = 'b' THEN s1 END) AS sb1,
+                   max(CASE WHEN grp = 'b' THEN s2 END) AS sb2
+            FROM sums
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(floor(10000 *
+                    (CAST(sa1 AS DOUBLE) / na - CAST(sb1 AS DOUBLE) / nb)
+                    / sqrt(((CAST(sa2 AS DOUBLE)
+                             - CAST(sa1 AS DOUBLE) * sa1 / na)
+                            + (CAST(sb2 AS DOUBLE)
+                               - CAST(sb1 AS DOUBLE) * sb1 / nb))
+                           / (na + nb - 2))) AS BIGINT) AS cohens_d4
+        FROM wide
+    """,
+    tags=("aggregate", "statistics", "effect-size"),
+)
+def orders_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between URGENT and LOW order prices —
+    the parametric companion to orders_mann_whitney_u's rank test:
+    the U test says WHETHER the distributions differ, d says by HOW
+    MUCH in pooled-standard-deviation units (the number a sample-size
+    calculation consumes). Exact BIGINT sums of whole-unit prices and
+    squares per group; mean difference over the pooled SD formed in
+    correctly-rounded double ops, floored to fixed-point.
+
+    Scale: one two-row map-side aggregate, then scalar arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    fx = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+        .otherwise("b")
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    sums = fx.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    wide = sums.agg(
+        F.max(F.when(F.col("grp") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "a", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("grp") == "a", F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("grp") == "b", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "b", F.col("s1"))).alias("sb1"),
+        F.max(F.when(F.col("grp") == "b", F.col("s2"))).alias("sb2"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    mean_diff = F.col("sa1").cast("double") / na - F.col("sb1").cast("double") / nb
+    ssa = F.col("sa2").cast("double") - F.col("sa1").cast("double") * F.col("sa1") / na
+    ssb = F.col("sb2").cast("double") - F.col("sb1").cast("double") * F.col("sb1") / nb
+    pooled = F.sqrt((ssa + ssb) / (na + nb - 2))
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.floor(10000 * mean_diff / pooled).cast("long").alias("cohens_d4"),
+    )
