@@ -442,3 +442,64 @@ def test_stream_stream_left_semi_join(spark, tmp_path):
         rows += spark.read.parquet(os.path.join(out, b)).collect()
     got = sorted((r["event_id"], r["lkey"]) for r in rows)
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """Full-outer watermarked stream-stream join: matched rows emit
+    joined, unmatched rows from EACH side emit with NULLs for the
+    other side once the watermark closes their window — completing
+    the inner/left-outer/left-semi family."""
+    left_in, right_in, ckpt, out = (
+        str(tmp_path / x) for x in ("flin", "frin", "fckpt", "fout")
+    )
+    # event 1 matches; 2 exists only left; 9 exists only right.
+    # Late rows at minute 59 push the watermark past everything.
+    _append(spark, left_in, [(1, _ts(1), "a"), (2, _ts(2), "b"),
+                             (100, _ts(59), "wm")])
+    _append(spark, right_in, [(1, _ts(5), "x"), (9, _ts(6), "y"),
+                              (101, _ts(59), "wm")])
+
+    left = (
+        file_source(spark, left_in, SCHEMA)
+        .withColumnRenamed("key", "lkey")
+        .withColumnRenamed("ts", "lts")
+        .withWatermark("lts", "5 minutes")
+    )
+    right = (
+        file_source(spark, right_in, SCHEMA)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("rts"),
+            F.col("key").alias("rkey"),
+        )
+        .withWatermark("rts", "5 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("event_id") == F.col("r_event_id"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    q = (
+        joined.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = []
+    for b in sorted(os.listdir(out)):
+        rows += spark.read.parquet(os.path.join(out, b)).collect()
+
+    matched = [r for r in rows if r["event_id"] == 1 and r["r_event_id"] == 1]
+    assert len(matched) == 1 and matched[0]["rkey"] == "x"
+    left_only = [r for r in rows if r["event_id"] == 2]
+    assert len(left_only) == 1 and left_only[0]["r_event_id"] is None
+    right_only = [r for r in rows if r["r_event_id"] == 9]
+    assert len(right_only) == 1 and right_only[0]["event_id"] is None
