@@ -1,10 +1,19 @@
-"""Round-4 batch 89: link prediction, span-dedup reporting, and
-vocabulary coverage — closure queries over machinery built in earlier
-batches.
+"""Round-4 batches 89–118: link prediction, span-dedup reporting,
+vocabulary coverage, multi-agg pivot, rank statistics (Mann–Whitney,
+Spearman, Cohen's d, runs test), time-series operators (EWMA, CUSUM,
+seasonal decomposition, change-point, autocorrelation, interpolation,
+peak concurrency), ML featurization (target encoding, k-fold/group
+k-fold, hashing trick, JL projection, power iteration), the DAG
+compiler under the oracle gate, shared-dialect SQL #3, collations,
+DECIMAL(38) accumulation, OTIF, and the cross-source dup matrix.
 
 The reference has no relational/text surface (its operators are the
 keyed arithmetic stages, Streamer.java:443-466); these serve the
-§2-B capability closure and the LLM-pipeline reporting layer.
+§2-B capability closure, the LLM-pipeline layer, and the Part-C
+extensions inventory (SURVEY.md §2-C). Determinism discipline
+throughout: exact integer/fixed-point sums, correctly-rounded double
+finishing ops shared verbatim with the oracles, de-skewed global
+orders via the two-phase bucket cumsum.
 """
 
 from __future__ import annotations
