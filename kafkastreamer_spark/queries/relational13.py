@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import SQL_TOKENS, tokens
-from kafkastreamer_spark.operators.deskew import md5_ranked
+from kafkastreamer_spark.operators.deskew import bucketed_row_number, md5_ranked
 from kafkastreamer_spark.operators.dedup_span import SPAN_K, _SQL_SH, dedup_span_excise
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
@@ -2310,4 +2310,196 @@ def orders_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.floor(10000 * mean_diff / pooled).cast("long").alias("cohens_d4"),
+    )
+
+
+@register(
+    "events_activity_deciles",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT c, ntile(10) OVER (ORDER BY c, user_id) AS decile
+            FROM per_user
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM per_user)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(floor(CAST(sum(c) AS DOUBLE) * 10000 / t) AS BIGINT)
+                   AS share4
+        FROM ranked, tot
+        GROUP BY decile, t ORDER BY decile
+    """,
+    tags=("events", "aggregate", "deskew", "concentration"),
+)
+def events_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (the "1% rule" curve): users ranked into
+    deciles by event count, each decile's share of total events — the
+    per-user Lorenz view complementing customer_revenue_gini's single
+    coefficient. The decile comes from the SAME closed-form-ntile-
+    over-bucketed-rank machinery as agg_equidepth_histogram_sampled
+    (range buckets on the count prefix), so no single-partition
+    window ever sees the per-user table — at 100 TB |users| can be
+    10⁹ rows and the plan shape holds.
+
+    Scale: events reduce per user map-side; everything downstream
+    runs on the per-user aggregate with the two-phase rank."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ranked = bucketed_row_number(
+        per_user,
+        [],
+        F.floor(F.col("c") / 16).cast("long"),
+        [F.col("c").asc(), F.col("user_id").asc()],
+        "r",
+        count_name="N",
+    )
+    decile = F.expr(
+        """
+        CASE WHEN r <= (N % 10) * (N div 10 + 1)
+             THEN (r - 1) div (N div 10 + 1) + 1
+             ELSE (N % 10) + (r - (N % 10) * (N div 10 + 1) - 1)
+                              div (N div 10) + 1
+        END
+        """
+    ).alias("decile")
+    tot = per_user.agg(F.sum("c").cast("long").alias("t"))
+    return (
+        ranked.select("c", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_users",
+            "n_events",
+            F.floor(F.col("n_events").cast("double") * 10000 / F.col("t"))
+            .cast("long")
+            .alias("share4"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "part_abc_xyz_matrix",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey AS part,
+                   CAST(sum(CAST(floor(l_extendedprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev4
+            FROM lineitem GROUP BY 1
+        ),
+        monthly AS (
+            SELECT l_partkey AS part, strftime(l_shipdate, '%Y-%m') AS m,
+                   CAST(count(*) AS BIGINT) AS d
+            FROM lineitem GROUP BY 1, 2
+        ),
+        var_stats AS (
+            SELECT part, CAST(count(*) AS BIGINT) AS nm,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   CAST(sum(d * d) AS BIGINT) AS sd2
+            FROM monthly GROUP BY part
+        ),
+        ranked AS (
+            SELECT p.part, p.rev4, v.nm, v.sd, v.sd2,
+                   CAST(row_number() OVER (ORDER BY p.rev4 DESC, p.part)
+                        AS BIGINT) AS rk,
+                   CAST(count(*) OVER () AS BIGINT) AS np
+            FROM per_part p JOIN var_stats v ON v.part = p.part
+        ),
+        classed AS (
+            SELECT CASE WHEN rk * 5 <= np THEN 'A'
+                        WHEN rk * 2 <= np THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CASE WHEN 4 * (nm * sd2 - sd * sd) <= sd * sd THEN 'X'
+                        WHEN nm * sd2 - sd * sd <= sd * sd THEN 'Y'
+                        ELSE 'Z' END AS xyz,
+                   rev4
+            FROM ranked
+        )
+        SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev4) AS BIGINT) AS rev4
+        FROM classed GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+    tags=("relational", "aggregate", "inventory", "deskew"),
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification matrix: parts classed by
+    revenue rank (A = top 20%, B = to 50%, C = rest — rank-based ABC)
+    crossed with demand variability (X/Y/Z = monthly-demand CV² ≤
+    0.25 / ≤ 1 / above, via the integer cross-multiplication
+    4(nΣd²−S²) ≤ S² — no float CV) — the planning grid that decides
+    which SKUs get safety stock vs make-to-order. The revenue rank
+    uses the de-skewed two-phase bucketed rank (desc), so the
+    |parts|-sized table never sorts in one task.
+
+    Scale: two map-side aggregates of lineitem (per part, per
+    part-month), the bucketed rank, and a 9-row matrix out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev4")
+    )
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    var_stats = monthly.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sd2"),
+    )
+    joined = per_part.join(var_stats, "part")
+    # total order = (rev4 DESC, part ASC); the bucket floor(rev4/2^24)
+    # DESC is an order-consistent prefix, and the in-bucket sort
+    # carries the full (rev4 DESC, part ASC) tail
+    ranked = bucketed_row_number(
+        joined,
+        [],
+        F.floor(F.col("rev4") / (1 << 24)).cast("long"),
+        [F.col("rev4").desc(), F.col("part").asc()],
+        "rk",
+        count_name="np",
+        bucket_desc=True,
+    )
+    classed = ranked.select(
+        "rev4",
+        "nm",
+        "sd",
+        "sd2",
+        "rk",
+        "np",
+        F.when(F.col("rk") * 5 <= F.col("np"), "A")
+        .when(F.col("rk") * 2 <= F.col("np"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(
+            4 * (F.col("nm") * F.col("sd2") - F.col("sd") * F.col("sd"))
+            <= F.col("sd") * F.col("sd"),
+            "X",
+        )
+        .when(
+            F.col("nm") * F.col("sd2") - F.col("sd") * F.col("sd")
+            <= F.col("sd") * F.col("sd"),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev4").cast("long").alias("rev4"),
+        )
+        .orderBy("abc", "xyz")
     )
