@@ -2503,3 +2503,148 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+@register(
+    "events_bot_detection_rules",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ),
+        gaps AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum((us - prev_us) // 1000000) AS BIGINT) AS sg,
+                   CAST(sum(((us - prev_us) // 1000000)
+                            * ((us - prev_us) // 1000000)) AS BIGINT) AS sg2
+            FROM seq WHERE prev_us IS NOT NULL GROUP BY user_id
+        ),
+        vol AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ),
+        tc AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        dom AS (
+            SELECT user_id, CAST(max(c) AS BIGINT) AS mc FROM tc GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS u
+            FROM vol
+        ),
+        scored AS (
+            SELECT v.user_id, v.n, m.mc,
+                   CASE WHEN 5 * v.n * u > 6 * t THEN 1 ELSE 0 END AS r_volume,
+                   CASE WHEN g.k >= 5 AND
+                             20 * (g.k * g.sg2 - g.sg * g.sg)
+                             <= 13 * g.sg * g.sg
+                        THEN 1 ELSE 0 END AS r_metronomic,
+                   CASE WHEN m.mc * 10 >= 3 * v.n THEN 1 ELSE 0 END
+                       AS r_dominant_type
+            FROM vol v
+            JOIN gaps g ON g.user_id = v.user_id
+            JOIN dom m ON m.user_id = v.user_id, tot
+        )
+        SELECT user_id, n, mc,
+               CAST(r_volume AS BIGINT) AS r_volume,
+               CAST(r_metronomic AS BIGINT) AS r_metronomic,
+               CAST(r_dominant_type AS BIGINT) AS r_dominant_type,
+               CAST(r_volume + r_metronomic + r_dominant_type AS BIGINT)
+                   AS bot_score
+        FROM scored
+        WHERE r_volume + r_metronomic + r_dominant_type >= 1
+        ORDER BY bot_score DESC, user_id
+    """,
+    tags=("events", "quality", "anomaly"),
+)
+def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot scoring per user — the abuse-detection triage a
+    data intake runs before training on behavioral logs: R1 volume
+    (above 1.2× the average user's events, cross-multiplied
+    5nU > 6T), R2 metronomic timing (inter-arrival CV² ≤ 0.65 over
+    ≥5 gaps — machines fire on timers; whole-second integer gaps keep
+    the squares in BIGINT), R3 dominant type (one event type ≥ 30% of
+    the user's activity, mc·10 ≥ 3n). Thresholds sit in the fixture's
+    tails so each rule has live positives at test scale. Flagged users carry
+    their rule bits, so downstream can threshold or weigh.
+
+    Scale: per-user LAG window (bounded per user), three map-side
+    aggregates, a broadcast 1-row total. Every rule is an integer
+    cross-multiplication — no float thresholds to drift across
+    engines."""
+    from kafkastreamer_spark.queries._util import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("us"),
+        F.lag(epoch_us(F.col("ts"))).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    # whole-second gaps keep every square inside int64: s <= ~2.6e6 s
+    # per user-month, s^2 <= 7e12, k*s2 well under 2^63
+    gs = F.expr("(us - prev_us) div 1000000")
+    gaps = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(gs).cast("long").alias("sg"),
+        F.sum(gs * gs).cast("long").alias("sg2"),
+    )
+    vol = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dom = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("mc"))
+    )
+    tot = vol.agg(
+        F.sum("n").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("u")
+    )
+    scored = (
+        vol.join(gaps, "user_id")
+        .join(dom, "user_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            "mc",
+            F.when(5 * F.col("n") * F.col("u") > 6 * F.col("t"), 1)
+            .otherwise(0)
+            .alias("r_volume"),
+            F.when(
+                (F.col("k") >= 5)
+                & (
+                    20 * (F.col("k") * F.col("sg2") - F.col("sg") * F.col("sg"))
+                    <= 13 * F.col("sg") * F.col("sg")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("r_metronomic"),
+            F.when(F.col("mc") * 10 >= 3 * F.col("n"), 1)
+            .otherwise(0)
+            .alias("r_dominant_type"),
+        )
+    )
+    score = (
+        F.col("r_volume") + F.col("r_metronomic") + F.col("r_dominant_type")
+    )
+    return (
+        scored.withColumn("bot_score", score.cast("long"))
+        .filter(F.col("bot_score") >= 1)
+        .select(
+            "user_id",
+            "n",
+            "mc",
+            F.col("r_volume").cast("long").alias("r_volume"),
+            F.col("r_metronomic").cast("long").alias("r_metronomic"),
+            F.col("r_dominant_type").cast("long").alias("r_dominant_type"),
+            "bot_score",
+        )
+        .orderBy(F.desc("bot_score"), "user_id")
+    )
