@@ -2648,3 +2648,83 @@ def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bot_score"), "user_id")
     )
+
+
+@register(
+    "orders_laspeyres_price_index",
+    oracle="""
+        WITH pm AS (
+            SELECT l_partkey AS part, strftime(l_shipdate, '%Y-%m') AS m,
+                   CAST(sum(CAST(floor(l_extendedprice * 10000) AS BIGINT))
+                        AS BIGINT) AS e4,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        priced AS (SELECT part, m, e4 // q AS p4, q FROM pm),
+        base AS (
+            SELECT part, p4 AS p0, q AS q0 FROM priced
+            WHERE m = (SELECT min(m) FROM priced)
+        ),
+        idx AS (
+            SELECT pr.m,
+                   CAST(sum(pr.p4 * b.q0) AS BIGINT) AS cur,
+                   CAST(sum(b.p0 * b.q0) AS BIGINT) AS ref
+            FROM priced pr JOIN base b ON b.part = pr.part
+            GROUP BY pr.m
+        )
+        SELECT m AS month,
+               CAST(floor(CAST(cur AS DOUBLE) * 10000 / ref) AS BIGINT)
+                   AS index4,
+               cur AS basket_cur4, ref AS basket_base4
+        FROM idx ORDER BY month
+    """,
+    tags=("relational", "aggregate", "economics"),
+)
+def orders_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship month: the first month's part
+    basket (quantities q₀) repriced at each month's unit prices —
+    Σ pₜ·q₀ / Σ p₀·q₀, the CPI-style inflation measure over the
+    catalog. Unit prices are exact integer micro-prices
+    (Σe₄ div Σq per part-month — floor division, deterministic in
+    both engines), so both basket totals are exact BIGINTs and only
+    the final ratio is a correctly-rounded double, floored. Months
+    missing a basket part simply skip it (fixed-basket semantics;
+    the basket_cur4 column exposes the comparable totals).
+
+    Scale: one map-side aggregate of lineitem per (part, month), the
+    base-month slice broadcast onto the monthly price table, a
+    |months|-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("e4"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+    )
+    priced = pm.select(
+        "part", "m", F.expr("e4 div q").alias("p4"), "q"
+    ).persist()
+    base_month = priced.agg(F.min("m").alias("m0"))
+    base = (
+        priced.join(F.broadcast(base_month), priced.m == F.col("m0"))
+        .select("part", F.col("p4").alias("p0"), F.col("q").alias("q0"))
+    )
+    idx = (
+        priced.join(base, "part")
+        .groupBy("m")
+        .agg(
+            F.sum(F.col("p4") * F.col("q0")).cast("long").alias("cur"),
+            F.sum(F.col("p0") * F.col("q0")).cast("long").alias("ref"),
+        )
+    )
+    return idx.select(
+        F.col("m").alias("month"),
+        F.floor(F.col("cur").cast("double") * 10000 / F.col("ref"))
+        .cast("long")
+        .alias("index4"),
+        F.col("cur").alias("basket_cur4"),
+        F.col("ref").alias("basket_base4"),
+    ).orderBy("month")
