@@ -2728,3 +2728,84 @@ def orders_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("basket_cur4"),
         F.col("ref").alias("basket_base4"),
     ).orderBy("month")
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT day, c,
+                   lag(c, 1) OVER (ORDER BY day) AS f_naive,
+                   lag(c, 7) OVER (ORDER BY day) AS f_seasonal
+            FROM daily
+        ),
+        scored AS (
+            SELECT c, f_naive, f_seasonal,
+                   abs(c - f_naive) AS e_n, abs(c - f_seasonal) AS e_s,
+                   CAST(floor(10000.0 * abs(c - f_naive) / c) AS BIGINT)
+                       AS pe_n4,
+                   CAST(floor(10000.0 * abs(c - f_seasonal) / c) AS BIGINT)
+                       AS pe_s4
+            FROM lagged WHERE f_seasonal IS NOT NULL
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(e_n) AS BIGINT) AS sae_naive,
+               CAST(sum(e_s) AS BIGINT) AS sae_seasonal,
+               CAST(floor(CAST(sum(pe_n4) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mape_naive4,
+               CAST(floor(CAST(sum(pe_s4) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mape_seasonal4,
+               CASE WHEN sum(e_s) < sum(e_n) THEN 'seasonal' ELSE 'naive' END
+                   AS winner
+        FROM scored
+    """,
+    tags=("events", "time-series", "forecasting"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the two no-model baselines every
+    forecasting pipeline must beat: naive (yesterday's value) vs
+    seasonal-naive (same weekday last week), scored on the daily
+    count series by total absolute error and fixed-point MAPE
+    (per-day percentage errors floored BEFORE averaging, so the
+    aggregate is order-independent). The winner column is the
+    week-seasonality verdict that events_autocorrelation_lag7
+    suggests and this measures out of sample.
+
+    Scale: the bounded calendar-series shape — events reduce to
+    |days| rows map-side, two LAGs, one summary row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("f_naive"),
+        F.lag("c", 7).over(w).alias("f_seasonal"),
+    ).filter(F.col("f_seasonal").isNotNull())
+    e_n = F.abs(F.col("c") - F.col("f_naive"))
+    e_s = F.abs(F.col("c") - F.col("f_seasonal"))
+    scored = lagged.select(
+        e_n.alias("e_n"),
+        e_s.alias("e_s"),
+        F.floor(10000.0 * e_n / F.col("c")).cast("long").alias("pe_n4"),
+        F.floor(10000.0 * e_s / F.col("c")).cast("long").alias("pe_s4"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("e_n").cast("long").alias("sae_naive"),
+        F.sum("e_s").cast("long").alias("sae_seasonal"),
+        F.floor(F.sum("pe_n4").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mape_naive4"),
+        F.floor(F.sum("pe_s4").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mape_seasonal4"),
+        F.when(F.sum("e_s") < F.sum("e_n"), "seasonal")
+        .otherwise("naive")
+        .alias("winner"),
+    )
