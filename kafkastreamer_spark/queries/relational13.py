@@ -2809,3 +2809,56 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise("naive")
         .alias("winner"),
     )
+
+
+@register(
+    "lineitem_discount_response",
+    oracle="""
+        WITH fx AS (
+            SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT) AS net4
+            FROM lineitem
+        )
+        SELECT disc_pct,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(CAST(sum(q) AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+                   AS avg_qty4,
+               CAST(sum(net4) AS BIGINT) AS net_revenue4
+        FROM fx GROUP BY disc_pct ORDER BY disc_pct
+    """,
+    tags=("relational", "aggregate", "pricing"),
+)
+def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount response curve: per discount percentage point, the
+    line count, average quantity (does discounting move volume?) and
+    exact net revenue — the margin-vs-volume table a pricing review
+    reads before changing the discount ladder (the demand-side
+    companion to the Laspeyres price index). The discount bucket is
+    floor(d·100 + 0.5) — the +0.5 absorbs the float representation of
+    values like 0.07 (stored as 0.06999…) identically in both
+    engines.
+
+    Scale: one map-side-combining aggregate to ≤ 11 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fx = li.select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        )
+        .cast("long")
+        .alias("net4"),
+    )
+    return (
+        fx.groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.floor(F.sum("q").cast("double") * 10000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_qty4"),
+            F.sum("net4").cast("long").alias("net_revenue4"),
+        )
+        .orderBy("disc_pct")
+    )
