@@ -2862,3 +2862,124 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disc_pct")
     )
+
+
+@register(
+    "pipeline_intake_scorecard",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, i AS p, {_SQL_SH} AS sh,
+                   doc_id * 1048576 + i AS okey
+            FROM words, unnest(range(1, len(w) - {SPAN_K} + 2)) AS t(i)
+        ),
+        stats AS (SELECT sh, count(*) AS cnt, min(okey) AS mk FROM occ GROUP BY sh),
+        dupocc AS (
+            SELECT o.doc_id, o.p FROM occ o JOIN stats s ON o.sh = s.sh
+            WHERE s.cnt > 1 AND o.okey <> s.mk
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos
+            FROM dupocc, unnest(range(p, p + {SPAN_K})) AS u(pos)
+        ),
+        per_doc AS (
+            SELECT w.doc_id, len(w.w) AS n_tokens,
+                   coalesce(c.n_cov, 0) AS n_removed
+            FROM words w LEFT JOIN (
+                SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY doc_id
+            ) c ON c.doc_id = w.doc_id
+        ),
+        pwords AS (
+            SELECT source, {SQL_TOKENS} AS w
+            FROM documents
+        ),
+        fps AS (
+            SELECT DISTINCT md5(array_to_string(w[1:8], ' ')) AS h, source
+            FROM pwords
+        ),
+        xsrc AS (
+            SELECT a.source, count(*) AS n_shared
+            FROM fps a JOIN fps b ON a.h = b.h AND a.source <> b.source
+            GROUP BY a.source
+        ),
+        agg AS (
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p.n_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(floor(CAST(sum(p.n_removed) AS DOUBLE) * 10000
+                              / sum(p.n_tokens)) AS BIGINT) AS span_dup_pct4,
+                   CAST(coalesce(max(x.n_shared), 0) AS BIGINT)
+                       AS cross_src_fps
+            FROM per_doc p
+            JOIN documents d ON d.doc_id = p.doc_id
+            LEFT JOIN xsrc x ON x.source = d.source
+            GROUP BY d.source
+        )
+        SELECT source, n_docs, tot_tokens, span_dup_pct4, cross_src_fps,
+               CASE WHEN span_dup_pct4 > 1000 OR cross_src_fps > n_docs / 2
+                    THEN 'review' ELSE 'healthy' END AS verdict
+        FROM agg ORDER BY source
+    """,
+    tags=("llm-data", "pipeline", "reporting", "capstone"),
+)
+def pipeline_intake_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 capstone: the per-source intake scorecard an ingestion
+    review reads — document counts, token volume, span-duplication
+    rate (the dedup_span_excise machinery), cross-source prefix-
+    fingerprint pressure (the dedup_cross_source_matrix signal,
+    rolled to a per-source count), and a verdict: a source over 10%
+    duplicated tokens or sharing fingerprints with other feeds on
+    more than half its documents gets 'review' before any excision
+    runs (thresholds as integer cross-multiplications).
+
+    Scale: composes the two underlying pipelines' plans (linear
+    shingle stats; bounded fingerprint self-join) plus |sources|-row
+    aggregation — nothing new shuffles at document scale."""
+    d = load_table(spark, sf_dir, "documents")
+    per = dedup_span_excise(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_removed"
+    )
+    fps = d.select(
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8))).alias("h"),
+        "source",
+    ).distinct()
+    b = fps.select(F.col("h").alias("hb"), F.col("source").alias("sb"))
+    xsrc = (
+        fps.join(b, (F.col("h") == F.col("hb")) & (F.col("source") != F.col("sb")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    agg = (
+        per.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tot_tokens"),
+            F.floor(
+                F.sum("n_removed").cast("double") * 10000 / F.sum("n_tokens")
+            )
+            .cast("long")
+            .alias("span_dup_pct4"),
+        )
+        .join(xsrc, "source", "left")
+        .withColumn(
+            "cross_src_fps",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tot_tokens",
+        "span_dup_pct4",
+        "cross_src_fps",
+        F.when(
+            (F.col("span_dup_pct4") > 1000)
+            | (F.col("cross_src_fps") > F.expr("n_docs div 2")),
+            "review",
+        )
+        .otherwise("healthy")
+        .alias("verdict"),
+    ).orderBy("source")
