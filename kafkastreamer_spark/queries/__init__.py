@@ -18,5 +18,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational11,
     relational12,
     relational13,
+    relational14,
 )
 from kafkastreamer_spark import operators  # noqa: F401

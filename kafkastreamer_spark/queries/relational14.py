@@ -1,0 +1,148 @@
+"""Round-4 batches 125+: survival analysis (Nelson–Aalen), entity
+resolution, ranking metrics (ROC-AUC, calibration), the t-closeness
+privacy audit, sequential pattern mining, robust regression
+(Theil–Sen), and WOE/IV feature binning.
+
+The reference has no relational/statistical surface (its operators
+are the keyed arithmetic stages, Streamer.java:443-466); these extend
+the §2-C inventory. Determinism discipline as everywhere else in the
+engine: exact integer/fixed-point arithmetic shared verbatim with the
+DuckDB oracles, no libm transcendentals in compared columns, windows
+only over post-aggregation calendar- or bucket-bounded series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+
+@register(
+    "orders_survival_nelson_aalen",
+    oracle="""
+        WITH fs AS (
+            SELECT l_orderkey, min(l_shipdate) AS ship0
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        se AS (SELECT max(CAST(l_shipdate AS DATE)) AS study_end FROM lineitem),
+        obs AS (
+            SELECT
+                CASE WHEN o.o_orderstatus <> 'O' AND fs.ship0 IS NOT NULL
+                     THEN 1 ELSE 0 END AS evt,
+                CAST(greatest(0, date_diff('day',
+                    CAST(o.o_orderdate AS DATE),
+                    CASE WHEN o.o_orderstatus <> 'O' AND fs.ship0 IS NOT NULL
+                         THEN CAST(fs.ship0 AS DATE)
+                         ELSE se.study_end END)) AS BIGINT) AS t_days
+            FROM orders o
+            LEFT JOIN fs ON o.o_orderkey = fs.l_orderkey
+            CROSS JOIN se
+        ),
+        per AS (
+            SELECT t_days,
+                   CAST(sum(evt) AS BIGINT) AS d_events,
+                   CAST(sum(1 - evt) AS BIGINT) AS c_censored
+            FROM obs GROUP BY t_days
+        ),
+        nt AS (SELECT count(*) AS n_total FROM orders),
+        risk AS (
+            SELECT t_days, d_events, c_censored,
+                   CAST(n_total - coalesce(sum(d_events + c_censored) OVER (
+                       ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS n_risk
+            FROM per CROSS JOIN nt
+        )
+        SELECT t_days, n_risk, d_events, c_censored,
+               (100000000 * d_events) // n_risk AS hazard_fp8,
+               CAST(sum((100000000 * d_events) // n_risk) OVER (
+                   ORDER BY t_days) AS BIGINT) AS cumhaz_fp8
+        FROM risk ORDER BY t_days
+    """,
+    tags=("stats", "survival", "reporting"),
+)
+def orders_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard table for order fulfillment:
+    time-to-first-ship in days from order date, with right-censoring.
+    An order whose status is 'O' (still open) or that has no lineitem
+    rows yet is censored at the study end (the corpus-wide max ship
+    date); everything else is an event at its first ship date. The
+    synthetic fixture contains ship dates before the order date, so
+    durations clamp at 0 (documented, applied identically in the
+    oracle).
+
+    Nelson–Aalen is the sum-form survival estimator — H(t) =
+    Σ_{t'≤t} d_{t'}/n_{t'} — chosen over Kaplan–Meier's product form
+    precisely because a sum fixes exactly: each per-day hazard is the
+    integer (1e8·d) div n (both engines floor on positives), and the
+    cumulative hazard is an exact BIGINT prefix sum. S(t) = exp(−H)
+    is left to the consumer; no libm call appears in any compared
+    column.
+
+    Scale shape: one groupBy(l_orderkey) min, one orders-side join,
+    one per-day aggregation. The two ordered windows run over the
+    PER-DAY table, whose cardinality is bounded by the calendar span
+    (a few thousand rows regardless of data volume) — the same
+    post-aggregation-series precedent as orders_monthly_yoy_growth,
+    not a global sort of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    se = li.agg(F.max(F.to_date("l_shipdate")).alias("study_end"))
+    nt = o.agg(F.count(F.lit(1)).alias("n_total"))
+
+    is_evt = (F.col("o_orderstatus") != "O") & F.col("ship0").isNotNull()
+    obs = (
+        o.join(fs, o.o_orderkey == fs.l_orderkey, "left")
+        .crossJoin(F.broadcast(se))
+        .select(
+            F.when(is_evt, F.lit(1)).otherwise(F.lit(0)).alias("evt"),
+            F.greatest(
+                F.lit(0),
+                F.datediff(
+                    F.when(is_evt, F.to_date("ship0")).otherwise(
+                        F.col("study_end")
+                    ),
+                    F.to_date("o_orderdate"),
+                ),
+            )
+            .cast("long")
+            .alias("t_days"),
+        )
+    )
+    per = obs.groupBy("t_days").agg(
+        F.sum("evt").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_censored"),
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per.crossJoin(F.broadcast(nt)).select(
+        "t_days",
+        "d_events",
+        "c_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    return (
+        risk.withColumn(
+            "hazard_fp8", F.expr("(100000000 * d_events) div n_risk")
+        )
+        .withColumn(
+            "cumhaz_fp8", F.sum("hazard_fp8").over(w_cum).cast("long")
+        )
+        .select(
+            "t_days", "n_risk", "d_events", "c_censored",
+            "hazard_fp8", "cumhaz_fp8",
+        )
+        .orderBy("t_days")
+    )
