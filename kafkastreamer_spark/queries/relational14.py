@@ -251,3 +251,113 @@ def er_part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity")
     )
+
+
+@register(
+    "ml_click_purchase_auc",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(count_if(event_type = 'click') AS BIGINT) AS score,
+                   CASE WHEN count_if(event_type = 'purchase')
+                             > count_if(event_type = 'error')
+                        THEN 1 ELSE 0 END AS y
+            FROM events GROUP BY user_id
+        ),
+        per_v AS (
+            SELECT score AS v, CAST(sum(y) AS BIGINT) AS a,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM per_user GROUP BY score
+        ),
+        cum AS (
+            SELECT v, a, m,
+                   CAST(coalesce(sum(m) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS c
+            FROM per_v
+        ),
+        sums AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+                   CAST(sum(m - a) AS BIGINT) AS n_neg,
+                   CAST(sum(a * (2*c + m + 1)) AS BIGINT) AS two_r
+            FROM cum
+        ),
+        brier AS (
+            SELECT CAST(sum((least(score, 10) - 10*y)
+                            * (least(score, 10) - 10*y)) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM per_user
+        )
+        SELECT n_pos, n_neg,
+               two_r - n_pos * (n_pos + 1) AS two_u,
+               (100000000 * (two_r - n_pos * (n_pos + 1)))
+                   // (2 * n_pos * n_neg) AS auc_fp8,
+               (10000 * sq) // n AS brier_fp6
+        FROM sums CROSS JOIN brier
+    """,
+    tags=("ml", "metrics", "statistics"),
+)
+def ml_click_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC and Brier score for a ranking signal: per-user
+    click count as the score; the label is scale-invariant class
+    membership — the user fired more purchase than error events
+    (both classes populated at every fixture SF; an "ever purchased"
+    label is degenerate here, every synthetic user purchases).
+    AUC is computed through the tie-corrected rank-sum identity
+    (AUC = U/(n⁺n⁻), the Mann–Whitney link — same doubled-rank
+    integerization as orders_mann_whitney_u: per distinct score,
+    2·Σranks of positives = Σ a·(2c+m+1), everything BIGINT until one
+    final integer division to 1e-8 fixed point). The Brier score uses
+    the naive calibration map p = min(score,10)/10, so each term
+    (p−y)² is an integer in 1/100 units and the mean is again a
+    single integer division (1e-6 fixed point). No doubles anywhere.
+
+    Scale shape: one groupBy(user_id) over the fact table, then the
+    rank cumulation runs on the DISTINCT-SCORE table — cardinality
+    bounded by the score domain (small-integer click counts), not by
+    users — and two scalar aggregates broadcast-joined. AUC over 100
+    TB of events is therefore exactly one fact-table shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("score"),
+        F.when(
+            F.count_if(F.col("event_type") == "purchase")
+            > F.count_if(F.col("event_type") == "error"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_v = pu.groupBy(F.col("score").alias("v")).agg(
+        F.sum("y").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.withColumn(
+        "c", F.coalesce(F.sum("m").over(w_prev), F.lit(0)).cast("long")
+    )
+    sums = cum.agg(
+        F.sum("a").cast("long").alias("n_pos"),
+        F.sum(F.col("m") - F.col("a")).cast("long").alias("n_neg"),
+        F.sum(F.col("a") * (2 * F.col("c") + F.col("m") + 1))
+        .cast("long")
+        .alias("two_r"),
+    )
+    term = F.least(F.col("score"), F.lit(10)) - 10 * F.col("y")
+    brier = pu.agg(
+        F.sum(term * term).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(brier))
+        .withColumn("two_u", F.expr("two_r - n_pos * (n_pos + 1)"))
+        .select(
+            "n_pos",
+            "n_neg",
+            "two_u",
+            F.expr("(100000000 * two_u) div (2 * n_pos * n_neg)").alias(
+                "auc_fp8"
+            ),
+            F.expr("(10000 * sq) div n").alias("brier_fp6"),
+        )
+    )
