@@ -361,3 +361,117 @@ def ml_click_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * sq) div n").alias("brier_fp6"),
         )
     )
+
+
+@register(
+    "governance_t_closeness_audit",
+    oracle="""
+        WITH cells AS (
+            SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                   CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_gb
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
+        ),
+        bands AS (SELECT band, CAST(sum(n_gb) AS BIGINT) AS n_b
+                  FROM cells GROUP BY band),
+        tot AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_total FROM cells),
+        per_grp AS (
+            SELECT c.nation, c.segment,
+                   CAST(sum(c.n_gb) AS BIGINT) AS n_g,
+                   CAST(count(*) AS BIGINT) AS n_bands_present,
+                   CAST(sum(abs(c.n_gb * t.n_total - b.n_b * g.n_g2)
+                            - b.n_b * g.n_g2) AS BIGINT) AS s_present
+            FROM cells c
+            JOIN bands b ON b.band = c.band
+            JOIN (SELECT nation, segment, CAST(sum(n_gb) AS BIGINT) AS n_g2
+                  FROM cells GROUP BY 1, 2) g
+              ON g.nation = c.nation AND g.segment = c.segment
+            CROSS JOIN tot t
+            GROUP BY 1, 2
+        )
+        SELECT p.nation, p.segment, p.n_g, p.n_bands_present,
+               (1000000 * (p.s_present + p.n_g * t.n_total))
+                   // (2 * p.n_g * t.n_total) AS tv_fp6,
+               CASE WHEN (1000000 * (p.s_present + p.n_g * t.n_total))
+                         // (2 * p.n_g * t.n_total) > 200000
+                    THEN 'violates' ELSE 'ok' END AS t02_status
+        FROM per_grp p CROSS JOIN tot t
+        ORDER BY nation, segment
+    """,
+    tags=("governance", "privacy", "aggregate"),
+)
+def governance_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy triad after
+    k-anonymity (group size) and l-diversity (distinct sensitive
+    values): a group can be large AND diverse yet still leak if its
+    sensitive-value DISTRIBUTION deviates from the global one. Per
+    (nation, segment) group, the total-variation distance between the
+    group's banded-acctbal distribution and the corpus-wide one;
+    groups beyond t = 0.2 are flagged.
+
+    Exactness: TV = ½ Σ_b |n_gb/n_g − n_b/N| is computed over the
+    common denominator n_g·N, so every numerator |n_gb·N − n_b·n_g|
+    is an exact BIGINT. Bands the group is MISSING still contribute
+    (|0 − n_b·n_g| = n_b·n_g); rather than densifying group×band,
+    that tail telescopes: Σ_absent n_b·n_g = n_g·N − Σ_present n_b·n_g,
+    so one pass over PRESENT cells plus the closed-form remainder
+    gives the full sum. One integer division at the end (1e-6 fixed
+    point).
+
+    Scale shape: one groupBy over the joined fact produces the cell
+    table; everything after runs on cells (groups × ≤ band-domain
+    rows). The band totals and the scalar N broadcast; no shuffle
+    touches the fact table twice."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gb"))
+    )
+    bands = cells.groupBy("band").agg(F.sum("n_gb").cast("long").alias("n_b"))
+    tot = cells.agg(F.sum("n_gb").cast("long").alias("n_total"))
+    grp = cells.groupBy("nation", "segment").agg(
+        F.sum("n_gb").cast("long").alias("n_g2")
+    )
+    per_grp = (
+        cells.join(F.broadcast(bands), "band")
+        .join(F.broadcast(grp), ["nation", "segment"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment")
+        .agg(
+            F.max("n_g2").alias("n_g"),
+            F.count(F.lit(1)).cast("long").alias("n_bands_present"),
+            F.sum(
+                F.abs(
+                    F.col("n_gb") * F.col("n_total")
+                    - F.col("n_b") * F.col("n_g2")
+                )
+                - F.col("n_b") * F.col("n_g2")
+            )
+            .cast("long")
+            .alias("s_present"),
+        )
+    )
+    out = per_grp.crossJoin(F.broadcast(tot)).withColumn(
+        "tv_fp6",
+        F.expr(
+            "(1000000 * (s_present + n_g * n_total))"
+            " div (2 * n_g * n_total)"
+        ),
+    )
+    return out.select(
+        "nation",
+        "segment",
+        "n_g",
+        "n_bands_present",
+        "tv_fp6",
+        F.when(F.col("tv_fp6") > 200000, "violates")
+        .otherwise("ok")
+        .alias("t02_status"),
+    ).orderBy("nation", "segment")
