@@ -475,3 +475,88 @@ def governance_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("t02_status"),
     ).orderBy("nation", "segment")
+
+
+@register(
+    "seq_pattern_gsp_support",
+    oracle="""
+        WITH ev AS (SELECT user_id, event_type AS t, ts FROM events),
+        nt AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM ev),
+        s1 AS (
+            SELECT user_id, t AS a, min(ts) AS ma
+            FROM ev GROUP BY user_id, t
+        ),
+        s2 AS (
+            SELECT s1.user_id, s1.a, e.t AS b, min(e.ts) AS mab
+            FROM s1 JOIN ev e
+              ON e.user_id = s1.user_id AND e.ts > s1.ma
+            GROUP BY s1.user_id, s1.a, e.t
+        ),
+        s3 AS (
+            SELECT DISTINCT s2.user_id, s2.a, s2.b, e.t AS c
+            FROM s2 JOIN ev e
+              ON e.user_id = s2.user_id AND e.ts > s2.mab
+        ),
+        sup AS (
+            SELECT a || '>' || b || '>' || c AS pattern,
+                   CAST(count(*) AS BIGINT) AS support_users
+            FROM s3 GROUP BY 1
+        )
+        SELECT pattern, support_users,
+               (10000 * support_users) // n_users AS support_pct4
+        FROM sup CROSS JOIN nt
+        ORDER BY support_users DESC, pattern
+    """,
+    tags=("sequence", "mining", "events"),
+)
+def seq_pattern_gsp_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style sequential pattern mining: support of every length-3
+    event-type SUBSEQUENCE a→b→c (gaps allowed — the events need not
+    be adjacent, unlike events_top_paths' contiguous trigrams).
+    Support = number of users whose history contains the pattern,
+    decided by the greedy-earliest witness (first a, then first b
+    strictly after it, then any c strictly after that — greedy is
+    complete for subsequence existence and gives each engine the same
+    deterministic min-based witness; simultaneous-timestamp events
+    don't chain, by the strict inequality).
+
+    Scale shape: two equi-joins of the fact table against per-user
+    per-type minima (fan-out bounded by the event-type domain, 5
+    here), one DISTINCT on (user, a, b, c) — all shuffles keyed on
+    user_id, so at 100 TB this is ordinary hash-partitioned linear
+    work; nothing is quadratic in events and the pattern lattice
+    (|types|³) never materializes beyond observed combinations."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("t"), "ts"
+    )
+    nt = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    s1 = ev.groupBy("user_id", F.col("t").alias("a")).agg(
+        F.min("ts").alias("ma")
+    )
+    e2 = ev.select(F.col("user_id").alias("u2"), F.col("t").alias("b"), "ts")
+    s2 = (
+        s1.join(
+            e2, (F.col("u2") == F.col("user_id")) & (F.col("ts") > F.col("ma"))
+        )
+        .groupBy("user_id", "a", "b")
+        .agg(F.min("ts").alias("mab"))
+    )
+    e3 = ev.select(F.col("user_id").alias("u3"), F.col("t").alias("c"), "ts")
+    s3 = s2.join(
+        e3, (F.col("u3") == F.col("user_id")) & (F.col("ts") > F.col("mab"))
+    ).select("user_id", "a", "b", "c").distinct()
+    sup = s3.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("pattern")
+    ).agg(F.count(F.lit(1)).cast("long").alias("support_users"))
+    return (
+        sup.crossJoin(F.broadcast(nt))
+        .select(
+            "pattern",
+            "support_users",
+            F.expr("(10000 * support_users) div n_users").alias(
+                "support_pct4"
+            ),
+        )
+        .orderBy(F.desc("support_users"), "pattern")
+    )
