@@ -560,3 +560,117 @@ def seq_pattern_gsp_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support_users"), "pattern")
     )
+
+
+@register(
+    "orders_theil_sen_trend",
+    oracle="""
+        WITH m AS (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                   CAST(sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_fp
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.mi AS i, b.mi AS j,
+                   b.rev_fp - a.rev_fp AS drev,
+                   CAST(floor(CAST(b.rev_fp - a.rev_fp AS DOUBLE)
+                              / (b.mi - a.mi)) AS BIGINT) AS slope_fp
+            FROM m a JOIN m b ON b.mi > a.mi
+        ),
+        ranked AS (
+            SELECT slope_fp,
+                   row_number() OVER (ORDER BY slope_fp) AS rn
+            FROM pairs
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count_if(drev > 0) AS BIGINT) AS kendall_c,
+                   CAST(count_if(drev < 0) AS BIGINT) AS kendall_d
+            FROM pairs
+        ),
+        med AS (
+            SELECT r.slope_fp AS sen_slope_fp4
+            FROM ranked r CROSS JOIN stats s
+            WHERE r.rn = (s.n_pairs + 1) // 2
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_points,
+               s.n_pairs, m2.sen_slope_fp4, s.kendall_c, s.kendall_d,
+               CAST(floor(1000000.0 * (s.kendall_c - s.kendall_d)
+                          / s.n_pairs) AS BIGINT) AS tau_fp6
+        FROM stats s CROSS JOIN med m2
+    """,
+    tags=("stats", "robust", "timeseries"),
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue plus the matching
+    Mann–Kendall test statistics — the outlier-resistant companion to
+    agg_ols_trend (one wild month shifts OLS arbitrarily; the median
+    pairwise slope has a 29% breakdown point, and Kendall's tau from
+    the SAME pairs gives the monotone-trend significance inputs).
+
+    Determinism: monthly revenue is the exact fixed-point BIGINT sum;
+    each pairwise slope is floor(drev / dm) via double division of
+    exact integers (identical IEEE op both engines; exact while
+    |drev| < 2^53, i.e. revenue-per-month below ~10^11 currency
+    units); the Sen slope is the lower-median ORDER STATISTIC (value
+    at rank ⌈n/2⌉ — unique as a value even under slope ties), and tau
+    is one floored division of integer concordant/discordant counts.
+
+    Scale shape: the fact table collapses to the monthly series in
+    one aggregation; the pairwise self-join and the ranking window
+    run on the calendar-bounded series (|months|² pairs ≈ 3k here,
+    independent of data volume) — the standard series-side compute
+    pattern, nothing quadratic touches the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev_fp")
+    )
+    a = m.select(F.col("mi").alias("i"), F.col("rev_fp").alias("ra"))
+    b = m.select(F.col("mi").alias("j"), F.col("rev_fp").alias("rb"))
+    pairs = a.join(b, F.col("j") > F.col("i")).select(
+        (F.col("rb") - F.col("ra")).alias("drev"),
+        F.floor(
+            (F.col("rb") - F.col("ra")).cast("double")
+            / (F.col("j") - F.col("i"))
+        )
+        .cast("long")
+        .alias("slope_fp"),
+    )
+    ranked = pairs.select(
+        "slope_fp",
+        F.row_number().over(Window.orderBy("slope_fp")).alias("rn"),
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_if(F.col("drev") > 0).cast("long").alias("kendall_c"),
+        F.count_if(F.col("drev") < 0).cast("long").alias("kendall_d"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(stats.select("n_pairs")))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(F.col("slope_fp").alias("sen_slope_fp4"))
+    )
+    np_ = m.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        stats.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_points",
+            "n_pairs",
+            "sen_slope_fp4",
+            "kendall_c",
+            "kendall_d",
+            F.floor(
+                1000000.0
+                * (F.col("kendall_c") - F.col("kendall_d")).cast("double")
+                / F.col("n_pairs")
+            )
+            .cast("long")
+            .alias("tau_fp6"),
+        )
+    )
