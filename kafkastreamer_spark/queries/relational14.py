@@ -674,3 +674,97 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tau_fp6"),
         )
     )
+
+
+@register(
+    "ml_woe_binning_views",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(least(count_if(event_type = 'view'), 99) // 5
+                        AS BIGINT) AS bin,
+                   CASE WHEN count_if(event_type = 'purchase')
+                             > count_if(event_type = 'error')
+                        THEN 1 ELSE 0 END AS y
+            FROM events GROUP BY user_id
+        ),
+        bins AS (
+            SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - y) AS BIGINT) AS n_neg
+            FROM per_user GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(sum(n_pos) AS BIGINT) AS pos,
+                   CAST(sum(n_neg) AS BIGINT) AS neg
+            FROM bins
+        )
+        SELECT b.bin, b.n_pos, b.n_neg,
+               (10000 * (b.n_pos + 1) * (t.neg + 2))
+                   // ((b.n_neg + 1) * (t.pos + 2)) AS odds_ratio_fp4,
+               CAST(floor(1000000.0
+                    * CAST(b.n_pos * t.neg - b.n_neg * t.pos AS DOUBLE)
+                    / (CAST(t.pos AS DOUBLE) * t.neg)) AS BIGINT)
+                   AS dist_gap_fp6
+        FROM bins b CROSS JOIN tot t
+        ORDER BY b.bin
+    """,
+    tags=("ml", "features", "binning"),
+)
+def ml_woe_binning_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature-binning table: per-user view count
+    bucketed into width-5 bins (clamped at 99 — the per-user event
+    rate is SF-invariant in the fixture, so the bin domain is stable),
+    crossed with the scale-invariant purchase>error label. Emits the
+    exact per-bin contingency (n_pos, n_neg), the Laplace-smoothed
+    odds ratio in 1e-4 fixed point ((pos+1)(NEG+2) / (neg+1)(POS+2) —
+    smoothing keeps empty bins finite), and the class-distribution gap
+    pos_b/POS − neg_b/NEG in 1e-6 fixed point (the IV factor). WOE
+    itself is ln(odds-ratio) and IV is Σ gap·WOE — both are one libm
+    call on these exact columns, left to the consumer because ln is
+    not bit-stable across engines (the repo-wide transcendental rule).
+
+    Scale shape: one groupBy(user_id) over the fact table, then
+    everything runs on the ≤20-row bin table with two broadcast
+    scalars. Same single-shuffle contract as ml_click_purchase_auc."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            "least(count_if(event_type = 'view'), 99) div 5"
+        ).alias("bin"),
+        F.when(
+            F.count_if(F.col("event_type") == "purchase")
+            > F.count_if(F.col("event_type") == "error"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = pu.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = bins.agg(
+        F.sum("n_pos").cast("long").alias("pos"),
+        F.sum("n_neg").cast("long").alias("neg"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "(10000 * (n_pos + 1) * (neg + 2))"
+                " div ((n_neg + 1) * (pos + 2))"
+            ).alias("odds_ratio_fp4"),
+            F.floor(
+                1000000.0
+                * (F.col("n_pos") * F.col("neg") - F.col("n_neg") * F.col("pos"))
+                .cast("double")
+                / (F.col("pos").cast("double") * F.col("neg"))
+            )
+            .cast("long")
+            .alias("dist_gap_fp6"),
+        )
+        .orderBy("bin")
+    )
