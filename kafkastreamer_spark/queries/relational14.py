@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import tokens
+from kafkastreamer_spark.operators.sampling import sql_hash_bucket
 from kafkastreamer_spark.queries.graph import _cc_iter_sql
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
@@ -868,4 +869,113 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_score").cast("long").alias("bm25_fp6"))
         .orderBy(F.desc("bm25_fp6"), "doc_id")
         .limit(20)
+    )
+
+
+def _split_case(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN {bucket_expr} < 80 THEN 'train' "
+        f"WHEN {bucket_expr} < 90 THEN 'valid' ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       string_split_regex(lower(text), '\\s+')[1:8], ' '))
+                       AS ck
+            FROM documents
+        ),
+        asg AS (
+            SELECT doc_id, ck,
+                   {_split_case(sql_hash_bucket("ck"))} AS split,
+                   {_split_case(sql_hash_bucket("doc_id"))} AS doc_split
+            FROM fp
+        ),
+        leak AS (
+            SELECT
+                CAST(count_if(n_ds > 1) AS BIGINT) AS leaky_by_doc_hash,
+                CAST(count_if(n_cs > 1) AS BIGINT) AS leaky_by_cluster_hash
+            FROM (
+                SELECT ck, count(DISTINCT doc_split) AS n_ds,
+                       count(DISTINCT split) AS n_cs
+                FROM asg GROUP BY ck
+            )
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT ck) AS BIGINT) AS n_clusters,
+               max(leaky_by_doc_hash) AS leaky_by_doc_hash,
+               max(leaky_by_cluster_hash) AS leaky_by_cluster_hash
+        FROM asg CROSS JOIN leak
+        GROUP BY split ORDER BY split
+    """,
+    tags=("llm-data", "split", "dedup", "governance"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/valid/test split: the split key is the
+    near-duplicate CLUSTER (prefix fingerprint: md5 of the first 8
+    tokens — the engine's cross-source duplicate key), not the
+    document id, so every member of a duplicate cluster lands in the
+    same split by construction and eval can never see a near-copy of
+    a training document. The output carries its own evidence: per
+    split, document and cluster counts, plus two corpus-wide audit
+    columns — clusters that straddle splits under a naive doc_id-hash
+    assignment (nonzero exactly when duplicate clusters exist) versus
+    under the cluster-key assignment (structurally zero). Same 80/10/
+    10 md5-bucket arithmetic as split_train_valid_test.
+
+    Scale shape: fingerprint and both split labels are map-side
+    expressions; one groupBy(ck) for the audit and one groupBy(split)
+    for the report — two shuffles, both on high-cardinality keys, no
+    joins against the fact table. At 100 TB the cluster key doubles
+    as the natural shard key for downstream corpus writes
+    (corpus_shard_assignment)."""
+    from kafkastreamer_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8))).alias("ck"),
+    )
+
+    def split_of(col):
+        b = hash_bucket(col)
+        return (
+            F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        )
+
+    asg = fp.select(
+        "doc_id",
+        "ck",
+        split_of(F.col("ck")).alias("split"),
+        split_of(F.col("doc_id")).alias("doc_split"),
+    )
+    leak = (
+        asg.groupBy("ck")
+        .agg(
+            F.count_distinct("doc_split").alias("n_ds"),
+            F.count_distinct("split").alias("n_cs"),
+        )
+        .agg(
+            F.count_if(F.col("n_ds") > 1)
+            .cast("long")
+            .alias("leaky_by_doc_hash"),
+            F.count_if(F.col("n_cs") > 1)
+            .cast("long")
+            .alias("leaky_by_cluster_hash"),
+        )
+    )
+    return (
+        asg.crossJoin(F.broadcast(leak))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("ck").cast("long").alias("n_clusters"),
+            F.max("leaky_by_doc_hash").alias("leaky_by_doc_hash"),
+            F.max("leaky_by_cluster_hash").alias("leaky_by_cluster_hash"),
+        )
+        .orderBy("split")
     )
