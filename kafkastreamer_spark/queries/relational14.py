@@ -13,12 +13,13 @@ only over post-aggregation calendar- or bucket-bounded series.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import tokens
 from kafkastreamer_spark.operators.sampling import sql_hash_bucket
 from kafkastreamer_spark.queries.graph import _cc_iter_sql
+from kafkastreamer_spark.queries._util import epoch_s
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
 
@@ -978,4 +979,131 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("leaky_by_cluster_hash").alias("leaky_by_cluster_hash"),
         )
         .orderBy("split")
+    )
+
+
+@register(
+    "events_funnel_latency_quartiles",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS su
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p1 AS (
+            SELECT s1.user_id,
+                   min(e.ts) AS pu
+            FROM s1 JOIN events e
+              ON e.user_id = s1.user_id
+             AND e.event_type = 'purchase' AND e.ts > s1.su
+            GROUP BY s1.user_id
+        ),
+        lat AS (
+            SELECT epoch_us(p1.pu) // 1000000 - epoch_us(s1.su) // 1000000
+                       AS latency_s
+            FROM s1 JOIN p1 USING (user_id)
+        ),
+        nt AS (
+            SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                    FROM events) AS n_users,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lat) AS n_converted
+        ),
+        pv AS (
+            SELECT latency_s, CAST(count(*) AS BIGINT) AS cnt
+            FROM lat GROUP BY latency_s
+        ),
+        cum AS (
+            SELECT latency_s,
+                   CAST(sum(cnt) OVER (ORDER BY latency_s) AS BIGINT) AS c
+            FROM pv
+        )
+        SELECT t.n_users, t.n_converted,
+               (10000 * t.n_converted) // t.n_users AS conv_pct4,
+               min(CASE WHEN c >= (t.n_converted + 3) // 4
+                        THEN latency_s END) AS p25_s,
+               min(CASE WHEN c >= (t.n_converted + 1) // 2
+                        THEN latency_s END) AS p50_s,
+               min(CASE WHEN c >= (3 * t.n_converted + 3) // 4
+                        THEN latency_s END) AS p75_s,
+               min(CASE WHEN c >= (9 * t.n_converted + 9) // 10
+                        THEN latency_s END) AS p90_s
+        FROM cum CROSS JOIN nt t
+        GROUP BY t.n_users, t.n_converted
+    """,
+    tags=("events", "funnel", "statistics"),
+)
+def events_funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the signup→purchase funnel:
+    per user, seconds from first signup to the first purchase strictly
+    after it; the output row is the conversion rate plus the exact
+    p25/p50/p75/p90 order statistics of that latency (upper-discrete
+    convention: smallest value whose cumulative count reaches ⌈q·n⌉ —
+    percentile_disc semantics, computed on whole-second integers so
+    both engines agree bit-for-bit; second truncation is the floored
+    epoch in both, see _util.epoch_s).
+
+    Scale shape: two user-keyed aggregations and one user-keyed join
+    (identical shuffle key, so AQE coalesces to one exchange chain);
+    the quantile selection runs on the DISTINCT-LATENCY table via one
+    cumulative window + conditional mins in a single pass — the same
+    distinct-value-domain pattern as ml_click_purchase_auc, never a
+    global sort of per-user rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("su"))
+    )
+    ep = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu_user"), F.col("ts").alias("pts")
+    )
+    p1 = (
+        s1.join(
+            ep,
+            (F.col("pu_user") == F.col("user_id"))
+            & (F.col("pts") > F.col("su")),
+        )
+        .groupBy("user_id", "su")
+        .agg(F.min("pts").alias("pu"))
+    )
+    lat = p1.select(
+        (epoch_s("pu") - epoch_s("su")).alias("latency_s")
+    )
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    n_conv = lat.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    pv = lat.groupBy("latency_s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("latency_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pv.select(
+        "latency_s", F.sum("cnt").over(w_cum).cast("long").alias("c")
+    )
+
+    def pick(rank_expr: str, alias: str) -> Column:
+        return F.min(
+            F.when(F.col("c") >= F.expr(rank_expr), F.col("latency_s"))
+        ).alias(alias)
+
+    return (
+        cum.crossJoin(F.broadcast(n_users))
+        .crossJoin(F.broadcast(n_conv))
+        .groupBy("n_users", "n_converted")
+        .agg(
+            pick("(n_converted + 3) div 4", "p25_s"),
+            pick("(n_converted + 1) div 2", "p50_s"),
+            pick("(3 * n_converted + 3) div 4", "p75_s"),
+            pick("(9 * n_converted + 9) div 10", "p90_s"),
+        )
+        .select(
+            "n_users",
+            "n_converted",
+            F.expr("(10000 * n_converted) div n_users").alias("conv_pct4"),
+            "p25_s",
+            "p50_s",
+            "p75_s",
+            "p90_s",
+        )
     )
