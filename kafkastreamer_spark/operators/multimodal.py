@@ -650,3 +650,116 @@ def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SHOT_FRAME = 64  # bytes per video "frame" (tiny fake image)
+_SHOT_DELTA = 8  # mean-luminance jump that counts as a cut
+
+_SHOT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_shots", LongType()),
+        StructField("max_delta", LongType()),
+        StructField("first_cut_frame", LongType()),
+    ]
+)
+
+
+def _shot_boundary_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched shot detection: bytes as per-pixel luminance,
+    64-byte frames, floor-mean per frame, a cut wherever consecutive
+    frame means jump by >= _SHOT_DELTA. Integer arithmetic only, so
+    the oracle reproduces it exactly in SQL."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                np.int64
+            )
+            n = int(arr.size)
+            if n == 0:
+                rows.append((doc_id, 0, 0, 0, None))
+                continue
+            idx = np.arange(0, n, _SHOT_FRAME)
+            sums = np.add.reduceat(arr, idx)
+            sizes = np.diff(np.append(idx, n))
+            means = sums // sizes
+            deltas = np.abs(np.diff(means))
+            cuts = np.flatnonzero(deltas >= _SHOT_DELTA)
+            rows.append(
+                (
+                    doc_id,
+                    int(idx.size),
+                    int(cuts.size) + 1,
+                    int(deltas.max()) if deltas.size else 0,
+                    int(cuts[0]) + 1 if cuts.size else None,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_shots", "max_delta",
+                "first_cut_frame",
+            ],
+        )
+
+
+@register(
+    "multimodal_video_shot_boundaries",
+    oracle=f"""
+        WITH samples AS (
+            SELECT doc_id, (i - 1) // {_SHOT_FRAME} AS frame,
+                   ascii(substr(text, CAST(i AS INTEGER), 1)) AS s
+            FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+        ),
+        frames AS (
+            SELECT doc_id, frame,
+                   CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS mean_lum
+            FROM samples GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT doc_id, frame,
+                   abs(mean_lum - lag(mean_lum) OVER (
+                       PARTITION BY doc_id ORDER BY frame)) AS d
+            FROM frames
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(count_if(d >= {_SHOT_DELTA}) + 1 AS BIGINT) AS n_shots,
+               CAST(coalesce(max(d), 0) AS BIGINT) AS max_delta,
+               CAST(min(CASE WHEN d >= {_SHOT_DELTA} THEN frame END)
+                    AS BIGINT) AS first_cut_frame
+        FROM deltas GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm-data", "multimodal", "video"),
+)
+def multimodal_video_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot-boundary detection over opaque video-like payloads: bytes
+    as per-pixel luminance, fixed 64-byte frames, floor-mean per
+    frame, and a cut wherever consecutive frame means jump by >= 8 —
+    the frame-differencing pass a video-corpus pipeline runs before
+    sampling one keyframe per shot (multimodal_frame_sample picks
+    frames; this picks WHERE the shots are). Like
+    multimodal_audio_energy the fake decode is exactly reproducible
+    in SQL (ascii per character, integer floor-mean), so the Arrow
+    path is value-checked end-to-end, not rows-only.
+
+    Scale shape: pure mapInPandas — whole blobs per Arrow batch,
+    numpy reduceat framing, no shuffle until the output sort. A real
+    decoder (pyav/ffmpeg) swaps into the same batch shape, schema and
+    per-doc independence; frame means and diffs stay per-blob local,
+    so the operator parallelizes by document at any corpus size."""
+    b = _blobs(spark, sf_dir)
+    return (
+        b.select("doc_id", "payload")
+        .mapInPandas(_shot_boundary_batches, schema=_SHOT_SCHEMA)
+        .orderBy("doc_id")
+    )
