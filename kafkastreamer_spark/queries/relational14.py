@@ -1107,3 +1107,80 @@ def events_funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFra
             "p90_s",
         )
     )
+
+
+@register(
+    "embedding_dim_variance_profile",
+    oracle="""
+        WITH comp AS (
+            SELECT CAST(i AS BIGINT) AS dim,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS x
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        per AS (
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(min(x) AS BIGINT) AS min_fp,
+                   CAST(max(x) AS BIGINT) AS max_fp
+            FROM comp GROUP BY dim
+        )
+        SELECT dim, n, sx AS sum_fp, n * sxx - sx * sx AS var_num_fp8,
+               min_fp, max_fp,
+               CASE WHEN n * sxx - sx * sx < n * (n - 1) * 100000
+                    THEN 'dead' ELSE 'live' END AS dim_status
+        FROM per ORDER BY dim
+    """,
+    tags=("embedding", "profile", "llm-data"),
+)
+def embedding_dim_variance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension moment profile of the embedding matrix — the
+    pre-whitening / dead-dimension audit an embedding pipeline runs
+    before PCA or product quantization: a dimension whose variance
+    collapses carries no information and distorts cosine geometry.
+    Components are fixed-pointed (floor(x·1e4), the shared embedding
+    discipline), so each dim's sum, sum-of-squares, min and max are
+    exact BIGINTs and the variance NUMERATOR n·Σx²−(Σx)² (1e-8 fixed
+    point, population-variance scale n²) is exact; a dim is flagged
+    'dead' when its sample variance falls below 1e-3 — the comparison
+    var_num < n(n−1)·1e5 stays all-integer.
+
+    Scale shape: one posexplode (map-side, 64× row multiply of a thin
+    projection) and one groupBy(dim) with 64 groups — partial
+    aggregation makes the shuffle 64 rows per task regardless of
+    corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 10000).cast("long").alias("x"),
+    )
+    per = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.min("x").alias("min_fp"),
+        F.max("x").alias("max_fp"),
+    )
+    return per.select(
+        "dim",
+        "n",
+        F.col("sx").alias("sum_fp"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "var_num_fp8"
+        ),
+        "min_fp",
+        "max_fp",
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            < F.col("n") * (F.col("n") - 1) * 100000,
+            "dead",
+        )
+        .otherwise("live")
+        .alias("dim_status"),
+    ).orderBy("dim")
