@@ -1184,3 +1184,72 @@ def embedding_dim_variance_profile(
         .otherwise("live")
         .alias("dim_status"),
     ).orderBy("dim")
+
+
+@register(
+    "events_poisson_dispersion",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(x) AS BIGINT) AS total,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days, total,
+               (10000 * (n_days * sxx - total * total))
+                   // ((n_days - 1) * total) AS vmr_fp4,
+               CASE WHEN (10000 * (n_days * sxx - total * total))
+                         // ((n_days - 1) * total) > 10000
+                    THEN 'overdispersed' ELSE 'poisson-like' END AS verdict
+        FROM per ORDER BY event_type
+    """,
+    tags=("events", "statistics", "timeseries"),
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion test per event type: the variance-to-mean
+    ratio of DAILY event counts (the index of dispersion — a Poisson
+    arrival process has VMR 1; bursty traffic is overdispersed, load-
+    balanced/paced traffic underdispersed). Complements
+    events_burst_detection (which finds WHERE the bursts are; this
+    quantifies HOW bursty each stream is overall). Daily counts are
+    integers, so sample-variance/mean reduces to one exact rational —
+    (n·Σx²−(Σx)²) / ((n−1)·Σx) — floored once into 1e-4 fixed point;
+    no doubles anywhere.
+
+    Scale shape: one (type, day) aggregation — the fact table's only
+    shuffle, combiner-friendly — then per-type moments over the
+    calendar-bounded daily table. The VMR is a pure scalar pass at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.expr(
+            "(10000 * (n_days * sxx - total * total))"
+            " div ((n_days - 1) * total)"
+        ).alias("vmr_fp4"),
+        F.when(
+            F.expr(
+                "(10000 * (n_days * sxx - total * total))"
+                " div ((n_days - 1) * total)"
+            )
+            > 10000,
+            "overdispersed",
+        )
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    ).orderBy("event_type")
