@@ -799,9 +799,10 @@ _BM25_TERMS = ("spark", "merge", "scan")
         ),
         scored AS (
             SELECT tf.doc_id,
-                   (1000000 * 22 * c.tot * tf.tf * (2*c.n - 2*df.df + 1))
-                       // ((10 * c.tot * tf.tf + 3 * c.tot + 9 * dl.dl * c.n)
-                           * (2*df.df + 1)) AS term_score
+                   ((1000000 * 22 * tf.tf)
+                        // (10 * tf.tf + 3 + (9 * dl.dl * c.n) // c.tot))
+                   * ((1000000 * (2*c.n - 2*df.df + 1)) // (2*df.df + 1))
+                   // 1000000 AS term_score
             FROM tf
             JOIN df USING (term)
             JOIN dl USING (doc_id)
@@ -859,9 +860,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "(1000000 * 22 * tot * tf * (2*n - 2*df + 1))"
-                " div ((10 * tot * tf + 3 * tot + 9 * dl * n)"
-                "      * (2*df + 1))"
+                "((1000000 * 22 * tf)"
+                "     div (10 * tf + 3 + (9 * dl * n) div tot))"
+                " * ((1000000 * (2*n - 2*df + 1)) div (2*df + 1))"
+                " div 1000000"
             ).alias("term_score"),
         )
     )

@@ -73,6 +73,12 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     "graph_link_prediction_jaccard": (("lineitem",), (1, 2, 4)),
     "events_top_paths": (("events",), (1, 4, 16)),
     "orders_mann_whitney_u": (("orders",), (1, 2, 4)),
+    # Round-4 late additions (batches 125-137).
+    "seq_pattern_gsp_support": (("events",), (1, 4, 16)),
+    "split_leakage_safe": (("documents",), (1, 4, 16)),
+    "orders_survival_nelson_aalen": (("orders", "lineitem"), (1, 2, 4)),
+    "text_bm25_topk": (("documents",), (1, 4, 16)),
+    "multimodal_video_shot_boundaries": (("documents",), (1, 4, 16)),
 }
 
 
