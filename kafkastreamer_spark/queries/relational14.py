@@ -1255,3 +1255,120 @@ def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("poisson-like")
         .alias("verdict"),
     ).orderBy("event_type")
+
+
+_KCORE_K = 30  # degree threshold for the fixed-round peel
+
+
+def _kcore_peel_sql(prev: str, out: str) -> str:
+    """One peeling round in SQL: recompute degrees over the surviving
+    edge set and keep nodes with degree >= K."""
+    return f"""
+        {out} AS (
+            SELECT src AS node
+            FROM edges e
+            WHERE EXISTS (SELECT 1 FROM {prev} a WHERE a.node = e.src)
+              AND EXISTS (SELECT 1 FROM {prev} b WHERE b.node = e.dst)
+            GROUP BY src
+            HAVING count(*) >= {_KCORE_K}
+        )"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+        WITH edges0 AS (
+            SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT src, dst FROM edges0
+            UNION SELECT dst, src FROM edges0
+        ),
+        k0 AS (SELECT DISTINCT src AS node FROM edges),
+        {_kcore_peel_sql("k0", "k1")},
+        {_kcore_peel_sql("k1", "k2")},
+        {_kcore_peel_sql("k2", "k3")}
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM k0) AS n_nodes,
+            (SELECT CAST(count(*) AS BIGINT) FROM k1) AS n_round1,
+            (SELECT CAST(count(*) AS BIGINT) FROM k2) AS n_round2,
+            (SELECT CAST(count(*) AS BIGINT) FROM k3) AS n_round3,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM k3 WHERE node % 2 = 0) AS n_parts_in_core,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM k3 WHERE node % 2 = 1) AS n_suppliers_in_core
+    """,
+    tags=("graph", "iterative", "kcore"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling over the bipartite
+    part–supplier graph (k = 30): each round drops every node whose
+    degree IN THE SURVIVING SUBGRAPH falls below k, since removing a
+    neighbor can knock out nodes that looked safe — the density
+    filter behind community seeding and graph-cleaning pipelines.
+    Like graph_connected_components the round count is FIXED (3), so
+    the output — the shrinking node-count ladder plus the round-3
+    core's composition by side — is the deterministic 3-step peeling
+    state on both engines rather than a run-to-convergence whose
+    round count depends on the data.
+
+    Scale shape: each round is one semi-join of the edge list against
+    the surviving node set (twice, for both endpoints) and one
+    degree count — the same edges-stay-put / small-relation-moves
+    Pregel shape as the CC queries; the node set only shrinks. At
+    100 TB the edge list stays hash-partitioned on src across all
+    rounds and the survivor sets broadcast once they fit. Each
+    round's survivor set is persisted before it is counted — without
+    that, round r's lineage re-executes every earlier round per
+    action and the fixed 3-round peel goes quadratic in ROUNDS (the
+    first cut of this query cost 121 s at sf0.01; persisting the
+    ladder brings it to a few seconds)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    survivors = edges.select(F.col("src").alias("node")).distinct().persist()
+    counts = [survivors.count()]
+    rounds = [survivors]
+    for _ in range(3):
+        alive_src = survivors.select(F.col("node").alias("src"))
+        alive_dst = survivors.select(F.col("node").alias("dst"))
+        survivors = (
+            edges.join(F.broadcast(alive_src), "src", "left_semi")
+            .join(F.broadcast(alive_dst), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .persist()
+        )
+        counts.append(survivors.count())
+        rounds.append(survivors)
+    core = survivors.agg(
+        F.count_if(F.col("node") % 2 == 0).cast("long").alias(
+            "n_parts_in_core"
+        ),
+        F.count_if(F.col("node") % 2 == 1).cast("long").alias(
+            "n_suppliers_in_core"
+        ),
+    )
+    edges.unpersist()
+    for r in rounds:
+        r.unpersist()
+    return core.select(
+        F.lit(counts[0]).cast("long").alias("n_nodes"),
+        F.lit(counts[1]).cast("long").alias("n_round1"),
+        F.lit(counts[2]).cast("long").alias("n_round2"),
+        F.lit(counts[3]).cast("long").alias("n_round3"),
+        "n_parts_in_core",
+        "n_suppliers_in_core",
+    )
