@@ -1372,3 +1372,73 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts_in_core",
         "n_suppliers_in_core",
     )
+
+
+@register(
+    "lineitem_eoq_policy",
+    oracle="""
+        WITH dem AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000 AS demand_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT d.l_partkey AS p_partkey, d.demand_qty,
+               CAST(floor(10000 * sqrt((2 * d.demand_qty * 100)
+                                       / (p.p_retailprice / 5)))
+                    AS BIGINT) AS eoq_fp4,
+               CAST(floor(10000 * (d.demand_qty / 365 * 7)) AS BIGINT)
+                   AS rop_fp4
+        FROM dem d JOIN part p ON p.p_partkey = d.l_partkey
+        ORDER BY p_partkey
+    """,
+    tags=("inventory", "operations", "reporting"),
+)
+def lineitem_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic-order-quantity policy table per part: EOQ =
+    √(2·D·S / H) with observed demand D = total lineitem quantity,
+    fixed order cost S = 100 and holding cost H = 20% of the retail
+    price (written price/5 — a bare 0.2 literal is DECIMAL in DuckDB
+    and DOUBLE in Spark, a known dialect trap), plus the 7-day-lead
+    reorder point D/365·7. Demand sums through the fixed-point BIGINT
+    discipline; the scoring itself uses only +, *, /, sqrt — the
+    correctly-rounded IEEE subset that is bit-identical across
+    engines (the repo-wide rule: those four are safe, ln/exp/pow are
+    not) — so even the floored 1e-4 outputs hash-match exactly.
+
+    Scale shape: one groupBy(l_partkey) over the fact table, one
+    broadcast join against the part dim, map-side arithmetic. Nothing
+    else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dem = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.floor(F.col("l_quantity") * 10000).cast("long")).cast(
+                "double"
+            )
+            / 10000
+        ).alias("demand_qty")
+    )
+    return (
+        dem.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            dem.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "demand_qty",
+            F.floor(
+                10000
+                * F.sqrt(
+                    (2 * F.col("demand_qty") * 100)
+                    / (F.col("p_retailprice") / 5)
+                )
+            )
+            .cast("long")
+            .alias("eoq_fp4"),
+            F.floor(10000 * (F.col("demand_qty") / 365 * 7))
+            .cast("long")
+            .alias("rop_fp4"),
+        )
+        .orderBy("p_partkey")
+    )
