@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators._embed import tokens
+from kafkastreamer_spark.operators.deskew import bucketed_row_number
 from kafkastreamer_spark.operators.sampling import sql_hash_bucket
 from kafkastreamer_spark.queries.graph import _cc_iter_sql
 from kafkastreamer_spark.queries._util import epoch_s
@@ -1442,3 +1443,70 @@ def lineitem_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "quality_length_percentile_by_source",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS BIGINT) AS rank_in_source,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_in_source
+            FROM base
+        )
+        SELECT doc_id, source, n_chars, rank_in_source, n_in_source,
+               (10000 * (rank_in_source - 1)) // (n_in_source - 1)
+                   AS pctile_fp4
+        FROM ranked ORDER BY doc_id
+    """,
+    tags=("llm-data", "quality", "deskew", "sampling"),
+)
+def quality_length_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quantile normalization of document length: each
+    document's percentile rank among its OWN source's documents — the
+    transform that makes a single "keep the top X%" threshold
+    comparable across feeds whose raw length distributions differ
+    (absolute cutoffs systematically starve short-form sources).
+    Rank is the exact row_number under (n_chars, doc_id) — the
+    value-plus-unique-id sort key the fixture discipline requires —
+    and the percentile is the integer (rank−1)·1e4 div (n−1).
+
+    Scale shape: the rank is computed by the engine's two-phase
+    de-skew core (operators/deskew.py bucketed_row_number: per-bucket
+    counts + prefix offsets + bucket-local windows), so no source's
+    documents ever funnel through one task the way the naive
+    PARTITION BY source window would — the oracle states the naive
+    window, the plan runs the de-skewed equivalent; the per-source
+    count rides along from the counts aggregate for free."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    ranked = bucketed_row_number(
+        base,
+        ["source"],
+        F.col("n_chars"),
+        [F.col("doc_id")],
+        "rank_in_source",
+        count_name="n_in_source",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("rank_in_source").cast("long").alias("rank_in_source"),
+        F.col("n_in_source").cast("long").alias("n_in_source"),
+        F.expr(
+            "(10000 * (rank_in_source - 1)) div (n_in_source - 1)"
+        ).alias("pctile_fp4"),
+    ).orderBy("doc_id")
