@@ -1510,3 +1510,115 @@ def quality_length_percentile_by_source(
             "(10000 * (rank_in_source - 1)) div (n_in_source - 1)"
         ).alias("pctile_fp4"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ml_conformal_threshold",
+    oracle=f"""
+        WITH pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                   CASE WHEN {sql_hash_bucket("user_id")} < 50
+                        THEN 'cal' ELSE 'eval' END AS fold
+            FROM events GROUP BY user_id
+        ),
+        nt AS (
+            SELECT CAST(count_if(fold = 'cal') AS BIGINT) AS n_cal,
+                   CAST(count_if(fold = 'eval') AS BIGINT) AS n_eval
+            FROM pu
+        ),
+        pv AS (
+            SELECT score, CAST(count(*) AS BIGINT) AS cnt
+            FROM pu WHERE fold = 'cal' GROUP BY score
+        ),
+        cum AS (
+            SELECT score,
+                   CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS c
+            FROM pv
+        ),
+        thr AS (
+            SELECT min(CASE WHEN c >= (9 * (n_cal + 1) + 9) // 10
+                            THEN score END) AS threshold
+            FROM cum CROSS JOIN nt
+        )
+        SELECT t.n_cal, t.n_eval, h.threshold,
+               (SELECT CAST(count(*) AS BIGINT) FROM pu, thr
+                WHERE fold = 'eval' AND score > thr.threshold)
+                   AS n_eval_exceed,
+               (10000 * (SELECT count(*) FROM pu, thr
+                         WHERE fold = 'eval' AND score > thr.threshold))
+                   // t.n_eval AS exceed_pct4
+        FROM nt t CROSS JOIN thr h
+    """,
+    tags=("ml", "calibration", "statistics"),
+)
+def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold calibration: users are hash-split
+    50/50 into calibration and evaluation folds (the engine's md5
+    bucket, so the split is deterministic and identical in the
+    oracle); the anomaly threshold is the ⌈0.9·(n_cal+1)⌉-th order
+    statistic of calibration activity scores — the finite-sample
+    conformal quantile whose guarantee is that a fresh point exceeds
+    it with probability ≤ 10% — and the held-out fold reports its
+    actual exceed rate as the validity audit. Scores are integer
+    event counts, the quantile is a distinct-value cumsum selection,
+    and the exceed rate one integer division: exact end to end.
+
+    Scale shape: one groupBy(user_id), then the quantile runs on the
+    distinct-score table and the audit is a broadcast-threshold
+    filter-count — the conformal machinery costs one fact shuffle
+    regardless of corpus size."""
+    from kafkastreamer_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score")
+    ).select(
+        "score",
+        F.when(hash_bucket(F.col("user_id")) < 50, "cal")
+        .otherwise("eval")
+        .alias("fold"),
+    )
+    nt = pu.agg(
+        F.count_if(F.col("fold") == "cal").cast("long").alias("n_cal"),
+        F.count_if(F.col("fold") == "eval").cast("long").alias("n_eval"),
+    )
+    pv = (
+        pu.filter(F.col("fold") == "cal")
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select("score", F.sum("cnt").over(w_cum).cast("long").alias("c"))
+    thr = (
+        cum.crossJoin(F.broadcast(nt.select("n_cal")))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("(9 * (n_cal + 1) + 9) div 10"),
+                    F.col("score"),
+                )
+            ).alias("threshold")
+        )
+    )
+    exceed = (
+        pu.filter(F.col("fold") == "eval")
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count_if(F.col("score") > F.col("threshold"))
+            .cast("long")
+            .alias("n_eval_exceed")
+        )
+    )
+    return (
+        nt.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(exceed))
+        .select(
+            "n_cal",
+            "n_eval",
+            "threshold",
+            "n_eval_exceed",
+            F.expr("(10000 * n_eval_exceed) div n_eval").alias(
+                "exceed_pct4"
+            ),
+        )
+    )
