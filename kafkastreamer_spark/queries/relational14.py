@@ -1622,3 +1622,102 @@ def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "orders_did_estimator",
+    oracle="""
+        WITH cells AS (
+            SELECT
+                CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 'treat' ELSE 'control' END AS grp,
+                CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                     THEN 'post' ELSE 'pre' END AS period,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                     AS BIGINT) AS s
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT
+                max(CASE WHEN grp='treat' AND period='pre'
+                         THEN s // n END) AS m_t_pre,
+                max(CASE WHEN grp='treat' AND period='post'
+                         THEN s // n END) AS m_t_post,
+                max(CASE WHEN grp='control' AND period='pre'
+                         THEN s // n END) AS m_c_pre,
+                max(CASE WHEN grp='control' AND period='post'
+                         THEN s // n END) AS m_c_post,
+                CAST(sum(n) AS BIGINT) AS n_orders
+            FROM cells
+        )
+        SELECT n_orders, m_t_pre, m_t_post, m_c_pre, m_c_post,
+               (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_fp4
+        FROM m
+    """,
+    tags=("stats", "causal", "reporting"),
+)
+def orders_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: treated = urgent orders,
+    control = low-priority orders, pre/post split at 1998-01-01; the
+    estimand is the treated group's excess change in mean order value
+    over the control group's change — the workhorse quasi-experimental
+    design when a policy lands on one segment at a known date and the
+    parallel-trends assumption carries the rest. Each cell mean is
+    the exact fixed-point sum integer-divided by the cell count
+    (1e-4 units), so the four means and their double difference are
+    deterministic BIGINTs on both engines.
+
+    Scale shape: one conditional-aggregation pass over the filtered
+    fact table (4 groups, combiner-friendly), then pure scalar
+    arithmetic. Nothing joins, nothing sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+
+    def cell(g: str, p: str, alias: str) -> Column:
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.expr("s div n"),
+            )
+        ).alias(alias)
+
+    m = cells.agg(
+        cell("treat", "pre", "m_t_pre"),
+        cell("treat", "post", "m_t_post"),
+        cell("control", "pre", "m_c_pre"),
+        cell("control", "post", "m_c_post"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    return m.select(
+        "n_orders",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_fp4"),
+    )
