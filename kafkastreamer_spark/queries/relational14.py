@@ -1851,3 +1851,104 @@ def lineitem_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rounding_gap_fp"),
     )
+
+
+@register(
+    "orders_aging_buckets",
+    oracle="""
+        WITH ls AS (
+            SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        open_o AS (
+            SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                             DATE '1999-06-30') AS age_days,
+                   CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT) AS v_fp
+            FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+            WHERE CAST(o.o_orderdate AS DATE) <= DATE '1999-06-30'
+              AND (ls.last_ship IS NULL OR ls.last_ship > DATE '1999-06-30')
+        ),
+        bucketed AS (
+            SELECT CASE WHEN age_days <= 30 THEN 0
+                        WHEN age_days <= 90 THEN 1
+                        WHEN age_days <= 365 THEN 2
+                        ELSE 3 END AS bucket_id,
+                   v_fp
+            FROM open_o
+        ),
+        agg AS (
+            SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(v_fp) AS BIGINT) AS value_fp
+            FROM bucketed GROUP BY bucket_id
+        ),
+        tot AS (SELECT CAST(sum(value_fp) AS BIGINT) AS tv FROM agg)
+        SELECT bucket_id,
+               CASE bucket_id WHEN 0 THEN '0-30d' WHEN 1 THEN '31-90d'
+                    WHEN 2 THEN '91-365d' ELSE 'over-1y' END AS bucket,
+               n_orders, value_fp,
+               (10000 * value_fp) // tv AS value_pct4
+        FROM agg CROSS JOIN tot ORDER BY bucket_id
+    """,
+    tags=("reporting", "operations", "finance"),
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report at the 1999-06-30 snapshot: orders
+    placed on or before the snapshot that have not finished shipping
+    by it (no lineitems ever, or last ship date after the snapshot),
+    bucketed by age into the standard receivables bands 0-30 / 31-90 /
+    91-365 / over-a-year, with order counts, fixed-point open value
+    and each band's share of open value — the one-date cross-section
+    that complements orders_open_backlog_sweep's full time series.
+
+    Scale shape: one groupBy(l_orderkey) max, one orders-side join
+    with the age/bucket arithmetic map-side, a 4-group aggregation
+    and one broadcast total. Classic two-shuffle report at any
+    volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    snap = F.lit("1999-06-30").cast("date")
+    ls = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    open_o = (
+        o.join(ls, o.o_orderkey == ls.l_orderkey, "left")
+        .filter(
+            (F.to_date("o_orderdate") <= snap)
+            & (F.col("last_ship").isNull() | (F.col("last_ship") > snap))
+        )
+        .select(
+            F.datediff(snap, F.to_date("o_orderdate")).alias("age_days"),
+            F.floor(F.col("o_totalprice") * 10000).cast("long").alias("v_fp"),
+        )
+    )
+    agg = (
+        open_o.select(
+            F.when(F.col("age_days") <= 30, 0)
+            .when(F.col("age_days") <= 90, 1)
+            .when(F.col("age_days") <= 365, 2)
+            .otherwise(3)
+            .alias("bucket_id"),
+            "v_fp",
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("v_fp").cast("long").alias("value_fp"),
+        )
+    )
+    tot = agg.agg(F.sum("value_fp").cast("long").alias("tv"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_id",
+            F.when(F.col("bucket_id") == 0, "0-30d")
+            .when(F.col("bucket_id") == 1, "31-90d")
+            .when(F.col("bucket_id") == 2, "91-365d")
+            .otherwise("over-1y")
+            .alias("bucket"),
+            "n_orders",
+            "value_fp",
+            F.expr("(10000 * value_fp) div tv").alias("value_pct4"),
+        )
+        .orderBy("bucket_id")
+    )
