@@ -1,0 +1,177 @@
+"""Structural invariants for the round-4 late-batch operators
+(batches 125-144) — properties that must hold on ANY input, checked
+on the fixture beyond the oracle's value-equality gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
+from kafkastreamer_spark.tables import load_table
+
+_ensure_loaded()
+
+
+def _run(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_survival_risk_set_accounting(spark, sf_dir):
+    """n_risk is strictly decreasing in t, starts at the order count,
+    and every order leaves the risk set exactly once (sum of events
+    plus censorings equals the cohort)."""
+    rows = _run("orders_survival_nelson_aalen", spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert rows[0]["n_risk"] == n_orders
+    assert sum(r["d_events"] + r["c_censored"] for r in rows) == n_orders
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_risk"] == prev["n_risk"] - (
+            prev["d_events"] + prev["c_censored"]
+        )
+        assert cur["cumhaz_fp8"] >= prev["cumhaz_fp8"]
+
+
+def test_er_clusters_partition_the_records(spark, sf_dir):
+    """Entity clusters are a PARTITION of part records: sizes sum to
+    the table count and every entity id is one of its member names."""
+    rows = _run("er_part_entity_clusters", spark, sf_dir).collect()
+    n_parts = load_table(spark, sf_dir, "part").count()
+    assert sum(r["n_records"] for r in rows) == n_parts
+    names = {
+        r["p_name"]
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .collect()
+    }
+    assert all(r["entity"] in names for r in rows)
+    assert sum(r["n_names"] for r in rows) == len(names)
+
+
+def test_auc_is_a_probability(spark, sf_dir):
+    """AUC lands in [0, 1] fixed point and both classes are populated
+    (the fixture guarantee the label redesign bought)."""
+    r = _run("ml_click_purchase_auc", spark, sf_dir).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0 <= r["auc_fp8"] <= 100_000_000
+    assert 0 <= r["brier_fp6"] <= 1_000_000
+
+
+def test_t_closeness_tv_bounds(spark, sf_dir):
+    """Total-variation distance is in [0, 1] fixed point for every
+    quasi-identifier group, and group sizes sum to the joined total."""
+    rows = _run("governance_t_closeness_audit", spark, sf_dir).collect()
+    assert rows, "no QI groups"
+    for r in rows:
+        assert 0 <= r["tv_fp6"] <= 1_000_000
+        assert (r["t02_status"] == "violates") == (r["tv_fp6"] > 200_000)
+
+
+def test_gsp_support_dominance(spark, sf_dir):
+    """Gapped support can never exceed the user count, and every
+    contiguous-trigram path's support is <= the same pattern's gapped
+    support (a contiguous occurrence IS a gapped occurrence)."""
+    gapped = {
+        r["pattern"]: r["support_users"]
+        for r in _run("seq_pattern_gsp_support", spark, sf_dir).collect()
+    }
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert all(0 < s <= n_users for s in gapped.values())
+    # users containing contiguous trigram t1>t2>t3 (distinct users)
+    contig = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "nxt",
+            F.lead("event_type").over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+            ),
+        )
+        .withColumn(
+            "nxt2",
+            F.lead("event_type", 2).over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt", "nxt2").alias("pattern"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("pattern")
+        .count()
+        .collect()
+    )
+    for r in contig:
+        assert gapped.get(r["pattern"], 0) >= r["count"], r["pattern"]
+
+
+def test_leakage_safe_split_has_zero_cluster_leaks(spark, sf_dir):
+    rows = _run("split_leakage_safe", spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    assert all(r["leaky_by_cluster_hash"] == 0 for r in rows)
+
+
+def test_kcore_ladder_monotone(spark, sf_dir):
+    r = _run("graph_kcore_peel", spark, sf_dir).collect()[0]
+    ladder = [r["n_nodes"], r["n_round1"], r["n_round2"], r["n_round3"]]
+    assert ladder == sorted(ladder, reverse=True)
+    assert r["n_parts_in_core"] + r["n_suppliers_in_core"] == r["n_round3"]
+
+
+def test_pvm_bridge_reconciles(spark, sf_dir):
+    """The five effects plus the reported rounding gap reconstruct the
+    revenue delta EXACTLY (the gap column is the honesty valve), and
+    the gap itself stays below 0.1% of base revenue."""
+    r = _run("lineitem_price_volume_mix", spark, sf_dir).collect()[0]
+    total = (
+        r["price_eff"]
+        + r["volume_eff"]
+        + r["mix_eff"]
+        + r["new_eff"]
+        + r["lost_eff"]
+        + r["rounding_gap_fp"]
+    )
+    assert total == r["delta_fp"]
+    assert abs(r["rounding_gap_fp"]) < r["rev0_fp"] // 1000
+
+
+def test_conformal_threshold_validity(spark, sf_dir):
+    """The held-out exceed rate respects the conformal direction —
+    but the finite-sample guarantee only binds once the calibration
+    fold is big enough (needs n_cal >= 1/alpha - 1 just for the
+    quantile to exist; the rate check below waits for n_cal >= 50, so
+    it engages at sf0.01+ and skips the 15-user sf0.001 fixture)."""
+    r = _run("ml_conformal_threshold", spark, sf_dir).collect()[0]
+    assert r["n_cal"] > 0 and r["n_eval"] > 0
+    assert r["n_eval_exceed"] <= r["n_eval"]
+    if r["n_cal"] >= 50:
+        assert r["exceed_pct4"] <= 3000  # 0.30 ceiling vs alpha=0.10
+
+
+def test_percentile_by_source_is_uniform(spark, sf_dir):
+    """Within each source the percentile column is a permutation of
+    the uniform grid — rank k of n maps to (k-1)*1e4 div (n-1)."""
+    rows = _run(
+        "quality_length_percentile_by_source", spark, sf_dir
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        n = rs[0]["n_in_source"]
+        assert len(rs) == n
+        got = sorted(r["pctile_fp4"] for r in rs)
+        want = sorted((10000 * (k - 1)) // (n - 1) for k in range(1, n + 1))
+        assert got == want, src
