@@ -1320,11 +1320,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel shape as the CC queries; the node set only shrinks. At
     100 TB the edge list stays hash-partitioned on src across all
     rounds and the survivor sets broadcast once they fit. Each
-    round's survivor set is persisted before it is counted — without
-    that, round r's lineage re-executes every earlier round per
-    action and the fixed 3-round peel goes quadratic in ROUNDS (the
-    first cut of this query cost 121 s at sf0.01; persisting the
-    ladder brings it to a few seconds)."""
+    round's survivor set is persisted and the whole ladder (all four
+    node counts plus the core composition) folds into ONE action —
+    the first cut counted each round eagerly without persisting, so
+    round r's lineage re-executed every earlier round per action and
+    the fixed 3-round peel went quadratic in rounds (121 s at
+    sf0.01); persist + single-action brings it to a couple of
+    seconds. The persisted sets are intentionally NOT unpersisted
+    inside the function: the returned plan still references them, and
+    they are a few thousand node ids."""
     li = load_table(spark, sf_dir, "lineitem")
     half = li.select(
         (F.col("l_partkey") * 2).alias("src"),
@@ -1338,7 +1342,6 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     survivors = edges.select(F.col("src").alias("node")).distinct().persist()
-    counts = [survivors.count()]
     rounds = [survivors]
     for _ in range(3):
         alive_src = survivors.select(F.col("node").alias("src"))
@@ -1352,8 +1355,20 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"))
             .persist()
         )
-        counts.append(survivors.count())
         rounds.append(survivors)
+    names = ["n_nodes", "n_round1", "n_round2", "n_round3"]
+    ladder = None
+    for nm, r in zip(names, rounds):
+        c = r.agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+            F.lit(nm).alias("k"), "cnt"
+        )
+        ladder = c if ladder is None else ladder.unionByName(c)
+    wide = ladder.agg(
+        *[
+            F.max(F.when(F.col("k") == nm, F.col("cnt"))).alias(nm)
+            for nm in names
+        ]
+    )
     core = survivors.agg(
         F.count_if(F.col("node") % 2 == 0).cast("long").alias(
             "n_parts_in_core"
@@ -1362,14 +1377,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers_in_core"
         ),
     )
-    edges.unpersist()
-    for r in rounds:
-        r.unpersist()
-    return core.select(
-        F.lit(counts[0]).cast("long").alias("n_nodes"),
-        F.lit(counts[1]).cast("long").alias("n_round1"),
-        F.lit(counts[2]).cast("long").alias("n_round2"),
-        F.lit(counts[3]).cast("long").alias("n_round3"),
+    return wide.crossJoin(F.broadcast(core)).select(
+        "n_nodes",
+        "n_round1",
+        "n_round2",
+        "n_round3",
         "n_parts_in_core",
         "n_suppliers_in_core",
     )
