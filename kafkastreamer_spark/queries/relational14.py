@@ -1964,3 +1964,102 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+@register(
+    "nation_trade_balance_matrix",
+    oracle="""
+        WITH flow AS (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS rev_fp,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2
+        )
+        SELECT f.supp_nation, f.cust_nation, f.rev_fp, f.n_lines,
+               f.rev_fp - coalesce(r.rev_fp, 0) AS net_export_fp
+        FROM flow f
+        LEFT JOIN flow r
+          ON r.supp_nation = f.cust_nation
+         AND r.cust_nation = f.supp_nation
+        ORDER BY f.supp_nation, f.cust_nation
+    """,
+    tags=("reporting", "join", "finance"),
+)
+def nation_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-border trade matrix — the generalization of
+    q7_volume_shipping's two-nation corridor to every ordered nation
+    pair: discounted revenue flowing supplier-nation → customer-
+    nation, plus each direction's NET export position (flow minus the
+    reverse flow, via a self-join of the aggregated matrix on the
+    swapped pair). Revenue is the exact fixed-point sum; domestic
+    trade is excluded as in q7.
+
+    Scale shape: the star join chains the fact table through orders
+    (fact-sized shuffle) and broadcasts customer/supplier/nation
+    dims; everything after the (nation, nation) aggregation —
+    including the reverse-pair self-join — runs on a matrix bounded
+    by |nations|² rows. One fact shuffle, dimension-bounded tail."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    rev = flow.select(
+        F.col("supp_nation").alias("r_supp"),
+        F.col("cust_nation").alias("r_cust"),
+        F.col("rev_fp").alias("r_rev_fp"),
+    )
+    return (
+        flow.join(
+            F.broadcast(rev),
+            (F.col("r_supp") == F.col("cust_nation"))
+            & (F.col("r_cust") == F.col("supp_nation")),
+            "left",
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "rev_fp",
+            "n_lines",
+            (F.col("rev_fp") - F.coalesce(F.col("r_rev_fp"), F.lit(0))).alias(
+                "net_export_fp"
+            ),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
