@@ -2063,3 +2063,163 @@ def nation_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation")
     )
+
+
+@register(
+    "part_substitution_affinity",
+    oracle=f"""
+        WITH nm AS (
+            SELECT DISTINCT p_name AS name,
+                   string_split(p_name, ' ')[-1] AS noun
+            FROM part
+        ),
+        edges AS (
+            SELECT a.name AS src, b.name AS dst
+            FROM nm a JOIN nm b
+              ON a.noun = b.noun AND levenshtein(a.name, b.name) <= 4
+        ),
+        l0 AS (SELECT name AS node, name AS lbl FROM nm),
+        {_cc_iter_sql("l0", "l1")},
+        {_cc_iter_sql("l1", "l2")},
+        {_cc_iter_sql("l2", "l3")},
+        {_cc_iter_sql("l3", "l4")},
+        lab AS (
+            SELECT p.p_partkey, l4.lbl AS entity
+            FROM part p JOIN l4 ON l4.node = p.p_name
+        ),
+        op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nt AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+               FROM op),
+        pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+               FROM op GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        lifted AS (
+            SELECT CASE WHEN la.entity = lb.entity
+                        THEN 'same_entity' ELSE 'cross_entity' END AS scope,
+                   (10000 * t.n_orders * p.n_ab) // (ca.n_p * cb.n_p)
+                       AS lift_fp4
+            FROM pairs p
+            JOIN pc ca ON ca.l_partkey = p.pa
+            JOIN pc cb ON cb.l_partkey = p.pb
+            JOIN lab la ON la.p_partkey = p.pa
+            JOIN lab lb ON lb.p_partkey = p.pb
+            CROSS JOIN nt t
+        )
+        SELECT scope, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(lift_fp4) AS BIGINT) // count(*) AS avg_lift_fp4,
+               CAST(max(lift_fp4) AS BIGINT) AS max_lift_fp4
+        FROM lifted GROUP BY scope ORDER BY scope
+    """,
+    tags=("er", "basket", "statistics", "reporting"),
+)
+def part_substitution_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitution-affinity audit composing two engine layers: the
+    ER entity clusters (er_part_entity_clusters' blocking + edit-
+    distance + fixed-round closure, rebuilt here label-for-label) and
+    basket co-occurrence lift. For every part pair bought together in
+    at least one order, lift = N·n_ab/(n_a·n_b) in exact 1e-4 fixed
+    point; pairs are then split into SAME-entity (candidate
+    substitutes/variants of one product) versus CROSS-entity, and
+    each scope reports pair count, integer-mean and max lift. The
+    interesting read: substitutes co-bought MORE than baseline hints
+    at variant bundling; less, at true substitution.
+
+    Scale shape: the pair join runs per-order over DISTINCT order
+    parts (per-order quadratic, corpus-linear — the basket-pair
+    shape, cappable exactly like basket_pair_cooccurrence if order
+    width ever grows); part frequencies and entity labels are
+    dimension-sized broadcasts; the final aggregate has two groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    nm = (
+        p.select("p_name")
+        .distinct()
+        .select(
+            F.col("p_name").alias("name"),
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+    )
+    edges = (
+        nm.alias("a")
+        .join(
+            nm.alias("b"),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4),
+        )
+        .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+    )
+    labels = nm.select(F.col("name").alias("node"), F.col("name").alias("lbl"))
+    for _ in range(4):
+        labels = _er_cc_iter(edges, labels)
+    lab = p.join(
+        F.broadcast(labels.select(F.col("node").alias("p_name"), "lbl")),
+        "p_name",
+    ).select("p_partkey", F.col("lbl").alias("entity"))
+
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    nt = op.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_p")
+    )
+    b_side = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        op.join(
+            b_side,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    lifted = (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("pa"),
+                                  F.col("n_p").alias("na"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("pb"),
+                                  F.col("n_p").alias("nb"))),
+            "pb",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("pa"),
+                                   F.col("entity").alias("ea"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("pb"),
+                                   F.col("entity").alias("eb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.when(F.col("ea") == F.col("eb"), "same_entity")
+            .otherwise("cross_entity")
+            .alias("scope"),
+            F.expr("(10000 * n_orders * n_ab) div (na * nb)").alias(
+                "lift_fp4"
+            ),
+        )
+    )
+    return (
+        lifted.groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(lift_fp4) AS BIGINT) div count(*)"
+            ).alias("avg_lift_fp4"),
+            F.max("lift_fp4").cast("long").alias("max_lift_fp4"),
+        )
+        .orderBy("scope")
+    )
