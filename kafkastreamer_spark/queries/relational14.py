@@ -2223,3 +2223,99 @@ def part_substitution_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+@register(
+    "supplier_network_resilience",
+    oracle="""
+        WITH vol AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                        AS BIGINT) AS q_fp
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        rk AS (
+            SELECT l_suppkey,
+                   CAST(row_number() OVER (ORDER BY q_fp DESC, l_suppkey)
+                        AS BIGINT) AS rnk
+            FROM vol
+        ),
+        pr AS (
+            SELECT ps.l_partkey,
+                   CAST(max(r.rnk) AS BIGINT) AS rmax,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN rk r ON r.l_suppkey = ps.l_suppkey
+            GROUP BY ps.l_partkey
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM pr)
+        SELECT k.k,
+               (SELECT CAST(count(*) AS BIGINT) FROM pr
+                WHERE rmax <= k.k) AS stranded_parts,
+               (10000 * (SELECT count(*) FROM pr WHERE rmax <= k.k))
+                   // t.n_parts AS stranded_pct4
+        FROM unnest([1, 2, 3, 5, 10]) AS k(k) CROSS JOIN nt t
+        ORDER BY k.k
+    """,
+    tags=("operations", "whatif", "reporting"),
+)
+def supplier_network_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-network resilience what-if: if the top-k suppliers by
+    shipped volume disappeared, how many parts would be left with NO
+    remaining supplier? A part is stranded at k exactly when the
+    LARGEST volume-rank among its suppliers is <= k (all of its
+    sources sit inside the removed set), so one per-part max-rank and
+    a cumulative count answer every k at once — the ladder reports
+    k in {1, 2, 3, 5, 10} with counts and coverage share. Volume is
+    the fixed-point sum; ranking ties break on suppkey, the
+    value-plus-unique-id discipline.
+
+    Scale shape: one groupBy over the fact for supplier volumes, a
+    supplier-DIMENSION-sized ranking window (bounded by |suppliers|,
+    not data volume), one distinct part-supplier projection joined
+    against the broadcast ranks, one per-part max. The what-if ladder
+    itself is a 5-row conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_quantity") * 10000).cast("long"))
+        .cast("long")
+        .alias("q_fp")
+    )
+    rk = vol.select(
+        "l_suppkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("q_fp"), "l_suppkey"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pr = (
+        ps.join(F.broadcast(rk), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("rnk").cast("long").alias("rmax"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        )
+    )
+    nt = pr.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 5, 10)])).alias("k")
+    )
+    return (
+        pr.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count_if(F.col("rmax") <= F.col("k"))
+            .cast("long")
+            .alias("stranded_parts")
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "stranded_parts",
+            F.expr("(10000 * stranded_parts) div n_parts").alias(
+                "stranded_pct4"
+            ),
+        )
+        .orderBy("k")
+    )
