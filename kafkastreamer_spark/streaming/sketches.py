@@ -312,3 +312,47 @@ def running_zscore_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kll_merge_sink(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint: str,
+    value_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a persistent KLL quantile sketch over a stream — the
+    quantile companion to ``cms_merge_sink``'s frequency sketch: per
+    micro-batch, aggregate the batch's values into a KLL sketch
+    (``kll_sketch_agg_double``) and fold it into the persisted binary
+    sketch with ``kll_merge_agg_double`` (DataSketches merge is
+    associative, so incremental maintenance is sound). Unlike the CMS
+    cells, a KLL sketch's internal state depends on compaction
+    randomness — consumers must assert quantiles within the sketch's
+    rank-error bound, never bit-equality (the test does exactly
+    that). Replay caveat matches cms_merge_sink: at-least-once unless
+    a batchId high-water mark or transactional store is added."""
+    import shutil
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.agg(
+            F.kll_sketch_agg_double(value_col).alias("sk")
+        )
+        try:
+            base = spark.read.parquet(base_dir).select("sk")
+            both = base.unionByName(batch_sk)
+            merged = both.agg(F.kll_merge_agg_double("sk").alias("sk"))
+        except Exception:
+            merged = batch_sk
+        tmp = base_dir + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.move(tmp, base_dir)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

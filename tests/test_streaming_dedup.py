@@ -237,3 +237,40 @@ def test_streaming_quota_sample_matches_batch(spark, sf_dir, tmp_path):
         (r.user_id, r.event_id, r.rk) for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_streaming_kll_sink_within_rank_error(spark, sf_dir, tmp_path):
+    """A KLL sketch maintained incrementally over a two-batch stream
+    must answer quantiles within the k=200 sketch's rank error of the
+    exactly-sorted data (KLL merge state is randomized, so the
+    contract is the rank-error bound, not cell equality like CMS)."""
+    import os
+
+    from kafkastreamer_spark.streaming.sketches import kll_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+
+    inp = str(tmp_path / "kin")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = file_source(spark, inp, ev.schema, max_files_per_trigger=1)
+    base = str(tmp_path / "kll_base")
+    q = kll_merge_sink(stream, base, str(tmp_path / "ckpt_kll"), "value")
+    q.awaitTermination(180)
+
+    sk = spark.read.parquet(base)
+    row = sk.select(
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("q95"),
+    ).collect()[0]
+    assert row["n"] == len(vals)
+    for p, v in ((0.5, row["q50"]), (0.95, row["q95"])):
+        true_rank = sum(1 for x in vals if x <= v) / len(vals)
+        assert abs(true_rank - p) <= 0.03, (p, v, true_rank)
