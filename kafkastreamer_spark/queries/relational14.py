@@ -2319,3 +2319,90 @@ def supplier_network_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def _haar_level_sql(level: int) -> str:
+    half = 1 << (level - 1)
+    blk = 1 << level
+    return f"""
+        SELECT {level} AS level,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(d * d) AS BIGINT) AS detail_energy
+        FROM (
+            SELECT idx // {blk} AS blk,
+                   CAST(sum(CASE WHEN (idx // {half}) % 2 = 0
+                            THEN x ELSE -x END) AS BIGINT) AS d
+            FROM daily GROUP BY idx // {blk}
+        )"""
+
+
+@register(
+    "events_haar_wavelet_energy",
+    oracle=f"""
+        WITH d0 AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        m AS (SELECT min(day) AS d_min FROM d0),
+        daily AS (
+            SELECT date_diff('day', m.d_min, d0.day) AS idx, d0.x
+            FROM d0 CROSS JOIN m
+        )
+        SELECT * FROM ({_haar_level_sql(1)})
+        UNION ALL SELECT * FROM ({_haar_level_sql(2)})
+        UNION ALL SELECT * FROM ({_haar_level_sql(3)})
+        ORDER BY level
+    """,
+    tags=("timeseries", "signal", "statistics"),
+)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy decomposition of the daily event
+    count series, levels 1-3 (2-, 4- and 8-day scales): high level-1
+    energy means day-to-day churn, high level-3 means week-scale
+    swings — the multi-resolution complement to
+    events_autocorrelation_lag7's single-lag view and the seasonal
+    decomposition's fixed weekly model. Each level-l detail
+    coefficient is one signed integer sum over a 2^l-day block
+    (sign flips on the (l-1)-scale half — the cascade algebra folded
+    into a single pass per level over raw days), so coefficients and
+    energies are exact BIGINTs; calendar gaps contribute implicit
+    zeros identically in both engines because the day INDEX, not the
+    row position, drives the pairing.
+
+    Scale shape: one (day) aggregation of the fact table, then three
+    calendar-bounded block aggregations — the same post-aggregation
+    series contract as the rest of the time-series family."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    m = d0.agg(F.min("day").alias("d_min"))
+    daily = d0.crossJoin(F.broadcast(m)).select(
+        F.datediff(F.col("day"), F.col("d_min")).cast("long").alias("idx"),
+        "x",
+    )
+    out = None
+    for level in (1, 2, 3):
+        half, blk = 1 << (level - 1), 1 << level
+        lvl = (
+            daily.groupBy((F.col("idx") / blk).cast("long").alias("blk"))
+            .agg(
+                F.sum(
+                    F.when(
+                        ((F.col("idx") / half).cast("long") % 2) == 0,
+                        F.col("x"),
+                    ).otherwise(-F.col("x"))
+                )
+                .cast("long")
+                .alias("d")
+            )
+            .agg(
+                F.lit(level).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum(F.col("d") * F.col("d"))
+                .cast("long")
+                .alias("detail_energy"),
+            )
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.orderBy("level")
