@@ -92,7 +92,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"   {name}: SPARK ERROR {exc}")
+            spark.catalog.clearCache()
             continue
+        # Persisted DataFrames leak across queries in a 300+-query
+        # single-session sweep (each query's caches are never
+        # unpersisted by the query function — its returned plan may
+        # still reference them); without this, driver heap pressure
+        # eventually kills an unrelated broadcast build mid-sweep
+        # (observed at ~260 queries at sf0.1).
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"   {name}: rows-only, {len(rows)} rows in {time.time()-t0:.1f}s")
             continue
