@@ -2406,3 +2406,108 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out.orderBy("level")
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+        WITH mu AS (
+            SELECT DISTINCT
+                   date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                       AS mi,
+                   user_id
+            FROM events
+        ),
+        fm AS (SELECT user_id, min(mi) AS first_mi FROM mu GROUP BY user_id),
+        flags AS (
+            SELECT m.mi, m.user_id,
+                   CASE WHEN f.first_mi = m.mi THEN 1 ELSE 0 END AS is_new,
+                   CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_retained
+            FROM mu m
+            JOIN fm f ON f.user_id = m.user_id
+            LEFT JOIN mu p ON p.user_id = m.user_id AND p.mi = m.mi - 1
+        ),
+        per AS (
+            SELECT mi, CAST(count(*) AS BIGINT) AS mau,
+                   CAST(sum(is_new) AS BIGINT) AS n_new,
+                   CAST(sum(is_retained) AS BIGINT) AS n_retained,
+                   CAST(sum(1 - is_new - is_retained) AS BIGINT)
+                       AS n_resurrected
+            FROM flags GROUP BY mi
+        )
+        SELECT mi, mau, n_new, n_retained, n_resurrected,
+               CAST(coalesce(lag(mau) OVER (ORDER BY mi), 0)
+                    - n_retained AS BIGINT) AS n_churned
+        FROM per ORDER BY mi
+    """,
+    tags=("events", "growth", "reporting"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the canonical quad decomposition
+    of active users: every week's WAU splits EXACTLY into new (first
+    week ever), retained (also active the previous week) and
+    resurrected (returning after a gap), and churned is last week's
+    WAU minus this week's retained. (Weekly, not monthly: the events
+    fixture spans 30 days, so months would be a single degenerate
+    bucket; the week index is Monday-anchored epoch-days div 7.) Identity mau = new + retained +
+    resurrected holds by construction (resurrected is computed as the
+    remainder), so the table self-audits. Complements
+    events_retention_cohort (fixed-cohort decay) and
+    events_reactivation_report (gap-based resurrection events) with
+    the week-over-week flow view growth teams actually chart;
+    "previous week" is integer index arithmetic, identical in both
+    engines.
+
+    Scale shape: one DISTINCT (week, user) projection, a per-user
+    min, one self-join shifted by a week — all shuffles keyed on
+    user_id — then the calendar-bounded weekly rollup with one tiny
+    lag window."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.select(
+        F.expr(
+            "datediff(to_date(ts), date'1970-01-05') div 7"
+        ).cast("long").alias("mi"),
+        "user_id",
+    ).distinct()
+    fm = mu.groupBy("user_id").agg(F.min("mi").alias("first_mi"))
+    prev = mu.select(
+        F.col("user_id").alias("p_user"), (F.col("mi") + 1).alias("p_mi")
+    )
+    flags = (
+        mu.join(fm, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_mi") == F.col("mi")),
+            "left",
+        )
+        .select(
+            "mi",
+            F.when(F.col("first_mi") == F.col("mi"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+            F.when(F.col("p_user").isNotNull(), 1).otherwise(0).alias(
+                "is_retained"
+            ),
+        )
+    )
+    per = flags.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("long").alias("mau"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_retained").cast("long").alias("n_retained"),
+        F.sum(F.lit(1) - F.col("is_new") - F.col("is_retained"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    w = Window.orderBy("mi")
+    return per.select(
+        "mi",
+        "mau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (F.coalesce(F.lag("mau").over(w), F.lit(0)) - F.col("n_retained"))
+        .cast("long")
+        .alias("n_churned"),
+    ).orderBy("mi")
