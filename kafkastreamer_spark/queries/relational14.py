@@ -2511,3 +2511,138 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_churned"),
     ).orderBy("mi")
+
+
+_GRID_CELL = 1000  # fixed-point units per grid cell (1e-4 coords)
+
+
+@register(
+    "join_spatial_grid_knn",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000)
+                        AS BIGINT) AS x,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000)
+                        AS BIGINT) AS y
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, x, y,
+                   CAST(floor(CAST(x AS DOUBLE) / {_GRID_CELL}) AS BIGINT)
+                       AS cx,
+                   CAST(floor(CAST(y AS DOUBLE) / {_GRID_CELL}) AS BIGINT)
+                       AS cy
+            FROM pts
+        ),
+        probes AS (
+            SELECT c.vec_id, c.x, c.y,
+                   c.cx + dx.dx AS ncx, c.cy + dy.dy AS ncy
+            FROM cells c,
+                 unnest([-1, 0, 1]) AS dx(dx),
+                 unnest([-1, 0, 1]) AS dy(dy)
+        ),
+        cand AS (
+            SELECT p.vec_id AS a, b.vec_id AS b,
+                   (p.x - b.x) * (p.x - b.x)
+                       + (p.y - b.y) * (p.y - b.y) AS d2
+            FROM probes p
+            JOIN cells b ON b.cx = p.ncx AND b.cy = p.ncy
+            WHERE b.vec_id <> p.vec_id
+        ),
+        md AS (SELECT a, min(d2) AS d2 FROM cand GROUP BY a)
+        SELECT m.a AS vec_id, CAST(min(c.b) AS BIGINT) AS nn_id,
+               CAST(m.d2 AS BIGINT) AS nn_dist2
+        FROM md m JOIN cand c ON c.a = m.a AND c.d2 = m.d2
+        GROUP BY m.a, m.d2 ORDER BY vec_id
+    """,
+    tags=("join", "spatial", "similarity"),
+)
+def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join over the first two
+    embedding dimensions as a 2-D point set: each point searches only
+    its own and the 8 adjacent grid cells (cell edge = 0.1 in vector
+    units), the classic uniform-grid spatial join that turns an
+    all-pairs O(n²) NN into O(n · local density). Coordinates are
+    fixed-pointed, distances are exact integer squares, and the
+    argmin is the deterministic two-step (min distance per probe,
+    then min neighbor id among ties). Points whose 3x3 neighborhood
+    is empty have no row — the documented grid-bounded-NN semantic,
+    identical in both engines.
+
+    Scale shape: the candidate join shuffles on the cell key, so
+    cost tracks sum-of-cell-density², controlled by the cell size
+    exactly like join_time_proximity_bucketed controls its bucket
+    width; the 9x probe fan-out is map-side. At 100 TB one tunes
+    _GRID_CELL so cells hold O(10-100) points and optionally salts
+    hot cells — the same dial every bucketed join in the engine
+    exposes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 10000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 10000)
+        .cast("long")
+        .alias("y"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x").cast("double") / _GRID_CELL)
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.col("y").cast("double") / _GRID_CELL)
+        .cast("long")
+        .alias("cy"),
+    )
+    offs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx")
+    ).crossJoin(
+        spark.range(1).select(
+            F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy")
+        )
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        "vec_id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        (F.col("cy") + F.col("dy")).alias("ncy"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    cand = (
+        probes.join(
+            b,
+            (F.col("bcx") == F.col("ncx")) & (F.col("bcy") == F.col("ncy")),
+        )
+        .filter(F.col("b_id") != F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("a"),
+            F.col("b_id").alias("bid"),
+            (
+                (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+                + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+            ).alias("d2"),
+        )
+    )
+    md = cand.groupBy("a").agg(F.min("d2").alias("d2"))
+    return (
+        md.join(cand, ["a", "d2"])
+        .groupBy("a", "d2")
+        .agg(F.min("bid").cast("long").alias("nn_id"))
+        .select(
+            F.col("a").alias("vec_id"),
+            "nn_id",
+            F.col("d2").cast("long").alias("nn_dist2"),
+        )
+        .orderBy("vec_id")
+    )
