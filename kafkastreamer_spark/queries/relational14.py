@@ -20,6 +20,7 @@ from kafkastreamer_spark.operators._embed import tokens
 from kafkastreamer_spark.operators.deskew import bucketed_row_number
 from kafkastreamer_spark.operators.sampling import sql_hash_bucket
 from kafkastreamer_spark.queries.graph import _cc_iter_sql
+from kafkastreamer_spark.queries.relational2 import _BPE_PATTERN
 from kafkastreamer_spark.queries._util import epoch_s
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.tables import load_table
@@ -2645,4 +2646,82 @@ def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").cast("long").alias("nn_dist2"),
         )
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "text_tokenizer_fertility_by_lang",
+    oracle=f"""
+        WITH per AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(lower(text),
+                        '{_BPE_PATTERN}'))) AS BIGINT) AS n_bpe,
+                   CAST(sum(len(string_split_regex(lower(text), '\\s+')))
+                        AS BIGINT) AS n_words
+            FROM documents GROUP BY lang
+        ),
+        en AS (
+            SELECT (10000 * n_bpe) // n_words AS en_fert
+            FROM per WHERE lang = 'en'
+        )
+        SELECT p.lang, p.n_docs, p.n_words, p.n_bpe,
+               (10000 * p.n_bpe) // p.n_words AS fertility_fp4,
+               (10000 * p.n_bpe) // p.n_words - e.en_fert
+                   AS premium_vs_en_fp4
+        FROM per p CROSS JOIN en e
+        ORDER BY p.lang
+    """,
+    tags=("llm-data", "text", "tokenizer"),
+)
+def text_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens (the
+    text_token_count_bpe regex — letter runs / digit runs / single
+    punctuation) per whitespace word, and each language's premium
+    over English — the audit a multilingual pretraining pipeline runs
+    to expose token-budget skew (a language with 1.8x fertility
+    consumes 1.8x budget per word; English-centric tokenizers
+    routinely tax CJK and morphology-rich languages this way).
+    Everything is integer counts and one integer division per
+    language; this variant stays entirely JVM-side
+    (regexp_extract_all) where the per-doc query demonstrates the
+    Arrow UDF path on the identical regex.
+
+    Scale shape: one map-side regex count + groupBy(lang) with a
+    language-domain-bounded output, and a 1-row broadcast for the
+    English baseline."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_bpe"),
+        F.sum(F.size(F.split(F.lower("text"), r"\s+")))
+        .cast("long")
+        .alias("n_words"),
+    )
+    en = per.filter(F.col("lang") == "en").select(
+        F.expr("(10000 * n_bpe) div n_words").alias("en_fert")
+    )
+    return (
+        per.crossJoin(F.broadcast(en))
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe",
+            F.expr("(10000 * n_bpe) div n_words").alias("fertility_fp4"),
+            F.expr(
+                "(10000 * n_bpe) div n_words - en_fert"
+            ).alias("premium_vs_en_fp4"),
+        )
+        .orderBy("lang")
     )
