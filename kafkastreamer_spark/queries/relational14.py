@@ -2725,3 +2725,109 @@ def text_tokenizer_fertility_by_lang(
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "supplier_borda_scorecard",
+    oracle="""
+        WITH kpi AS (
+            SELECT l.l_suppkey,
+                   CAST(SUM(CAST(FLOOR(l.l_quantity * 10000) AS BIGINT))
+                        AS BIGINT) AS vol_fp,
+                   CAST(count_if(l.l_returnflag = 'R') AS BIGINT) AS n_ret,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(greatest(0, date_diff('day',
+                        CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)))) AS BIGINT) AS delay_sum
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_suppkey
+        ),
+        ranked AS (
+            SELECT l_suppkey,
+                   CAST(row_number() OVER (ORDER BY vol_fp DESC, l_suppkey)
+                        AS BIGINT) AS r_volume,
+                   CAST(row_number() OVER (
+                        ORDER BY (1000000 * n_ret) // n_lines, l_suppkey)
+                        AS BIGINT) AS r_returns,
+                   CAST(row_number() OVER (
+                        ORDER BY delay_sum // n_lines, l_suppkey)
+                        AS BIGINT) AS r_delay,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM kpi
+        )
+        SELECT l_suppkey, r_volume, r_returns, r_delay,
+               3 * n - (r_volume + r_returns + r_delay) AS borda_score
+        FROM ranked
+        ORDER BY borda_score DESC, l_suppkey
+    """,
+    tags=("reporting", "ranking", "operations"),
+)
+def supplier_borda_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-KPI supplier scorecard by Borda rank aggregation — the
+    deterministic cousin of search_hybrid_rrf's reciprocal-rank
+    fusion, applied to operations: each supplier is ranked on shipped
+    volume (more is better), return rate (less is better, compared as
+    the exact integer ratio 1e6·returns div lines — no double ever
+    enters a sort key) and mean ship delay (less is better, integer
+    floor-mean of clamped day gaps), and the Borda score sums the
+    points n−rank across the three ballots. Rank ties break on
+    suppkey, so every rank, and hence the composite, is reproducible
+    bit-for-bit.
+
+    Scale shape: one fact-table join+groupBy to the supplier KPI
+    table, then three ranking windows over the supplier DIMENSION
+    (bounded by |suppliers|, the same dimension-window contract as
+    supplier_network_resilience). Nothing else touches the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    kpi = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 10000).cast("long"))
+            .cast("long")
+            .alias("vol_fp"),
+            F.count_if(F.col("l_returnflag") == "R")
+            .cast("long")
+            .alias("n_ret"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.datediff(
+                        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("delay_sum"),
+        )
+    )
+    ranked = kpi.select(
+        "l_suppkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("vol_fp"), "l_suppkey"))
+        .cast("long")
+        .alias("r_volume"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.expr("(1000000 * n_ret) div n_lines"), "l_suppkey")
+        )
+        .cast("long")
+        .alias("r_returns"),
+        F.row_number()
+        .over(Window.orderBy(F.expr("delay_sum div n_lines"), "l_suppkey"))
+        .cast("long")
+        .alias("r_delay"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return ranked.select(
+        "l_suppkey",
+        "r_volume",
+        "r_returns",
+        "r_delay",
+        (
+            3 * F.col("n")
+            - (F.col("r_volume") + F.col("r_returns") + F.col("r_delay"))
+        ).alias("borda_score"),
+    ).orderBy(F.desc("borda_score"), "l_suppkey")
