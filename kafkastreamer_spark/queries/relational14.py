@@ -2831,3 +2831,68 @@ def supplier_borda_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("r_volume") + F.col("r_returns") + F.col("r_delay"))
         ).alias("borda_score"),
     ).orderBy(F.desc("borda_score"), "l_suppkey")
+
+
+@register(
+    "text_template_mining",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id, source,
+                   string_split_regex(
+                       regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                       '\\s+') AS w
+            FROM documents
+        ),
+        tpl AS (
+            SELECT doc_id, source,
+                   array_to_string(w[1:6], ' ') AS template
+            FROM norm WHERE len(w) >= 6
+        ),
+        agg AS (
+            SELECT template,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM tpl GROUP BY template
+        )
+        SELECT template, n_docs, n_sources
+        FROM agg
+        WHERE n_docs >= 2
+        ORDER BY n_docs DESC, template LIMIT 20
+    """,
+    tags=("llm-data", "text", "dedup"),
+)
+def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate template mining: lowercase, mask every digit run to
+    '#', and take the first six normalized tokens as the document's
+    opening TEMPLATE — the normalization that makes "Order 1234
+    shipped on 2024-01-05" and "Order 98 shipped on 2024-01-07"
+    collide. Templates hit by two or more documents, with their doc
+    and source fan-out, are the boilerplate candidates a pretraining
+    pipeline strips BEFORE near-dup hashing (masked templates defeat
+    shingle dedup precisely because the digits differ). Top-20 with
+    the template itself as tie-break.
+
+    Scale shape: map-side regex + slice, one groupBy(template) with a
+    two-phase distinct-source count, TakeOrderedAndProject for the
+    top-k. One shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.regexp_replace(F.lower("text"), "[0-9]+", "#"), r"\s+"
+        ).alias("w"),
+    )
+    tpl = norm.filter(F.size("w") >= 6).select(
+        "source", F.concat_ws(" ", F.slice("w", 1, 6)).alias("template")
+    )
+    return (
+        tpl.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "template")
+        .limit(20)
+    )
