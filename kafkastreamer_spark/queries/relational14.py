@@ -2896,3 +2896,88 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "template")
         .limit(20)
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pd AS (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM e GROUP BY p),
+        sd AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM e GROUP BY s),
+        ed AS (
+            SELECT pd.dp AS x, sd.ds AS y
+            FROM e JOIN pd ON pd.p = e.p JOIN sd ON sd.s = e.s
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM ed
+        )
+        SELECT m, sx, sy, sxy,
+               CAST(floor(10000 * (CAST(m * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                           * CAST(m * syy - sy * sy AS DOUBLE))))
+                    AS BIGINT) AS assortativity_fp4
+        FROM sums
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite part-supplier graph: the
+    Pearson correlation between the part-side degree and the
+    supplier-side degree over EDGES — negative means high-degree
+    parts attach to low-degree suppliers (hub-and-spoke sourcing),
+    positive means degree-matched pairing. All five moment sums are
+    exact BIGINTs from integer degrees, and the final coefficient
+    uses only the safe IEEE subset (integer-exact doubles through
+    *, -, /, sqrt, then one floor to 1e-4 — the lineitem_eoq_policy
+    discipline).
+
+    Scale shape: one distinct edge projection, two degree
+    aggregations joined back (supplier side broadcasts; part side is
+    an equi-join on the edge's own partition key), one scalar moment
+    pass. Linear in edges at any volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pd_ = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    sd = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("ds"))
+    ed = e.join(pd_, "p").join(F.broadcast(sd), "s").select(
+        F.col("dp").alias("x"), F.col("ds").alias("y")
+    )
+    sums = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return sums.select(
+        "m",
+        "sx",
+        "sy",
+        "sxy",
+        F.floor(
+            10000
+            * (
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / F.sqrt(
+                    (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                    * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("assortativity_fp4"),
+    )
