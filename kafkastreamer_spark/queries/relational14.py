@@ -2981,3 +2981,113 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_fp4"),
     )
+
+
+@register(
+    "orders_quantile_treatment_effect",
+    oracle="""
+        WITH ab AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 'treat' ELSE 'control' END AS grp,
+                   CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS v_fp
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        pv AS (
+            SELECT grp, v_fp, CAST(count(*) AS BIGINT) AS cnt
+            FROM ab GROUP BY grp, v_fp
+        ),
+        cum AS (
+            SELECT grp, v_fp,
+                   CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v_fp)
+                        AS BIGINT) AS c,
+                   CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM pv
+        ),
+        qs AS (
+            SELECT q.q, cum.grp,
+                   min(CASE WHEN c >= (q.q * n + 99) // 100
+                            THEN v_fp END) AS v_q
+            FROM cum, unnest([25, 50, 75, 90]) AS q(q)
+            GROUP BY q.q, cum.grp
+        )
+        SELECT t.q, t.v_q AS treat_fp, c.v_q AS control_fp,
+               t.v_q - c.v_q AS qte_fp
+        FROM qs t JOIN qs c ON c.q = t.q
+        WHERE t.grp = 'treat' AND c.grp = 'control'
+        ORDER BY t.q
+    """,
+    tags=("stats", "causal", "statistics"),
+)
+def orders_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects for urgent vs low-priority orders:
+    the difference of the two groups' exact p25/p50/p75/p90 order
+    values — the distribution-level companion to the mean-level
+    orders_did_estimator and the rank-level orders_mann_whitney_u
+    (a treatment can move the tail without moving the median; QTE
+    shows WHERE in the distribution the effect lives). Quantiles use
+    the upper-discrete ⌈q·n⌉ convention on fixed-point BIGINTs via
+    the distinct-value cumulative table, so every cell and difference
+    is engine-exact.
+
+    Scale shape: one conditional projection of the fact, one
+    (group, value) aggregation, windows over the DISTINCT-VALUE
+    domain per group, then a 4-row quantile lattice. Same
+    single-fact-shuffle contract as the rank-statistics family."""
+    o = load_table(spark, sf_dir, "orders")
+    ab = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "treat")
+        .otherwise("control")
+        .alias("grp"),
+        F.floor(F.col("o_totalprice") * 10000).cast("long").alias("v_fp"),
+    )
+    pv = ab.groupBy("grp", "v_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v_fp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = pv.select(
+        "grp",
+        "v_fp",
+        F.sum("cnt").over(w_cum).cast("long").alias("c"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    qgrid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (25, 50, 75, 90)])).alias("q")
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(qgrid))
+        .groupBy("q", "grp")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("(q * n + 99) div 100"),
+                    F.col("v_fp"),
+                )
+            ).alias("v_q")
+        )
+    )
+    t = qs.filter(F.col("grp") == "treat").select(
+        "q", F.col("v_q").alias("treat_fp")
+    )
+    c = qs.filter(F.col("grp") == "control").select(
+        F.col("q").alias("cq"), F.col("v_q").alias("control_fp")
+    )
+    return (
+        t.join(F.broadcast(c), t.q == c.cq)
+        .select(
+            F.col("q").cast("long").alias("q"),
+            "treat_fp",
+            "control_fp",
+            (F.col("treat_fp") - F.col("control_fp")).alias("qte_fp"),
+        )
+        .orderBy("q")
+    )
