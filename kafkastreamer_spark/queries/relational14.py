@@ -2528,13 +2528,17 @@ _GRID_CELL = 1000  # fixed-point units per grid cell (1e-4 coords)
                         AS BIGINT) AS y
             FROM embeddings
         ),
+        cs AS (
+            SELECT greatest(1, CAST(floor(
+                       {_GRID_CELL} / sqrt(CAST(count(*) AS DOUBLE) / 500))
+                       AS BIGINT)) AS cell
+            FROM pts
+        ),
         cells AS (
             SELECT vec_id, x, y,
-                   CAST(floor(CAST(x AS DOUBLE) / {_GRID_CELL}) AS BIGINT)
-                       AS cx,
-                   CAST(floor(CAST(y AS DOUBLE) / {_GRID_CELL}) AS BIGINT)
-                       AS cy
-            FROM pts
+                   CAST(floor(CAST(x AS DOUBLE) / cs.cell) AS BIGINT) AS cx,
+                   CAST(floor(CAST(y AS DOUBLE) / cs.cell) AS BIGINT) AS cy
+            FROM pts CROSS JOIN cs
         ),
         probes AS (
             SELECT c.vec_id, c.x, c.y,
@@ -2562,9 +2566,15 @@ _GRID_CELL = 1000  # fixed-point units per grid cell (1e-4 coords)
 def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial nearest-neighbor join over the first two
     embedding dimensions as a 2-D point set: each point searches only
-    its own and the 8 adjacent grid cells (cell edge = 0.1 in vector
-    units), the classic uniform-grid spatial join that turns an
-    all-pairs O(n²) NN into O(n · local density). Coordinates are
+    its own and the 8 adjacent grid cells, the classic uniform-grid
+    spatial join that turns an all-pairs O(n²) NN into O(n · local
+    density) — with the cell edge ADAPTIVE to density: edge =
+    base/√(n/500) (floored, min 1), so cells hold a roughly constant
+    point count as the corpus grows and total candidate volume stays
+    linear (the fixed-cell first cut measured 54x wall at 16x data on
+    the scale probe — density² — before this fix; the adaptive rule
+    uses only count, /, sqrt, floor, so both engines derive the
+    identical edge). Coordinates are
     fixed-pointed, distances are exact integer squares, and the
     argmin is the deterministic two-step (min distance per probe,
     then min neighbor id among ties). Points whose 3x3 neighborhood
@@ -2572,12 +2582,11 @@ def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines.
 
     Scale shape: the candidate join shuffles on the cell key, so
-    cost tracks sum-of-cell-density², controlled by the cell size
-    exactly like join_time_proximity_bucketed controls its bucket
-    width; the 9x probe fan-out is map-side. At 100 TB one tunes
-    _GRID_CELL so cells hold O(10-100) points and optionally salts
-    hot cells — the same dial every bucketed join in the engine
-    exposes."""
+    cost tracks sum-of-cell-density², which the adaptive edge keeps
+    bounded; the 9x probe fan-out is map-side and the 1-row cell
+    scalar broadcasts. Skewed CLUSTERS (not volume) can still load
+    single cells — there one salts hot cells, the same dial every
+    bucketed join in the engine exposes."""
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -2588,14 +2597,22 @@ def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    cells = pts.select(
+    cs = pts.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                _GRID_CELL / F.sqrt(F.count(F.lit(1)).cast("double") / 500)
+            ).cast("long"),
+        ).alias("cell")
+    )
+    cells = pts.crossJoin(F.broadcast(cs)).select(
         "vec_id",
         "x",
         "y",
-        F.floor(F.col("x").cast("double") / _GRID_CELL)
+        F.floor(F.col("x").cast("double") / F.col("cell"))
         .cast("long")
         .alias("cx"),
-        F.floor(F.col("y").cast("double") / _GRID_CELL)
+        F.floor(F.col("y").cast("double") / F.col("cell"))
         .cast("long")
         .alias("cy"),
     )

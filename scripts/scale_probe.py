@@ -79,6 +79,10 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     "orders_survival_nelson_aalen": (("orders", "lineitem"), (1, 2, 4)),
     "text_bm25_topk": (("documents",), (1, 4, 16)),
     "multimodal_video_shot_boundaries": (("documents",), (1, 4, 16)),
+    "events_bootstrap_mean_ci": (("events",), (1, 4, 16)),
+    "join_spatial_grid_knn": (("embeddings",), (1, 4, 16)),
+    "part_substitution_affinity": (("part", "lineitem"), (1, 2, 4)),
+    "supplier_borda_scorecard": (("orders", "lineitem"), (1, 2, 4)),
 }
 
 
