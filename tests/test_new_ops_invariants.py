@@ -175,3 +175,64 @@ def test_percentile_by_source_is_uniform(spark, sf_dir):
         got = sorted(r["pctile_fp4"] for r in rs)
         want = sorted((10000 * (k - 1)) // (n - 1) for k in range(1, n + 1))
         assert got == want, src
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    for r in _run("events_growth_accounting", spark, sf_dir).collect():
+        assert r["mau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        assert r["n_churned"] >= 0 or r["mau"] == r["n_new"]
+
+
+def test_borda_total_is_conserved(spark, sf_dir):
+    """Borda points are zero-sum across the field: the column sums of
+    three row_number ballots are fixed, so the score total must equal
+    3n^2 - 3n(n+1)/2 regardless of the data."""
+    rows = _run("supplier_borda_scorecard", spark, sf_dir).collect()
+    n = len(rows)
+    assert sum(r["borda_score"] for r in rows) == 3 * n * n - 3 * n * (
+        n + 1
+    ) // 2
+
+
+def test_trade_balance_antisymmetry(spark, sf_dir):
+    rows = _run("nation_trade_balance_matrix", spark, sf_dir).collect()
+    net = {(r["supp_nation"], r["cust_nation"]): r["net_export_fp"] for r in rows}
+    for (a, b), v in net.items():
+        if (b, a) in net:
+            assert net[(b, a)] == -v, (a, b)
+
+
+def test_qte_quantiles_monotone(spark, sf_dir):
+    rows = _run("orders_quantile_treatment_effect", spark, sf_dir).collect()
+    qs = sorted(rows, key=lambda r: r["q"])
+    for prev, cur in zip(qs, qs[1:]):
+        assert cur["treat_fp"] >= prev["treat_fp"]
+        assert cur["control_fp"] >= prev["control_fp"]
+
+
+def test_bootstrap_ci_ordered(spark, sf_dir):
+    r = _run("events_bootstrap_mean_ci", spark, sf_dir).collect()[0]
+    assert r["n_replicates"] == 100
+    assert r["lo_fp"] <= r["hi_fp"]
+    assert r["lo_fp"] <= r["point_fp"] <= r["hi_fp"]
+
+
+def test_fertility_en_premium_zero(spark, sf_dir):
+    rows = _run("text_tokenizer_fertility_by_lang", spark, sf_dir).collect()
+    en = [r for r in rows if r["lang"] == "en"]
+    assert en and en[0]["premium_vs_en_fp4"] == 0
+
+
+def test_spatial_knn_positive_distances(spark, sf_dir):
+    rows = _run("join_spatial_grid_knn", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["nn_dist2"] >= 0
+        assert r["nn_id"] != r["vec_id"]
+
+
+def test_haar_block_counts_halve(spark, sf_dir):
+    rows = {r["level"]: r for r in
+            _run("events_haar_wavelet_energy", spark, sf_dir).collect()}
+    assert rows[1]["n_blocks"] >= rows[2]["n_blocks"] >= rows[3]["n_blocks"]
+    assert all(r["detail_energy"] >= 0 for r in rows.values())
