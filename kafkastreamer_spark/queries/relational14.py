@@ -3226,3 +3226,84 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_fp",
         )
     )
+
+
+_CHUNK_BYTES = 256  # small so fixture blobs span multiple chunks; 4 MiB in prod
+
+
+@register(
+    "multimodal_blob_chunk_manifest",
+    oracle=f"""
+        WITH blobs AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS chunk_idx,
+                   i * {_CHUNK_BYTES} AS byte_offset,
+                   length(substr(text, CAST(i * {_CHUNK_BYTES} + 1 AS INTEGER),
+                                 {_CHUNK_BYTES})) AS chunk_len,
+                   md5(substr(text, CAST(i * {_CHUNK_BYTES} + 1 AS INTEGER),
+                              {_CHUNK_BYTES})) AS chunk_md5
+            FROM blobs,
+                 unnest(range(0, greatest(1,
+                     CAST(ceil(CAST(n AS DOUBLE) / {_CHUNK_BYTES})
+                          AS BIGINT)))) AS t(i)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(byte_offset AS BIGINT) AS byte_offset,
+               CAST(chunk_len AS BIGINT) AS chunk_len,
+               chunk_md5
+        FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm-data", "multimodal", "storage"),
+)
+def multimodal_blob_chunk_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-addressed chunk manifest for opaque blobs: each
+    payload split into fixed-size chunks (256 B here so the fixture
+    exercises multi-chunk blobs; a production blob store uses MiB) with byte offset, actual
+    chunk length (the tail chunk is short) and per-chunk md5 — the
+    manifest a blob store needs for resumable upload, dedup at the
+    chunk level (identical chunks share storage) and integrity
+    verification, computed here entirely JVM-side (sequence + explode
+    + substring + md5, no UDF) so the whole manifest stays inside
+    whole-stage codegen. Empty payloads still emit one zero-length
+    chunk row, so every blob appears in the manifest.
+
+    Scale shape: pure map-side fan-out (rows x ceil(len/4096)) — no
+    shuffle at all before the output sort; chunk-level dedup
+    downstream is then one groupBy(chunk_md5) away."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(F.length("text").cast("double") / _CHUNK_BYTES).cast("long"),
+    )
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_BYTES).cast("long").alias("byte_offset"),
+        F.length(
+            F.substring(
+                F.col("text"),
+                (F.col("chunk_idx") * _CHUNK_BYTES + 1).cast("int"),
+                _CHUNK_BYTES,
+            )
+        )
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(
+            F.substring(
+                F.col("text"),
+                (F.col("chunk_idx") * _CHUNK_BYTES + 1).cast("int"),
+                _CHUNK_BYTES,
+            )
+        ).alias("chunk_md5"),
+    )
+    return chunks.orderBy("doc_id", "chunk_idx")
