@@ -3307,3 +3307,96 @@ def multimodal_blob_chunk_manifest(
         ).alias("chunk_md5"),
     )
     return chunks.orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "dedup_chunk_storage_savings",
+    oracle=f"""
+        WITH blobs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        chunks AS (
+            SELECT doc_id,
+                   length(substr(text, CAST(i * {_CHUNK_BYTES} + 1 AS INTEGER),
+                                 {_CHUNK_BYTES})) AS chunk_len,
+                   md5(substr(text, CAST(i * {_CHUNK_BYTES} + 1 AS INTEGER),
+                              {_CHUNK_BYTES})) AS chunk_md5
+            FROM blobs,
+                 unnest(range(0, greatest(1,
+                     CAST(ceil(CAST(n AS DOUBLE) / {_CHUNK_BYTES})
+                          AS BIGINT)))) AS t(i)
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(chunk_len) AS BIGINT) AS raw_bytes,
+                   CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_unique
+            FROM chunks
+        ),
+        uniq AS (
+            SELECT CAST(sum(chunk_len) AS BIGINT) AS stored_bytes
+            FROM (
+                SELECT chunk_md5, min(chunk_len) AS chunk_len
+                FROM chunks GROUP BY chunk_md5
+            )
+        )
+        SELECT s.n_chunks, s.n_unique, s.raw_bytes, u.stored_bytes,
+               s.raw_bytes - u.stored_bytes AS saved_bytes,
+               (10000 * (s.raw_bytes - u.stored_bytes)) // s.raw_bytes
+                   AS saved_pct4
+        FROM stats s CROSS JOIN uniq u
+    """,
+    tags=("llm-data", "dedup", "storage"),
+)
+def dedup_chunk_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed storage savings audit — the payoff
+    measurement for multimodal_blob_chunk_manifest's chunking: bytes
+    a naive store writes versus a store that keeps each distinct
+    chunk hash once, with the absolute and fractional saving
+    (identical chunk content across blobs — shared headers, repeated
+    boilerplate, exact-duplicate files — is the entire benefit case
+    for chunk-level CAS, and this query tells you whether YOUR corpus
+    has enough chunk-level redundancy to justify it). chunk_len per
+    hash is min-aggregated only to have one value per group; equal
+    hashes have equal lengths.
+
+    Scale shape: the same map-side chunk fan-out as the manifest,
+    one groupBy(chunk_md5) — high-cardinality, combiner-friendly —
+    and two scalar aggregates. One shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks_col = F.greatest(
+        F.lit(1),
+        F.ceil(F.length("text").cast("double") / _CHUNK_BYTES).cast("long"),
+    )
+    piece = F.substring(
+        F.col("text"),
+        (F.col("chunk_idx") * _CHUNK_BYTES + 1).cast("int"),
+        _CHUNK_BYTES,
+    )
+    chunks = d.select(
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks_col - 1)).alias("chunk_idx"),
+    ).select(
+        F.length(piece).cast("long").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )
+    stats = chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("raw_bytes"),
+        F.count_distinct("chunk_md5").cast("long").alias("n_unique"),
+    )
+    uniq = (
+        chunks.groupBy("chunk_md5")
+        .agg(F.min("chunk_len").alias("chunk_len"))
+        .agg(F.sum("chunk_len").cast("long").alias("stored_bytes"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(uniq))
+        .select(
+            "n_chunks",
+            "n_unique",
+            "raw_bytes",
+            "stored_bytes",
+            (F.col("raw_bytes") - F.col("stored_bytes")).alias("saved_bytes"),
+            F.expr(
+                "(10000 * (raw_bytes - stored_bytes)) div raw_bytes"
+            ).alias("saved_pct4"),
+        )
+    )
