@@ -3400,3 +3400,118 @@ def dedup_chunk_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("saved_pct4"),
         )
     )
+
+
+@register(
+    "events_alarm_hysteresis",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT event_type,
+                   CAST(sum(x) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM daily GROUP BY event_type
+        ),
+        flagged AS (
+            SELECT d.event_type, d.day, d.x,
+                   CASE WHEN 100 * d.x * b.nd > 120 * b.tot THEN 1
+                        WHEN 100 * d.x * b.nd <  80 * b.tot THEN 0
+                        END AS crossing
+            FROM daily d JOIN base b ON b.event_type = d.event_type
+        ),
+        state AS (
+            SELECT event_type, day,
+                   coalesce(last_value(crossing IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0) AS alarm_on
+            FROM flagged
+        ),
+        trans AS (
+            SELECT event_type, day, alarm_on,
+                   CASE WHEN alarm_on <> coalesce(lag(alarm_on) OVER (
+                        PARTITION BY event_type ORDER BY day), 0)
+                        THEN 1 ELSE 0 END AS flip
+            FROM state
+        )
+        SELECT event_type,
+               CAST(sum(alarm_on) AS BIGINT) AS n_days_alarmed,
+               CAST(sum(flip) AS BIGINT) AS n_transitions,
+               CAST(min(CASE WHEN alarm_on = 1 THEN day END) AS VARCHAR)
+                   AS first_alarm_day
+        FROM trans GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "monitoring", "timeseries"),
+)
+def events_alarm_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm debouncing with hysteresis over the daily event-count
+    series: the alarm LATCHES on when a type's daily count exceeds
+    120% of its own average and only releases below 80% — the
+    two-threshold Schmitt-trigger that kills the flapping a single
+    threshold produces on noisy counts. The latch state is
+    reconstructed declaratively: days between crossings carry NULL
+    and last_value(IGNORE NULLS) over the ordered window replays the
+    most recent crossing — sequential state without any stateful UDF.
+    Thresholds compare as integer cross-products (100·x·nd vs
+    120·tot), so the whole signal path is exact.
+
+    Scale shape: one (type, day) aggregation of the fact table, then
+    per-type windows over the calendar-bounded daily series. The
+    streaming twin of this latch is one applyInPandasWithState with a
+    single int of state per key (the running_zscore_stateful
+    pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    flagged = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "day",
+        F.when(100 * F.col("x") * F.col("nd") > 120 * F.col("tot"), 1)
+        .when(100 * F.col("x") * F.col("nd") < 80 * F.col("tot"), 0)
+        .alias("crossing"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    state = flagged.select(
+        "event_type",
+        "day",
+        F.coalesce(
+            F.last("crossing", ignorenulls=True).over(w), F.lit(0)
+        ).alias("alarm_on"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    trans = state.select(
+        "event_type",
+        "day",
+        "alarm_on",
+        F.when(
+            F.col("alarm_on")
+            != F.coalesce(F.lag("alarm_on").over(wl), F.lit(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    return (
+        trans.groupBy("event_type")
+        .agg(
+            F.sum("alarm_on").cast("long").alias("n_days_alarmed"),
+            F.sum("flip").cast("long").alias("n_transitions"),
+            F.min(F.when(F.col("alarm_on") == 1, F.col("day")))
+            .cast("string")
+            .alias("first_alarm_day"),
+        )
+        .orderBy("event_type")
+    )
