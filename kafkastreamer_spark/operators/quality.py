@@ -295,7 +295,7 @@ def sample_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_prep_oracle() -> str:
+def _corpus_prep_ctes() -> str:
     from kafkastreamer_spark.operators.sampling import (
         SOURCE_CAP,
         TEMP_C,
@@ -355,6 +355,18 @@ def _corpus_prep_oracle() -> str:
             ) WHERE lrn <= least(lcnt,
                     CAST(floor(sqrt(CAST(lcnt AS DOUBLE)) * {TEMP_C}) AS BIGINT))
         )
+        SELECT 1 AS _one
+    """
+
+
+def _corpus_prep_oracle() -> str:
+    from kafkastreamer_spark.operators.sampling import sql_hash_bucket
+
+    body = _corpus_prep_ctes()
+    body = body[: body.rindex("SELECT 1 AS _one")]
+    return (
+        body
+        + f"""
         SELECT CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
                     WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'valid'
                     ELSE 'test' END AS split,
@@ -363,6 +375,127 @@ def _corpus_prep_oracle() -> str:
         GROUP BY split, lang
         ORDER BY split, lang
     """
+    )
+
+
+def _corpus_prep_waterfall_oracle() -> str:
+    body = _corpus_prep_ctes()
+    body = body[: body.rindex("SELECT 1 AS _one")]
+    return (
+        body
+        + """, ladder AS (
+            SELECT 0 AS stage, 'input' AS stage_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_out
+            UNION ALL SELECT 1, 'repetition_filter',
+                   (SELECT CAST(count(*) AS BIGINT) FROM clean)
+            UNION ALL SELECT 2, 'exact_dedup',
+                   (SELECT CAST(count(*) AS BIGINT) FROM deduped)
+            UNION ALL SELECT 3, 'source_cap',
+                   (SELECT CAST(count(*) AS BIGINT) FROM capped)
+            UNION ALL SELECT 4, 'temperature_mix',
+                   (SELECT CAST(count(*) AS BIGINT) FROM mixed)
+        )
+        SELECT stage, stage_name, n_out,
+               CAST(coalesce(lag(n_out) OVER (ORDER BY stage), n_out)
+                    - n_out AS BIGINT) AS n_dropped,
+               (10000 * (coalesce(lag(n_out) OVER (ORDER BY stage), n_out)
+                         - n_out))
+                   // coalesce(lag(n_out) OVER (ORDER BY stage), n_out)
+                   AS drop_pct4
+        FROM ladder ORDER BY stage
+    """
+    )
+
+
+def _corpus_prep_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """The corpus-prep hygiene chain as named stage DataFrames —
+    shared verbatim by the capstone report (pipeline_corpus_prep) and
+    the waterfall audit so the two can never drift apart."""
+    from kafkastreamer_spark.operators.sampling import SOURCE_CAP, TEMP_C
+
+    flags = repetition_metrics_df(spark, sf_dir).select(
+        "doc_id", "flagged_repetitive"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    clean = d.join(flags, "doc_id").filter(F.col("flagged_repetitive") == 0)
+
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
+    )
+
+    capped = md5_ranked(deduped, ["source"], "doc_id", "crn").filter(
+        F.col("crn") <= SOURCE_CAP
+    )
+
+    target = F.least(
+        F.col("lcnt"),
+        F.floor(F.sqrt(F.col("lcnt").cast("double")) * TEMP_C).cast("long"),
+    )
+    mixed = md5_ranked(
+        capped, ["lang"], "doc_id", "lrn", count_name="lcnt"
+    ).filter(F.col("lrn") <= target)
+    return {
+        "input": d,
+        "repetition_filter": clean,
+        "exact_dedup": deduped,
+        "source_cap": capped,
+        "temperature_mix": mixed,
+        "mixed": mixed,
+    }
+
+
+@register(
+    "pipeline_corpus_prep_waterfall",
+    oracle=_corpus_prep_waterfall_oracle(),
+    tags=("pipeline", "quality", "reporting", "llm-data"),
+)
+def pipeline_corpus_prep_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stage-by-stage waterfall for the corpus-prep capstone: how many
+    documents enter, survive and drop at each hygiene gate
+    (repetition filter -> exact dedup -> source cap -> temperature
+    mix), with the per-stage drop rate — the audit view an ingestion
+    review reads BEFORE trusting the final mixture, and the first
+    place a mis-tuned gate (a cap set too low, a filter suddenly
+    eating 40% of a source) becomes visible. Built on the SAME stage
+    DataFrames as pipeline_corpus_prep via _corpus_prep_stages, so
+    the waterfall can never disagree with the report it explains.
+
+    Scale shape: one count aggregate per stage over the shared
+    lineage (Spark reuses the common shuffle stages across the
+    counts via exchange reuse), then a 5-row ladder with one lag
+    window."""
+    stages = _corpus_prep_stages(spark, sf_dir)
+    names = [
+        "input",
+        "repetition_filter",
+        "exact_dedup",
+        "source_cap",
+        "temperature_mix",
+    ]
+    ladder = None
+    for i, nm in enumerate(names):
+        c = stages[nm].agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(nm).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+        )
+        ladder = c if ladder is None else ladder.unionByName(c)
+    w = Window.orderBy("stage")
+    prev = F.coalesce(F.lag("n_out").over(w), F.col("n_out"))
+    return ladder.select(
+        "stage",
+        "stage_name",
+        "n_out",
+        (prev - F.col("n_out")).cast("long").alias("n_dropped"),
+        F.floor(
+            (10000 * (prev - F.col("n_out"))).cast("double") / prev
+        )
+        .cast("long")
+        .alias("drop_pct4"),
+    ).orderBy("stage")
 
 
 @register(
@@ -394,34 +527,9 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets), so no language or domain ever sorts in a single task —
     bit-identical to the oracle's global windows (round-1 `weak`
     fix)."""
-    from kafkastreamer_spark.operators.sampling import (
-        SOURCE_CAP,
-        TEMP_C,
-        hash_bucket,
-    )
+    from kafkastreamer_spark.operators.sampling import hash_bucket
 
-    flags = repetition_metrics_df(spark, sf_dir).select(
-        "doc_id", "flagged_repetitive"
-    )
-    d = load_table(spark, sf_dir, "documents")
-    clean = d.join(flags, "doc_id").filter(F.col("flagged_repetitive") == 0)
-
-    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        clean.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
-    )
-
-    capped = md5_ranked(deduped, ["source"], "doc_id", "crn").filter(
-        F.col("crn") <= SOURCE_CAP
-    )
-
-    target = F.least(
-        F.col("lcnt"),
-        F.floor(F.sqrt(F.col("lcnt").cast("double")) * TEMP_C).cast("long"),
-    )
-    mixed = md5_ranked(
-        capped, ["lang"], "doc_id", "lrn", count_name="lcnt"
-    ).filter(F.col("lrn") <= target)
+    mixed = _corpus_prep_stages(spark, sf_dir)["mixed"]
 
     b = hash_bucket(F.col("doc_id"))
     split = (
