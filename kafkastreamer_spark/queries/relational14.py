@@ -3515,3 +3515,83 @@ def events_alarm_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "supplier_pchart_control",
+    oracle="""
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count_if(l_returnflag <> 'R') AS BIGINT) AS n_ok
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        tot AS (
+            SELECT CAST(sum(n_ok) AS BIGINT) AS ok_all,
+                   CAST(sum(n_lines) AS BIGINT) AS n_all
+            FROM per
+        ),
+        lim AS (
+            SELECT p.l_suppkey, p.n_lines, p.n_ok,
+                   (10000 * p.n_ok) // p.n_lines AS rate_fp4,
+                   CAST(floor(10000 * (CAST(t.ok_all AS DOUBLE) / t.n_all
+                        - 3 * sqrt((CAST(t.ok_all AS DOUBLE) / t.n_all)
+                                   * (1 - CAST(t.ok_all AS DOUBLE) / t.n_all)
+                                   / p.n_lines))) AS BIGINT) AS lcl_fp4,
+                   CAST(floor(10000 * (CAST(t.ok_all AS DOUBLE) / t.n_all
+                        + 3 * sqrt((CAST(t.ok_all AS DOUBLE) / t.n_all)
+                                   * (1 - CAST(t.ok_all AS DOUBLE) / t.n_all)
+                                   / p.n_lines))) AS BIGINT) AS ucl_fp4
+            FROM per p CROSS JOIN tot t
+        )
+        SELECT l_suppkey, n_lines, rate_fp4, lcl_fp4, ucl_fp4,
+               CASE WHEN rate_fp4 < lcl_fp4 THEN 'below'
+                    WHEN rate_fp4 > ucl_fp4 THEN 'above'
+                    ELSE 'in_control' END AS control_status
+        FROM lim ORDER BY l_suppkey
+    """,
+    tags=("operations", "statistics", "monitoring"),
+)
+def supplier_pchart_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial p-chart over supplier non-return rates — statistical
+    process control: each supplier's OK-rate is compared against the
+    fleet center line p-bar with 3-sigma binomial limits
+    p-bar ± 3·√(p-bar(1−p-bar)/nᵢ), which widen for low-volume
+    suppliers (the whole point of a p-chart: a 70% rate on 10 lines
+    is noise, on 10,000 lines it's a signal). Rates compare in exact
+    1e-4 fixed point; the limits use only the safe IEEE subset
+    (/, *, −, sqrt, floor — the engine's transcendental rule), so
+    every verdict is engine-exact.
+
+    Scale shape: one groupBy over the fact table, one 1-row scalar
+    broadcast, map-side limit arithmetic. The canonical one-shuffle
+    monitoring query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_if(F.col("l_returnflag") != "R").cast("long").alias("n_ok"),
+    )
+    tot = per.agg(
+        F.sum("n_ok").cast("long").alias("ok_all"),
+        F.sum("n_lines").cast("long").alias("n_all"),
+    )
+    pbar = F.col("ok_all").cast("double") / F.col("n_all")
+    margin = 3 * F.sqrt(pbar * (1 - pbar) / F.col("n_lines"))
+    lim = per.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "n_lines",
+        F.expr("(10000 * n_ok) div n_lines").alias("rate_fp4"),
+        F.floor(10000 * (pbar - margin)).cast("long").alias("lcl_fp4"),
+        F.floor(10000 * (pbar + margin)).cast("long").alias("ucl_fp4"),
+    )
+    return lim.select(
+        "l_suppkey",
+        "n_lines",
+        "rate_fp4",
+        "lcl_fp4",
+        "ucl_fp4",
+        F.when(F.col("rate_fp4") < F.col("lcl_fp4"), "below")
+        .when(F.col("rate_fp4") > F.col("ucl_fp4"), "above")
+        .otherwise("in_control")
+        .alias("control_status"),
+    ).orderBy("l_suppkey")
