@@ -3595,3 +3595,80 @@ def supplier_pchart_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("in_control")
         .alias("control_status"),
     ).orderBy("l_suppkey")
+
+
+@register(
+    "part_rank_movers",
+    oracle="""
+        WITH per AS (
+            SELECT l_partkey, year(l_shipdate) AS yr,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_fp
+            FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT l_partkey, yr,
+                   CAST(row_number() OVER (
+                       PARTITION BY yr ORDER BY rev_fp DESC, l_partkey
+                   ) AS BIGINT) AS rnk
+            FROM per
+        )
+        SELECT a.l_partkey AS p_partkey,
+               a.rnk AS rank_1996, b.rnk AS rank_1997,
+               a.rnk - b.rnk AS rank_gain
+        FROM ranked a JOIN ranked b
+          ON a.l_partkey = b.l_partkey AND a.yr = 1996 AND b.yr = 1997
+        ORDER BY abs(a.rnk - b.rnk) DESC, p_partkey
+        LIMIT 20
+    """,
+    tags=("reporting", "ranking", "movers"),
+)
+def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank movers report: the 20 parts whose revenue RANK shifted
+    most between 1996 and 1997 (positive rank_gain = climbed). Rank
+    deltas surface re-ordering that absolute revenue deltas hide — a
+    mid-tail part doubling matters more than a leader wobbling — and
+    pair naturally with the price-volume-mix bridge that explains
+    WHY. Ranks are per-year row_numbers over exact fixed-point
+    revenue with the partkey tie-break, and the top-20 carries the
+    |delta| plus partkey total order, so the LIMIT is deterministic.
+
+    Scale shape: one filtered fact aggregation, two part-DIMENSION
+    ranking windows (one per year partition), a part-keyed self-join,
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    per = li.groupBy("l_partkey", F.year("l_shipdate").alias("yr")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev_fp")
+    )
+    ranked = per.select(
+        "l_partkey",
+        "yr",
+        F.row_number()
+        .over(
+            Window.partitionBy("yr").orderBy(F.desc("rev_fp"), "l_partkey")
+        )
+        .cast("long")
+        .alias("rnk"),
+    )
+    a = ranked.filter(F.col("yr") == 1996).select(
+        F.col("l_partkey").alias("p_partkey"), F.col("rnk").alias("rank_1996")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("l_partkey").alias("pk2"), F.col("rnk").alias("rank_1997")
+    )
+    return (
+        a.join(b, a.p_partkey == b.pk2)
+        .select(
+            "p_partkey",
+            "rank_1996",
+            "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997")).alias("rank_gain"),
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), "p_partkey")
+        .limit(20)
+    )
