@@ -3672,3 +3672,113 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rank_gain")).desc(), "p_partkey")
         .limit(20)
     )
+
+
+@register(
+    "orders_pareto_skyline",
+    oracle="""
+        WITH pts AS (
+            SELECT o.o_orderkey,
+                   CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT) AS x,
+                   CAST(greatest(0, date_diff('day',
+                        CAST(o.o_orderdate AS DATE),
+                        CAST(fs.ship0 AS DATE))) AS BIGINT) AS y
+            FROM orders o
+            JOIN (SELECT l_orderkey, min(l_shipdate) AS ship0
+                  FROM lineitem GROUP BY l_orderkey) fs
+              ON fs.l_orderkey = o.o_orderkey
+        ),
+        marked AS (
+            SELECT o_orderkey, x, y,
+                   min(y) OVER (ORDER BY x
+                       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS best_above
+            FROM pts
+        )
+        SELECT o_orderkey, x AS price_fp, y AS ship_days
+        FROM marked
+        WHERE best_above IS NULL OR best_above >= y
+        ORDER BY o_orderkey
+    """,
+    tags=("operator", "skyline", "deskew"),
+)
+def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator: orders not DOMINATED on
+    (maximize total price, minimize days-to-first-ship) — an order is
+    dominated when some strictly-more-expensive order also shipped
+    strictly faster. The classic multi-criteria shortlist operator
+    the relational family lacked.
+
+    The dominance test reduces to a suffix minimum over the price
+    order (dominated iff min{y : x' > x} < y) — the oracle states it
+    as the naive RANGE window. The Spark plan computes the SAME
+    suffix-min two-phase, never sorting globally in one task:
+    price-range buckets (x div 1e9, ~price div 1e5 in currency units)
+    get per-bucket minima, a tiny bucket-level window produces each
+    bucket's strictly-above suffix min, and a bucket-LOCAL descending
+    window handles the same-bucket strictly-greater part — the
+    bucketed-prefix de-skew pattern of operators/deskew.py applied to
+    a running aggregate instead of a rank. RANGE (not ROWS) semantics
+    on price ties are preserved exactly: equal-x rows never dominate
+    each other in either formulation.
+
+    Scale shape: one fact join, one bucket aggregation, one window
+    over the BUCKET table (bounded by the price-domain bucketing),
+    and bucket-local windows whose width is the per-bucket row count
+    — tunable via the bucket size, same dial as every two-phase
+    pattern in the engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    pts = o.join(fs, o.o_orderkey == fs.l_orderkey).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 10000).cast("long").alias("x"),
+        F.greatest(
+            F.lit(0),
+            F.datediff(F.to_date("ship0"), F.to_date("o_orderdate")),
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn("bkt", F.expr("x div 1000000000"))
+
+    bmin = pts.groupBy("bkt").agg(F.min("y").alias("bkt_min_y"))
+    w_above = (
+        Window.orderBy("bkt")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    boff = bmin.select(
+        "bkt", F.min("bkt_min_y").over(w_above).alias("above_bkt_min")
+    )
+    # strictly-greater-x within the bucket: collapse to DISTINCT x
+    # first (grouping enforces the RANGE tie semantics — equal-x rows
+    # must never dominate each other), then a rows-desc prefix min
+    # over the distinct-x ladder.
+    dx = pts.groupBy("bkt", "x").agg(F.min("y").alias("xy_min"))
+    w_dx = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dxo = dx.select(
+        "bkt", "x", F.min("xy_min").over(w_dx).alias("local_min_above")
+    )
+    marked = (
+        pts.join(dxo, ["bkt", "x"])
+        .join(F.broadcast(boff), "bkt")
+        .withColumn(
+            "best_above",
+            F.least(F.col("local_min_above"), F.col("above_bkt_min")),
+        )
+    )
+    return (
+        marked.filter(
+            F.col("best_above").isNull()
+            | (F.col("best_above") >= F.col("y"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("x").alias("price_fp"),
+            F.col("y").alias("ship_days"),
+        )
+        .orderBy("o_orderkey")
+    )
