@@ -3680,9 +3680,9 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH pts AS (
             SELECT o.o_orderkey,
                    CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT) AS x,
-                   CAST(greatest(0, date_diff('day',
+                   CAST(date_diff('day',
                         CAST(o.o_orderdate AS DATE),
-                        CAST(fs.ship0 AS DATE))) AS BIGINT) AS y
+                        CAST(fs.ship0 AS DATE)) AS BIGINT) AS y
             FROM orders o
             JOIN (SELECT l_orderkey, min(l_shipdate) AS ship0
                   FROM lineitem GROUP BY l_orderkey) fs
@@ -3706,7 +3706,10 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) operator: orders not DOMINATED on
     (maximize total price, minimize days-to-first-ship) — an order is
     dominated when some strictly-more-expensive order also shipped
-    strictly faster. The classic multi-criteria shortlist operator
+    strictly faster (raw first-ship minus order-date gap, negative in
+    this synthetic fixture for pre-dated ships — dominance only needs
+    the ordering, so no clamp: a clamp would pile every early ship
+    onto y=0 and bloat the frontier with ties). The classic multi-criteria shortlist operator
     the relational family lacked.
 
     The dominance test reduces to a suffix minimum over the price
@@ -3733,10 +3736,7 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = o.join(fs, o.o_orderkey == fs.l_orderkey).select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 10000).cast("long").alias("x"),
-        F.greatest(
-            F.lit(0),
-            F.datediff(F.to_date("ship0"), F.to_date("o_orderdate")),
-        )
+        F.datediff(F.to_date("ship0"), F.to_date("o_orderdate"))
         .cast("long")
         .alias("y"),
     ).withColumn("bkt", F.expr("x div 1000000000"))
