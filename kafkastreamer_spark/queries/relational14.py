@@ -3782,3 +3782,124 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                       AS wi,
+                   CAST(ts AS DATE) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM events GROUP BY 1, 2
+        ),
+        wu AS (
+            SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                       AS wi,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT wi, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dau) AS BIGINT) AS dau_sum
+            FROM du GROUP BY wi
+        )
+        SELECT d.wi, d.n_days, d.dau_sum, w.wau,
+               (10000 * d.dau_sum) // (d.n_days * w.wau)
+                   AS stickiness_fp4
+        FROM d JOIN wu w ON w.wi = d.wi
+        ORDER BY d.wi
+    """,
+    tags=("events", "growth", "reporting"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week: average daily active users over
+    weekly active users — the engagement-frequency ratio growth teams
+    chart next to the growth-accounting quad (a WAU can be flat while
+    stickiness collapses; this is the column that tells them apart).
+    Weeks are the same Monday-anchored epoch-day index as
+    events_growth_accounting; the ratio is one integer division of
+    exact distinct counts.
+
+    Scale shape: two distinct-count aggregations over the fact table
+    (per day and per week — both user-keyed partial-aggregating),
+    joined on the calendar-bounded week table."""
+    ev = load_table(spark, sf_dir, "events")
+    wi = F.expr("datediff(to_date(ts), date'1970-01-05') div 7").cast("long")
+    du = ev.groupBy(
+        wi.alias("wi"), F.to_date("ts").alias("day")
+    ).agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    wu = ev.groupBy(wi.alias("wi")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    d = du.groupBy("wi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    return (
+        d.join(wu, "wi")
+        .select(
+            "wi",
+            "n_days",
+            "dau_sum",
+            "wau",
+            F.expr("(10000 * dau_sum) div (n_days * wau)").alias(
+                "stickiness_fp4"
+            ),
+        )
+        .orderBy("wi")
+    )
+
+
+@register(
+    "events_activity_ccdf",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM pu)
+        SELECT t.thr,
+               (SELECT CAST(count(*) AS BIGINT) FROM pu
+                WHERE n >= t.thr) AS n_ge,
+               (10000 * (SELECT count(*) FROM pu WHERE n >= t.thr))
+                   // u.n_users AS ccdf_fp4
+        FROM unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS t(thr)
+        CROSS JOIN nt u
+        ORDER BY t.thr
+    """,
+    tags=("events", "statistics", "distribution"),
+)
+def events_activity_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complementary CDF of per-user activity at dyadic thresholds
+    (1, 2, 4, ..., 512): the fraction of users with at least k events
+    — read on log-log paper this IS the power-law tail check (a
+    straight line means Pareto-distributed engagement), computed
+    entirely with exact counts at fixed probes so no logarithm ever
+    enters a compared column (the engine's transcendental rule; the
+    consumer plots log(thr) vs log(ccdf) if they want the slope).
+
+    Scale shape: one groupBy(user_id), a 10-row probe fan-out folded
+    into one conditional aggregation pass — the events_value_ecdf
+    pattern pointed at the tail instead of the body."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nt = pu.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)])
+        ).alias("thr")
+    )
+    return (
+        pu.crossJoin(F.broadcast(probes))
+        .groupBy("thr")
+        .agg(F.count_if(F.col("n") >= F.col("thr")).cast("long").alias("n_ge"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("thr").cast("long").alias("thr"),
+            "n_ge",
+            F.expr("(10000 * n_ge) div n_users").alias("ccdf_fp4"),
+        )
+        .orderBy("thr")
+    )
