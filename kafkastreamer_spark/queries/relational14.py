@@ -3903,3 +3903,113 @@ def events_activity_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+@register(
+    "lineitem_demand_classification",
+    oracle="""
+        WITH months AS (
+            SELECT CAST(count(DISTINCT year(l_shipdate) * 12
+                               + month(l_shipdate)) AS BIGINT) AS n_periods
+            FROM lineitem
+        ),
+        pm AS (
+            SELECT l_partkey,
+                   year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sqq
+            FROM pm GROUP BY l_partkey
+        ),
+        cls AS (
+            SELECT p.l_partkey, p.n_active, m.n_periods,
+                   (10000 * m.n_periods) // p.n_active AS adi_fp4,
+                   CASE WHEN p.n_active > 1
+                        THEN (10000 * p.n_active
+                              * (p.n_active * p.sqq - p.sq * p.sq))
+                             // ((p.n_active - 1) * p.sq * p.sq)
+                        ELSE 0 END AS cv2_fp4
+            FROM per p CROSS JOIN months m
+        )
+        SELECT l_partkey AS p_partkey, n_active, adi_fp4, cv2_fp4,
+               CASE WHEN adi_fp4 < 13200 AND cv2_fp4 < 4900
+                        THEN 'smooth'
+                    WHEN adi_fp4 < 13200 THEN 'erratic'
+                    WHEN cv2_fp4 < 4900 THEN 'intermittent'
+                    ELSE 'lumpy' END AS demand_class
+        FROM cls ORDER BY p_partkey
+    """,
+    tags=("inventory", "operations", "statistics"),
+)
+def lineitem_demand_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Syntetos-Boylan demand classification per part: ADI (average
+    inter-demand interval — total months over months WITH demand) and
+    CV² (squared coefficient of variation of nonzero monthly demand)
+    place every part in the smooth / erratic / intermittent / lumpy
+    quadrant at the standard cutoffs ADI 1.32 and CV² 0.49 — the
+    classification that decides WHICH forecasting model a part gets
+    (exponential smoothing for smooth, Croston-family for
+    intermittent), complementing part_abc_xyz_matrix's value-
+    variability view. ADI is one integer division; CV² reduces to the
+    exact rational n(nΣq²−(Σq)²) / ((n−1)(Σq)²) in 1e-4 fixed point;
+    the cutoffs compare as integers (13200, 4900).
+
+    Scale shape: one (part, month) aggregation, one per-part moment
+    pass, a 1-row month-count broadcast. Calendar-bounded windows
+    nowhere — this is pure grouped arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    months = li.agg(
+        F.count_distinct(
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        )
+        .cast("long")
+        .alias("n_periods")
+    )
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+    ).agg(
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    per = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    cls = per.crossJoin(F.broadcast(months)).select(
+        "l_partkey",
+        "n_active",
+        "n_periods",
+        F.expr("(10000 * n_periods) div n_active").alias("adi_fp4"),
+        F.when(
+            F.col("n_active") > 1,
+            F.expr(
+                "(10000 * n_active * (n_active * sqq - sq * sq))"
+                " div ((n_active - 1) * sq * sq)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cv2_fp4"),
+    )
+    return cls.select(
+        F.col("l_partkey").alias("p_partkey"),
+        "n_active",
+        "adi_fp4",
+        "cv2_fp4",
+        F.when(
+            (F.col("adi_fp4") < 13200) & (F.col("cv2_fp4") < 4900), "smooth"
+        )
+        .when(F.col("adi_fp4") < 13200, "erratic")
+        .when(F.col("cv2_fp4") < 4900, "intermittent")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    ).orderBy("p_partkey")
