@@ -356,3 +356,58 @@ def kll_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def alarm_hysteresis_stateful(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    x_col: str = "x",
+    hi: int = 120,
+    lo: int = 80,
+) -> DataFrame:
+    """Streaming Schmitt-trigger latch — the stateful twin of the
+    batch events_alarm_hysteresis (which reconstructs the latch with
+    a last-ignorenulls window): per key, the alarm switches ON when
+    the day's count crosses ``hi``, OFF below ``lo``, and HOLDS
+    between the thresholds. State per key is a single int (the
+    latch), updated in (day) order within each micro-batch; absolute
+    thresholds rather than the batch query's own-mean-relative ones,
+    because a stream cannot know its full-series mean — operations
+    set them (and that is how real alerting thresholds work).
+
+    Batch parity (tested): when per-key rows arrive day-ordered, the
+    emitted (key, day, alarm_on) sequence equals the pure-python
+    latch replay across any micro-batch split."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (latch,) = state.get if state.exists else (0,)
+        days, states = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(day_col)
+            for day, x in zip(pdf[day_col], pdf[x_col]):
+                if x > hi:
+                    latch = 1
+                elif x < lo:
+                    latch = 0
+                days.append(day)
+                states.append(latch)
+        state.update((latch,))
+        if days:
+            yield pd.DataFrame(
+                {key_col: key[0], day_col: days, "alarm_on": states}
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, {day_col} string, alarm_on long",
+        stateStructType="latch long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
