@@ -4013,3 +4013,189 @@ def lineitem_demand_classification(
         .otherwise("lumpy")
         .alias("demand_class"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "part_sku_rationalization",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_fp
+            FROM lineitem GROUP BY l_partkey
+        ),
+        rk AS (
+            SELECT l_partkey, rev_fp,
+                   CAST(row_number() OVER (ORDER BY rev_fp, l_partkey)
+                        AS BIGINT) AS rnk,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM rev
+        ),
+        pm AS (
+            SELECT l_partkey,
+                   year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        adi AS (
+            SELECT p.l_partkey,
+                   (10000 * m.n_periods) // count(*) AS adi_fp4
+            FROM pm p CROSS JOIN (
+                SELECT CAST(count(DISTINCT year(l_shipdate) * 12
+                                   + month(l_shipdate)) AS BIGINT)
+                       AS n_periods
+                FROM lineitem
+            ) m
+            GROUP BY p.l_partkey, m.n_periods
+        ),
+        nm AS (
+            SELECT DISTINCT p_name AS name,
+                   string_split(p_name, ' ')[-1] AS noun
+            FROM part
+        ),
+        edges AS (
+            SELECT a.name AS src, b.name AS dst
+            FROM nm a JOIN nm b
+              ON a.noun = b.noun AND levenshtein(a.name, b.name) <= 4
+        ),
+        l0 AS (SELECT name AS node, name AS lbl FROM nm),
+        {_cc_iter_sql("l0", "l1")},
+        {_cc_iter_sql("l1", "l2")},
+        {_cc_iter_sql("l2", "l3")},
+        {_cc_iter_sql("l3", "l4")},
+        lab AS (
+            SELECT p.p_partkey, l4.lbl AS entity
+            FROM part p JOIN l4 ON l4.node = p.p_name
+        ),
+        emax AS (
+            SELECT la.entity, max(r.rev_fp) AS max_rev
+            FROM lab la JOIN rev r ON r.l_partkey = la.p_partkey
+            GROUP BY la.entity
+        ),
+        scored AS (
+            SELECT rk.l_partkey AS p_partkey,
+                   CAST(rk.rnk * 5 <= rk.n AS INT) AS c_class,
+                   CAST(a.adi_fp4 >= 13200 AS INT) AS irregular,
+                   CAST(e.max_rev > rk.rev_fp AS INT) AS has_bigger_twin
+            FROM rk
+            JOIN adi a ON a.l_partkey = rk.l_partkey
+            JOIN lab la ON la.p_partkey = rk.l_partkey
+            JOIN emax e ON e.entity = la.entity
+        )
+        SELECT p_partkey, c_class, irregular, has_bigger_twin,
+               CASE WHEN c_class + irregular + has_bigger_twin = 3
+                    THEN 'rationalize'
+                    WHEN c_class + irregular + has_bigger_twin = 2
+                    THEN 'review' ELSE 'keep' END AS verdict
+        FROM scored ORDER BY p_partkey
+    """,
+    tags=("capstone", "inventory", "er", "reporting"),
+)
+def part_sku_rationalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKU rationalization capstone composing three engine layers
+    into one decision table: a part is flagged for rationalization
+    when it (a) sits in the bottom revenue quintile (C-class — exact
+    rank·5 <= n, tie-broken on partkey), (b) has irregular demand
+    (ADI >= 1.32, the Syntetos-Boylan intermittency cutoff from
+    lineitem_demand_classification) AND (c) a same-ENTITY substitute
+    out-earns it (the er_part_entity_clusters closure: a variant
+    spelling of the same product that customers already prefer). All
+    three flags all-integer; 3/3 = rationalize, 2/3 = review.
+
+    Scale shape: the revenue rank runs over the part DIMENSION; the
+    ADI aggregation is the demand-classification shape; the ER chain
+    is vocabulary-sized; the final join fan-in is dimension-keyed
+    throughout. The fact table is scanned twice (revenue and monthly
+    demand), both single-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev_fp")
+    )
+    rk = rev.select(
+        "l_partkey",
+        "rev_fp",
+        F.row_number()
+        .over(Window.orderBy("rev_fp", "l_partkey"))
+        .cast("long")
+        .alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    months = li.agg(
+        F.count_distinct(F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("n_periods")
+    )
+    adi = (
+        li.groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+        )
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .crossJoin(F.broadcast(months))
+        .select(
+            "l_partkey",
+            F.expr("(10000 * n_periods) div n_active").alias("adi_fp4"),
+        )
+    )
+    nm = (
+        p.select("p_name")
+        .distinct()
+        .select(
+            F.col("p_name").alias("name"),
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+    )
+    edges = (
+        nm.alias("a")
+        .join(
+            nm.alias("b"),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4),
+        )
+        .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+    )
+    labels = nm.select(F.col("name").alias("node"), F.col("name").alias("lbl"))
+    for _ in range(4):
+        labels = _er_cc_iter(edges, labels)
+    lab = p.join(
+        F.broadcast(labels.select(F.col("node").alias("p_name"), "lbl")),
+        "p_name",
+    ).select("p_partkey", F.col("lbl").alias("entity"))
+    emax = (
+        lab.join(rev, lab.p_partkey == rev.l_partkey)
+        .groupBy("entity")
+        .agg(F.max("rev_fp").alias("max_rev"))
+    )
+    scored = (
+        rk.join(adi, "l_partkey")
+        .join(
+            F.broadcast(lab.withColumnRenamed("p_partkey", "l_partkey")),
+            "l_partkey",
+        )
+        .join(F.broadcast(emax), "entity")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("rnk") * 5 <= F.col("n")).cast("int").alias("c_class"),
+            (F.col("adi_fp4") >= 13200).cast("int").alias("irregular"),
+            (F.col("max_rev") > F.col("rev_fp"))
+            .cast("int")
+            .alias("has_bigger_twin"),
+        )
+    )
+    total = F.col("c_class") + F.col("irregular") + F.col("has_bigger_twin")
+    return scored.select(
+        "p_partkey",
+        "c_class",
+        "irregular",
+        "has_bigger_twin",
+        F.when(total == 3, "rationalize")
+        .when(total == 2, "review")
+        .otherwise("keep")
+        .alias("verdict"),
+    ).orderBy("p_partkey")
