@@ -4199,3 +4199,73 @@ def part_sku_rationalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\\s+'))
+                        AS BIGINT) AS w,
+                   CAST(greatest(1,
+                        len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+                       AS s,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS y
+            FROM documents
+        )
+        SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+               CAST(floor(100.0 * (CAST(39 * w * w AS DOUBLE) / 100
+                          + CAST(1180 * y * s AS DOUBLE) / 100
+                          - CAST(1559 * w * s AS DOUBLE) / 100)
+                          / (CAST(w AS DOUBLE) * s)) AS BIGINT) AS fk_grade_fp2
+        FROM feat ORDER BY doc_id
+    """,
+    tags=("llm-data", "text", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document — the readability
+    signal quality-filtering pipelines use alongside Gopher rules
+    (too-low FK often means listicles/fragments, too-high means
+    OCR garbage or run-ons). Syllables are approximated by vowel-
+    group runs ([aeiouy]+, the standard regex proxy) and sentences by
+    terminal-punctuation runs (min 1), so every feature is an exact
+    integer; the grade 0.39·(W/S) + 11.8·(Y/W) − 15.59 is evaluated
+    over the common denominator W·S with integer numerators and one
+    floored double division (exact-integer doubles through the safe
+    op subset; can be negative for fragment-like text, which floor
+    handles identically in both engines).
+
+    Scale shape: pure map-side regex counting — zero shuffles before
+    the output sort."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+        )
+        .cast("long")
+        .alias("s"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    num = (
+        (39 * F.col("w") * F.col("w")).cast("double") / 100
+        + (1180 * F.col("y") * F.col("s")).cast("double") / 100
+        - (1559 * F.col("w") * F.col("s")).cast("double") / 100
+    )
+    return feat.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        F.floor(100.0 * num / (F.col("w").cast("double") * F.col("s")))
+        .cast("long")
+        .alias("fk_grade_fp2"),
+    ).orderBy("doc_id")
