@@ -4269,3 +4269,133 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fk_grade_fp2"),
     ).orderBy("doc_id")
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle="""
+        WITH pur AS (
+            SELECT event_id AS pid, user_id, ts AS pts,
+                   CAST(FLOOR(value * 10000) AS BIGINT) AS v_fp
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT event_id AS tid, user_id, ts AS tts, event_type
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        cand AS (
+            SELECT p.pid, p.v_fp, t.tid, t.event_type, t.tts,
+                   CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n,
+                   row_number() OVER (PARTITION BY p.pid
+                                      ORDER BY t.tts, t.tid) AS rn
+            FROM pur p JOIN touch t
+              ON t.user_id = p.user_id
+             AND t.tts < p.pts
+             AND t.tts >= p.pts - INTERVAL 7 DAY
+        ),
+        credit AS (
+            SELECT event_type,
+                   v_fp // n + CASE WHEN rn = 1
+                                    THEN v_fp - n * (v_fp // n)
+                                    ELSE 0 END AS c_fp
+            FROM cand
+        ),
+        per_type AS (
+            SELECT event_type AS channel,
+                   CAST(count(*) AS BIGINT) AS n_credits,
+                   CAST(sum(c_fp) AS BIGINT) AS credited_fp
+            FROM credit GROUP BY event_type
+        ),
+        direct AS (
+            SELECT 'direct' AS channel,
+                   CAST(count(*) AS BIGINT) AS n_credits,
+                   CAST(coalesce(sum(p.v_fp), 0) AS BIGINT) AS credited_fp
+            FROM pur p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM touch t
+                WHERE t.user_id = p.user_id AND t.tts < p.pts
+                  AND t.tts >= p.pts - INTERVAL 7 DAY
+            )
+        )
+        SELECT * FROM per_type
+        UNION ALL SELECT * FROM direct
+        ORDER BY channel
+    """,
+    tags=("events", "attribution", "marketing"),
+)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    EQUALLY across the user's click/view touches in the 7 days before
+    it, integer-exactly — each touch gets v div n and the remainder
+    goes to the EARLIEST touch (ts, event_id order), so credited
+    totals reconcile to purchase revenue to the last fixed-point unit
+    (no float leakage, no lost pennies). Purchases with no preceding
+    touch land in the 'direct' channel. Complements
+    events_purchase_attribution's single-touch rules with the
+    fractional model marketing actually argues about.
+
+    Scale shape: the touch join is user-keyed with a 7-day time band
+    (per-user fan-out bounded by activity × window — the
+    seq_pattern_gsp_support shape); the per-purchase windows
+    partition on purchase id, whose groups are the same bounded
+    fan-out. At 100 TB one adds the day-bucketed band join
+    (join_time_proximity_bucketed) if user histories are long."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v_fp"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    cond = (
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+    )
+    cand = (
+        pur.join(touch, cond)
+        .withColumn(
+            "n",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("pid"))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("tts", "tid")
+            ),
+        )
+    )
+    credit = cand.select(
+        "event_type",
+        (
+            F.expr("v_fp div n")
+            + F.when(
+                F.col("rn") == 1, F.expr("v_fp - n * (v_fp div n)")
+            ).otherwise(F.lit(0))
+        ).alias("c_fp"),
+    )
+    per_type = credit.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("c_fp").cast("long").alias("credited_fp"),
+    )
+    direct = (
+        pur.join(touch, cond, "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.coalesce(F.sum("v_fp"), F.lit(0))
+            .cast("long")
+            .alias("credited_fp"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_credits", "credited_fp")
+    )
+    return per_type.unionByName(direct).orderBy("channel")
