@@ -236,3 +236,65 @@ def test_haar_block_counts_halve(spark, sf_dir):
             _run("events_haar_wavelet_energy", spark, sf_dir).collect()}
     assert rows[1]["n_blocks"] >= rows[2]["n_blocks"] >= rows[3]["n_blocks"]
     assert all(r["detail_energy"] >= 0 for r in rows.values())
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Credited value across channels plus direct equals total
+    purchase revenue EXACTLY — the integer remainder rule means no
+    fixed-point unit is ever created or lost."""
+    rows = _run("events_multitouch_attribution", spark, sf_dir).collect()
+    total_credited = sum(r["credited_fp"] for r in rows)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert total_credited == (want or 0)
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    """No frontier point strictly dominates another frontier point
+    (higher price AND lower ship gap)."""
+    pts = [
+        (r["price_fp"], r["ship_days"])
+        for r in _run("orders_pareto_skyline", spark, sf_dir).collect()
+    ]
+    for x1, y1 in pts:
+        for x2, y2 in pts:
+            assert not (x2 > x1 and y2 < y1), ((x1, y1), (x2, y2))
+
+
+def test_demand_classification_covers_all_parts(spark, sf_dir):
+    rows = _run("lineitem_demand_classification", spark, sf_dir).collect()
+    n_parts_with_sales = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_parts_with_sales
+    assert {r["demand_class"] for r in rows} <= {
+        "smooth", "erratic", "intermittent", "lumpy",
+    }
+
+
+def test_waterfall_matches_capstone_survivors(spark, sf_dir):
+    """The waterfall's final stage count equals the corpus-prep
+    capstone's total surviving documents — the two views of the same
+    chain can never disagree."""
+    wf = {
+        r["stage_name"]: r["n_out"]
+        for r in _run("pipeline_corpus_prep_waterfall", spark, sf_dir).collect()
+    }
+    final = sum(
+        r["n_docs"]
+        for r in _run("pipeline_corpus_prep", spark, sf_dir).collect()
+    )
+    assert wf["temperature_mix"] == final
+    order = ["input", "repetition_filter", "exact_dedup",
+             "source_cap", "temperature_mix"]
+    counts = [wf[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
