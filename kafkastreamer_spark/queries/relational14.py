@@ -4399,3 +4399,88 @@ def events_multitouch_attribution(
         .select(F.lit("direct").alias("channel"), "n_credits", "credited_fp")
     )
     return per_type.unionByName(direct).orderBy("channel")
+
+
+@register(
+    "events_rolling_trend_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS di,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        rolled AS (
+            SELECT event_type, di, x,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(di) OVER w AS BIGINT) AS si,
+                   CAST(sum(x) OVER w AS BIGINT) AS sx,
+                   CAST(sum(di * di) OVER w AS BIGINT) AS sii,
+                   CAST(sum(di * x) OVER w AS BIGINT) AS six
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY di
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, di, x, n,
+               CASE WHEN n >= 3 AND n * sii - si * si <> 0
+                    THEN CAST(floor(10000.0 * (n * six - si * sx)
+                              / (n * sii - si * si)) AS BIGINT)
+                    END AS slope_fp4
+        FROM rolled ORDER BY event_type, di
+    """,
+    tags=("timeseries", "regression", "window"),
+)
+def events_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend slope of each event type's daily count
+    — the windowed companion to agg_ols_trend's global fit and the
+    leading indicator behind events_changepoint_single (the slope
+    flips sign BEFORE a level change is confirmable). The RANGE
+    6-PRECEDING frame is over the day INDEX, so calendar gaps
+    correctly shrink the window rather than silently stretching it;
+    all four running sums (n, Σi, Σx, Σi², Σix) are exact BIGINTs and
+    the slope is the textbook (nΣix − ΣiΣx)/(nΣi² − (Σi)²) — integer
+    numerator and denominator, one floored double division to 1e-4
+    (both can be negative, so floor-of-double rather than div, the
+    engine's signed-division rule). Days with under 3 points in
+    window emit NULL.
+
+    Scale shape: one (type, day) fact aggregation, then frame-bounded
+    windows over the calendar-bounded daily table. The frame never
+    exceeds 7 rows, so window state is O(1) per row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-6, 0)
+    )
+    rolled = daily.select(
+        "event_type",
+        "di",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("di").over(w).cast("long").alias("si"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum(F.col("di") * F.col("di")).over(w).cast("long").alias("sii"),
+        F.sum(F.col("di") * F.col("x")).over(w).cast("long").alias("six"),
+    )
+    num = F.col("n") * F.col("six") - F.col("si") * F.col("sx")
+    den = F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    return rolled.select(
+        "event_type",
+        "di",
+        "x",
+        "n",
+        F.when(
+            (F.col("n") >= 3) & (den != 0),
+            F.floor(10000.0 * num.cast("double") / den.cast("double")).cast(
+                "long"
+            ),
+        ).alias("slope_fp4"),
+    ).orderBy("event_type", "di")
