@@ -4484,3 +4484,104 @@ def events_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("slope_fp4"),
     ).orderBy("event_type", "di")
+
+
+@register(
+    "agg_mean_family_battery",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v
+            FROM events
+        ),
+        pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+        cum AS (
+            SELECT v, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+            FROM pv
+        ),
+        nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+        trim AS (
+            SELECT CAST(sum(
+                       (least(c, (SELECT 9 * n // 10 FROM nt))
+                        - greatest(c - cnt, (SELECT n // 10 FROM nt)))
+                       * v) AS BIGINT) AS kept_sum,
+                   CAST(sum(
+                       least(c, (SELECT 9 * n // 10 FROM nt))
+                       - greatest(c - cnt, (SELECT n // 10 FROM nt)))
+                       AS BIGINT) AS kept_n
+            FROM cum
+            WHERE c > (SELECT n // 10 FROM nt)
+              AND c - cnt < (SELECT 9 * n // 10 FROM nt)
+        ),
+        plain AS (
+            SELECT CAST(sum(v) AS BIGINT) AS sv,
+                   CAST(sum(100000000 // v) AS BIGINT) AS srecip,
+                   CAST(min(v) AS BIGINT) AS vmin,
+                   CAST(max(v) AS BIGINT) AS vmax
+            FROM x
+        )
+        SELECT t.n,
+               p.sv // t.n AS mean_fp4,
+               tr.kept_sum // tr.kept_n AS trimmed10_mean_fp4,
+               (t.n * 100000000) // p.srecip AS harmonic_fp4,
+               (p.vmin + p.vmax) // 2 AS midrange_fp4
+        FROM nt t CROSS JOIN plain p CROSS JOIN trim tr
+    """,
+    tags=("aggregate", "statistics", "means"),
+)
+def agg_mean_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The means family in one exact pass: arithmetic mean, 10%-
+    trimmed mean, harmonic mean and midrange of the event values —
+    the robust-location battery next to agg_median_exact and the
+    winsorized mean. The trimmed mean keeps ranks (n/10, 9n/10] and
+    is computed EXACTLY from the distinct-value cumulative table
+    (each value contributes overlap-of-rank-interval x value — no
+    per-row sort anywhere). The harmonic mean uses documented-floor
+    reciprocals (Σ floor(1e8/v₄); all fixture values positive —
+    floor semantics identical in both engines, error bounded by
+    n/1e8), and midrange is the exact integer (min+max) div 2.
+
+    Scale shape: one value-domain aggregation plus one scalar pass;
+    the cumulative window runs over DISTINCT values — the engine's
+    standard order-statistics shape."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(F.floor(F.col("value") * 10000).cast("long").alias("v"))
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select("v", "cnt", F.sum("cnt").over(w).cast("long").alias("c"))
+    nt = pv.agg(F.sum("cnt").cast("long").alias("n"))
+    trim = (
+        cum.crossJoin(F.broadcast(nt))
+        .filter(
+            (F.col("c") > F.expr("n div 10"))
+            & (F.col("c") - F.col("cnt") < F.expr("(9 * n) div 10"))
+        )
+        .select(
+            (
+                F.least(F.col("c"), F.expr("(9 * n) div 10"))
+                - F.greatest(F.col("c") - F.col("cnt"), F.expr("n div 10"))
+            ).alias("keep"),
+            "v",
+        )
+        .agg(
+            F.sum(F.col("keep") * F.col("v")).cast("long").alias("kept_sum"),
+            F.sum("keep").cast("long").alias("kept_n"),
+        )
+    )
+    plain = x.agg(
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.expr("100000000 div v")).cast("long").alias("srecip"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    return (
+        nt.crossJoin(F.broadcast(plain))
+        .crossJoin(F.broadcast(trim))
+        .select(
+            "n",
+            F.expr("sv div n").alias("mean_fp4"),
+            F.expr("kept_sum div kept_n").alias("trimmed10_mean_fp4"),
+            F.expr("(n * 100000000) div srecip").alias("harmonic_fp4"),
+            F.expr("(vmin + vmax) div 2").alias("midrange_fp4"),
+        )
+    )
