@@ -4515,7 +4515,9 @@ def events_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         plain AS (
             SELECT CAST(sum(v) AS BIGINT) AS sv,
-                   CAST(sum(100000000 // v) AS BIGINT) AS srecip,
+                   CAST(sum(CASE WHEN v > 0 THEN 100000000 // v END)
+                        AS BIGINT) AS srecip,
+                   CAST(count_if(v > 0) AS BIGINT) AS n_pos,
                    CAST(min(v) AS BIGINT) AS vmin,
                    CAST(max(v) AS BIGINT) AS vmax
             FROM x
@@ -4523,7 +4525,7 @@ def events_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.n,
                p.sv // t.n AS mean_fp4,
                tr.kept_sum // tr.kept_n AS trimmed10_mean_fp4,
-               (t.n * 100000000) // p.srecip AS harmonic_fp4,
+               (p.n_pos * 100000000) // p.srecip AS harmonic_fp4,
                (p.vmin + p.vmax) // 2 AS midrange_fp4
         FROM nt t CROSS JOIN plain p CROSS JOIN trim tr
     """,
@@ -4537,9 +4539,10 @@ def agg_mean_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed EXACTLY from the distinct-value cumulative table
     (each value contributes overlap-of-rank-interval x value — no
     per-row sort anywhere). The harmonic mean uses documented-floor
-    reciprocals (Σ floor(1e8/v₄); all fixture values positive —
-    floor semantics identical in both engines, error bounded by
-    n/1e8), and midrange is the exact integer (min+max) div 2.
+    reciprocals (Σ floor(1e8/v₄) over STRICTLY POSITIVE fixed-point values —
+    sub-1e-4 values floor to v₄=0 and are excluded with their count,
+    the only defensible treatment; floor semantics identical in both
+    engines, error bounded by n/1e8), and midrange is the exact integer (min+max) div 2.
 
     Scale shape: one value-domain aggregation plus one scalar pass;
     the cumulative window runs over DISTINCT values — the engine's
@@ -4570,7 +4573,10 @@ def agg_mean_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plain = x.agg(
         F.sum("v").cast("long").alias("sv"),
-        F.sum(F.expr("100000000 div v")).cast("long").alias("srecip"),
+        F.sum(F.when(F.col("v") > 0, F.expr("100000000 div v")))
+        .cast("long")
+        .alias("srecip"),
+        F.count_if(F.col("v") > 0).cast("long").alias("n_pos"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     )
@@ -4581,7 +4587,7 @@ def agg_mean_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.expr("sv div n").alias("mean_fp4"),
             F.expr("kept_sum div kept_n").alias("trimmed10_mean_fp4"),
-            F.expr("(n * 100000000) div srecip").alias("harmonic_fp4"),
+            F.expr("(n_pos * 100000000) div srecip").alias("harmonic_fp4"),
             F.expr("(vmin + vmax) div 2").alias("midrange_fp4"),
         )
     )
