@@ -4591,3 +4591,110 @@ def agg_mean_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(vmin + vmax) div 2").alias("midrange_fp4"),
         )
     )
+
+
+@register(
+    "graph_rich_club_ladder",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pd AS (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM e GROUP BY p),
+        sd AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM e GROUP BY s),
+        k AS (SELECT CAST(kk AS BIGINT) AS k
+              FROM unnest([4, 8, 16, 32, 64]) AS t(kk))
+        SELECT k.k,
+               (SELECT CAST(count(*) AS BIGINT) FROM pd
+                WHERE dp > k.k) AS n_parts_rich,
+               (SELECT CAST(count(*) AS BIGINT) FROM sd
+                WHERE ds > k.k) AS n_supp_rich,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM e JOIN pd ON pd.p = e.p JOIN sd ON sd.s = e.s
+                WHERE pd.dp > k.k AND sd.ds > k.k) AS n_edges_rich,
+               CASE WHEN (SELECT count(*) FROM pd WHERE dp > k.k) > 0
+                     AND (SELECT count(*) FROM sd WHERE ds > k.k) > 0
+                    THEN (10000 * (SELECT count(*)
+                          FROM e JOIN pd ON pd.p = e.p
+                                 JOIN sd ON sd.s = e.s
+                          WHERE pd.dp > k.k AND sd.ds > k.k))
+                         // ((SELECT count(*) FROM pd WHERE dp > k.k)
+                             * (SELECT count(*) FROM sd WHERE ds > k.k))
+                    END AS phi_fp4
+        FROM k ORDER BY k.k
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_rich_club_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient ladder for the bipartite part-supplier
+    graph: among nodes with degree > k on BOTH sides, what fraction
+    of the possible part x supplier pairs actually trade? A rising
+    φ(k) means the high-degree core is disproportionately
+    interconnected (the rich club), the structural sibling of
+    graph_assortativity's correlation view and graph_kcore_peel's
+    density filter. φ is the exact rational 1e4·E_k div (n_p·n_s) —
+    bipartite "possible edges" is the product of the two rich sets —
+    over the k ladder 4..64.
+
+    Scale shape: degree tables as before (one distinct + two
+    aggregations), the rich-edge count is the edge list joined to
+    both broadcast degree tables with a conditional ladder
+    aggregation — one pass over edges answers every k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pd_ = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    sd = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("ds"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (4, 8, 16, 32, 64)])).alias(
+            "k"
+        )
+    )
+    ed = e.join(pd_, "p").join(F.broadcast(sd), "s")
+    edges_rich = (
+        ed.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count_if(
+                (F.col("dp") > F.col("k")) & (F.col("ds") > F.col("k"))
+            )
+            .cast("long")
+            .alias("n_edges_rich")
+        )
+    )
+    parts_rich = (
+        pd_.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count_if(F.col("dp") > F.col("k"))
+            .cast("long")
+            .alias("n_parts_rich")
+        )
+    )
+    supp_rich = (
+        sd.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count_if(F.col("ds") > F.col("k"))
+            .cast("long")
+            .alias("n_supp_rich")
+        )
+    )
+    return (
+        parts_rich.join(supp_rich, "k")
+        .join(edges_rich, "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_parts_rich",
+            "n_supp_rich",
+            "n_edges_rich",
+            F.when(
+                (F.col("n_parts_rich") > 0) & (F.col("n_supp_rich") > 0),
+                F.expr(
+                    "(10000 * n_edges_rich)"
+                    " div (n_parts_rich * n_supp_rich)"
+                ),
+            ).alias("phi_fp4"),
+        )
+        .orderBy("k")
+    )
