@@ -4698,3 +4698,105 @@ def graph_rich_club_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "supplier_xbar_control",
+    oracle="""
+        WITH d AS (
+            SELECT l.l_suppkey,
+                   year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mi,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                       AS x
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        g AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS nn,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM d GROUP BY l_suppkey
+        ),
+        m AS (
+            SELECT l_suppkey, mi,
+                   CAST(count(*) AS BIGINT) AS nm,
+                   CAST(sum(x) AS BIGINT) AS sm
+            FROM d GROUP BY l_suppkey, mi
+        ),
+        v AS (
+            SELECT m.l_suppkey, m.mi,
+                   CASE WHEN (m.sm * g.nn - g.s * m.nm)
+                             * (m.sm * g.nn - g.s * m.nm)
+                             * (g.nn - 1)
+                            > 9 * (g.nn * g.sxx - g.s * g.s)
+                                * m.nm * g.nn
+                        THEN 1 ELSE 0 END AS ooc
+            FROM m JOIN g ON g.l_suppkey = m.l_suppkey
+            WHERE g.nn > 1
+        )
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(ooc) AS BIGINT) AS n_ooc_months
+        FROM v GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+    tags=("operations", "statistics", "monitoring"),
+)
+def supplier_xbar_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-bar control chart over supplier ship delays — the continuous
+    twin of supplier_pchart_control's attribute chart: each supplier's
+    MONTHLY mean delay is tested against its own grand mean with
+    3-sigma-of-the-subgroup-mean limits. The verdict is evaluated as
+    one fully-INTEGER cross-multiplied inequality —
+    (sm·N − S·nm)²·(N−1) > 9·(N·Σx² − S²)·nm·N — the squared-z
+    trick of running_zscore_stateful lifted to subgroups, so no
+    sqrt, no division, no doubles, bit-identical verdicts. (Overflow
+    bound: |sm·N| < ~3·10⁹ per supplier at sf0.1, squared well under
+    2^63; a 100 TB deployment shards the chart per supplier anyway.)
+
+    Scale shape: one fact join + two aggregations (per supplier, per
+    supplier-month) sharing the shuffle key, then a dimension-sized
+    join. No windows at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("x"),
+    )
+    g = d.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    m = d.groupBy("l_suppkey", "mi").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("x").cast("long").alias("sm"),
+    )
+    dev = F.col("sm") * F.col("nn") - F.col("s") * F.col("nm")
+    v = (
+        m.join(F.broadcast(g), "l_suppkey")
+        .filter(F.col("nn") > 1)
+        .select(
+            "l_suppkey",
+            F.when(
+                dev * dev * (F.col("nn") - 1)
+                > 9
+                * (F.col("nn") * F.col("sxx") - F.col("s") * F.col("s"))
+                * F.col("nm")
+                * F.col("nn"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ooc"),
+        )
+    )
+    return (
+        v.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum("ooc").cast("long").alias("n_ooc_months"),
+        )
+        .orderBy("l_suppkey")
+    )
