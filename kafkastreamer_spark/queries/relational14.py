@@ -4800,3 +4800,91 @@ def supplier_xbar_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "events_burstiness_coefficient",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000 AS t,
+                   lag(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id) AS pt
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type, t - pt AS g
+            FROM ordered WHERE pt IS NOT NULL
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(g) AS BIGINT) AS sg,
+                   CAST(sum(g * g) AS BIGINT) AS sgg
+            FROM gaps GROUP BY event_type
+        )
+        SELECT event_type, n,
+               sg // n AS mean_gap_s,
+               CAST(floor(10000.0
+                    * (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       - CAST(sg AS DOUBLE) / n)
+                    / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       + CAST(sg AS DOUBLE) / n)) AS BIGINT)
+                   AS burstiness_fp4
+        FROM mom WHERE n > 1 ORDER BY event_type
+    """,
+    tags=("events", "statistics", "timeseries"),
+)
+def events_burstiness_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goh-Barabási burstiness coefficient per event type:
+    B = (σ−μ)/(σ+μ) over the inter-event gaps (whole seconds,
+    lag-ordered by (ts, event_id)) — B → −1 for a metronome, 0 for a
+    Poisson process, → 1 for extreme burst trains. The
+    point-process-level companion to events_poisson_dispersion's
+    binned variance-to-mean: dispersion says the DAILY counts are
+    overdispersed, B says how the gaps themselves cluster. Moments
+    are exact BIGINTs; σ and the final ratio use only the safe IEEE
+    subset (sqrt, /, −, +, floor), so the 1e-4 coefficient is
+    engine-exact.
+
+    Scale shape: one per-type lag window (partitioned on the type
+    key — the only ordered pass, over the fact but key-partitioned,
+    not global), one moment aggregation, map-side arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            epoch_s("ts").alias("t"),
+            F.lag(epoch_s("ts")).over(w).alias("pt"),
+        )
+        .filter(F.col("pt").isNotNull())
+        .select("event_type", (F.col("t") - F.col("pt")).alias("g"))
+    )
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    )
+    sigma = F.sqrt(
+        (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    mu = F.col("sg").cast("double") / F.col("n")
+    return (
+        mom.filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "n",
+            F.expr("sg div n").alias("mean_gap_s"),
+            F.floor(10000.0 * (sigma - mu) / (sigma + mu))
+            .cast("long")
+            .alias("burstiness_fp4"),
+        )
+        .orderBy("event_type")
+    )
