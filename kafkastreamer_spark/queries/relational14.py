@@ -4888,3 +4888,77 @@ def events_burstiness_coefficient(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                        AS BIGINT) AS v_fp
+            FROM events GROUP BY 1
+        ),
+        cumul AS (
+            SELECT day,
+                   CAST(sum(v_fp) OVER (ORDER BY day) AS BIGINT) AS c
+            FROM daily
+        ),
+        dd AS (
+            SELECT day, c,
+                   CAST(max(c) OVER (ORDER BY day) AS BIGINT) AS peak,
+                   CAST(max(c) OVER (ORDER BY day) - c AS BIGINT)
+                       AS drawdown
+            FROM cumul
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max(c) AS BIGINT) AS peak_cum_fp,
+               CAST(max(drawdown) AS BIGINT) AS max_drawdown_fp,
+               CAST(min(CASE WHEN drawdown = (SELECT max(drawdown) FROM dd)
+                        THEN day END) AS VARCHAR) AS trough_day
+        FROM dd
+    """,
+    tags=("timeseries", "finance", "statistics"),
+)
+def events_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily event-value series:
+    the deepest peak-to-trough fall, with the trough date — the
+    risk-curve metric (how far below its best-so-far did the running
+    total sink) that CUSUM/change-point detection doesn't report. Two
+    stacked running windows (prefix sum, prefix max) over the daily
+    series, all exact fixed-point BIGINTs; the trough day is the
+    earliest day attaining the max drawdown (deterministic tie rule).
+
+    Scale shape: one daily aggregation of the fact, then
+    calendar-bounded running windows — the standard series-side
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("v_fp")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        F.sum("v_fp").over(w).cast("long").alias("c"),
+    ).select(
+        "day",
+        "c",
+        F.max("c").over(w).cast("long").alias("peak"),
+        (F.max("c").over(w) - F.col("c")).cast("long").alias("drawdown"),
+    )
+    mx = dd.agg(F.max("drawdown").alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("c").cast("long").alias("peak_cum_fp"),
+            F.max("drawdown").cast("long").alias("max_drawdown_fp"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("mdd"), F.col("day"))
+            )
+            .cast("string")
+            .alias("trough_day"),
+        )
+    )
