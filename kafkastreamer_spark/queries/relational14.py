@@ -4962,3 +4962,133 @@ def events_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trough_day"),
         )
     )
+
+
+@register(
+    "orders_kruskal_wallis_dow",
+    oracle="""
+        WITH ab AS (
+            SELECT dayofweek(o_orderdate) AS grp,
+                   CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS v
+            FROM orders
+        ),
+        gv AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS a
+            FROM ab GROUP BY grp, v
+        ),
+        pv AS (
+            SELECT v, CAST(sum(a) AS BIGINT) AS m FROM gv GROUP BY v
+        ),
+        cum AS (
+            SELECT v, m,
+                   CAST(coalesce(sum(m) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS c
+            FROM pv
+        ),
+        ranks AS (
+            SELECT g.grp,
+                   CAST(sum(g.a) AS BIGINT) AS n_i,
+                   CAST(sum(g.a * (2 * c.c + c.m + 1)) AS BIGINT) AS two_r
+            FROM gv g JOIN cum c ON c.v = g.v
+            GROUP BY g.grp
+        ),
+        tot AS (
+            SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(
+                       CAST(two_r AS DOUBLE) * two_r / (4 * n_i))
+                       AS BIGINT)) AS BIGINT) AS sum_r2n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM ranks
+        ),
+        ties AS (
+            SELECT CAST(sum(m * m * m - m) AS BIGINT) AS tie_term FROM pv
+        )
+        SELECT t.k, t.n,
+               CAST(floor(10000.0
+                    * (12.0 * t.sum_r2n / (CAST(t.n AS DOUBLE) * (t.n + 1))
+                       - 3.0 * (t.n + 1))
+                    / (1.0 - CAST(e.tie_term AS DOUBLE)
+                             / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)))
+                    AS BIGINT) AS h_fp4
+        FROM tot t CROSS JOIN ties e
+    """,
+    tags=("stats", "statistics", "deskew"),
+)
+def orders_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across the seven order-day-of-week
+    groups — the k-group generalization of orders_mann_whitney_u
+    (rank-based one-way ANOVA: does order value depend on weekday at
+    all, before any pairwise comparison?). Rank sums come from the
+    same doubled-rank distinct-value machinery (2R_i = Σ a·(2c+m+1)
+    per group over the shared value domain), the tie correction uses
+    the Σ(t³−t) term, and H is assembled with safe double ops from
+    exact integer sums (one interior floor on Σ(2R)²/(4n) keeps every
+    cross-engine product below 2^63; the bias is < k ranks out of
+    N², far under the 1e-4 output grain).
+
+    Scale shape: one (group, value) aggregation, the cumulative
+    window over the DISTINCT-VALUE domain, and 7-row arithmetic — the
+    rank-statistics single-shuffle contract."""
+    o = load_table(spark, sf_dir, "orders")
+    ab = o.select(
+        F.dayofweek("o_orderdate").alias("grp"),
+        F.floor(F.col("o_totalprice") * 10000).cast("long").alias("v"),
+    )
+    gv = ab.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    pv = gv.groupBy("v").agg(F.sum("a").cast("long").alias("m"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pv.select(
+        "v",
+        "m",
+        F.coalesce(F.sum("m").over(w_prev), F.lit(0)).cast("long").alias("c"),
+    )
+    ranks = (
+        gv.join(cum, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("a").cast("long").alias("n_i"),
+            F.sum(F.col("a") * (2 * F.col("c") + F.col("m") + 1))
+            .cast("long")
+            .alias("two_r"),
+        )
+    )
+    tot = ranks.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("two_r").cast("double")
+                * F.col("two_r")
+                / (4 * F.col("n_i"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sum_r2n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ties = pv.agg(
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("long")
+        .alias("tie_term")
+    )
+    h = (
+        12.0
+        * F.col("sum_r2n").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") + 1))
+        - 3.0 * (F.col("n") + 1)
+    ) / (
+        1.0
+        - F.col("tie_term").cast("double")
+        / (
+            F.col("n").cast("double") * F.col("n") * F.col("n")
+            - F.col("n")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .select(
+            "k",
+            "n",
+            F.floor(10000.0 * h).cast("long").alias("h_fp4"),
+        )
+    )
