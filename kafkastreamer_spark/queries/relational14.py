@@ -5092,3 +5092,120 @@ def orders_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * h).cast("long").alias("h_fp4"),
         )
     )
+
+
+@register(
+    "lineitem_newsvendor_backtest",
+    oracle="""
+        WITH pm AS (
+            SELECT l_partkey,
+                   year(l_shipdate) AS yr,
+                   year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 1997
+            GROUP BY 1, 2, 3
+        ),
+        train AS (SELECT l_partkey, q FROM pm WHERE yr <= 1996),
+        ranked AS (
+            SELECT l_partkey, q,
+                   CAST(row_number() OVER (PARTITION BY l_partkey
+                        ORDER BY q, mi2) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+                       AS n
+            FROM (SELECT l_partkey, q,
+                         row_number() OVER (PARTITION BY l_partkey
+                                            ORDER BY q) AS mi2
+                  FROM train)
+        ),
+        policy AS (
+            SELECT l_partkey, q AS order_up_to
+            FROM ranked WHERE rn = (8 * n + 9) // 10
+        ),
+        test AS (
+            SELECT l_partkey, CAST(sum(q) AS BIGINT) AS demand,
+                   CAST(sum(least(q, (SELECT p.order_up_to FROM policy p
+                                      WHERE p.l_partkey = pm.l_partkey)))
+                        AS BIGINT) AS filled
+            FROM pm WHERE yr = 1997
+              AND EXISTS (SELECT 1 FROM policy p
+                          WHERE p.l_partkey = pm.l_partkey)
+            GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(demand) AS BIGINT) AS total_demand,
+               CAST(sum(filled) AS BIGINT) AS total_filled,
+               (10000 * sum(filled)) // sum(demand) AS fill_rate_fp4,
+               CAST(count_if(10 * filled >= 8 * demand) AS BIGINT)
+                   AS n_parts_above_80
+        FROM test
+    """,
+    tags=("inventory", "backtest", "operations"),
+)
+def lineitem_newsvendor_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newsvendor quantile-policy backtest: set each part's monthly
+    order-up-to level at the 80th-percentile (critical fractile) of
+    its 1995-96 monthly demand, then replay 1997 — realized fill rate
+    = Σ min(demand, S) / Σ demand, overall and per part — the
+    out-of-time policy evaluation that belongs next to
+    lineitem_demand_classification (WHICH model) and
+    lineitem_eoq_policy (HOW MUCH): this one measures whether the
+    quantile policy would actually have held service. The percentile
+    is the exact ⌈0.8(n+1)⌉-ish order statistic per part (upper
+    convention, ties broken by a nested stable rank), every fill
+    figure is an exact integer, and parts without training months are
+    excluded from the test identically in both engines.
+
+    Scale shape: one (part, month) aggregation feeds train and test
+    slices; the per-part quantile window partitions on the part key
+    (frames bounded by ≤ 24 training months); the policy table joins
+    back broadcast-sized. Single fact shuffle, part-keyed tail."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").between(1995, 1997)
+    )
+    pm = li.groupBy(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("q"))
+    train = pm.filter(F.col("yr") <= 1996).select("l_partkey", "q")
+    w_inner = Window.partitionBy("l_partkey").orderBy("q")
+    ranked = train.withColumn("mi2", F.row_number().over(w_inner)).select(
+        "l_partkey",
+        "q",
+        F.row_number()
+        .over(Window.partitionBy("l_partkey").orderBy("q", "mi2"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_partkey"))
+        .cast("long")
+        .alias("n"),
+    )
+    policy = ranked.filter(
+        F.col("rn") == F.expr("(8 * n + 9) div 10")
+    ).select("l_partkey", F.col("q").alias("order_up_to"))
+    test = (
+        pm.filter(F.col("yr") == 1997)
+        .join(policy, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("q").cast("long").alias("demand"),
+            F.sum(F.least(F.col("q"), F.col("order_up_to")))
+            .cast("long")
+            .alias("filled"),
+        )
+    )
+    return test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("demand").cast("long").alias("total_demand"),
+        F.sum("filled").cast("long").alias("total_filled"),
+        F.expr("(10000 * sum(filled)) div sum(demand)").alias(
+            "fill_rate_fp4"
+        ),
+        F.count_if(10 * F.col("filled") >= 8 * F.col("demand"))
+        .cast("long")
+        .alias("n_parts_above_80"),
+    )
