@@ -81,6 +81,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     print(f"== {len(qs)} queries, {len(oracles)} oracle-checked")
     failures = []
+    n_done = 0
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
             continue
@@ -101,6 +102,18 @@ def main() -> int:
         # eventually kills an unrelated broadcast build mid-sweep
         # (observed at ~260 queries at sf0.1).
         spark.catalog.clearCache()
+        # Broadcast relations are only reclaimed by the ContextCleaner
+        # after BOTH the py4j proxies are collected Python-side AND a
+        # JVM GC runs; the default periodic GC (30 min) is slower than
+        # the whole sweep, so force the cycle every 25 queries
+        # (observed: without it, broadcast builds start failing with
+        # driver OOM ~350 queries into an sf0.1 sweep).
+        n_done += 1
+        if n_done % 25 == 0:
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
         if name not in oracles:
             print(f"   {name}: rows-only, {len(rows)} rows in {time.time()-t0:.1f}s")
             continue
