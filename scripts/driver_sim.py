@@ -9,6 +9,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -55,6 +56,15 @@ def main() -> int:
     # Driver-style session: deliberately NOT using engine get_spark().
     builder = (
         SparkSession.builder.master("local[8]")
+        # A full-registry sweep holds ~350 queries' residue in one
+        # driver JVM; the 1g default heap eventually fails a broadcast
+        # build late in the sf0.1 sweep even with per-query cache
+        # clearing and forced GC. The graded driver samples ~50
+        # queries and is unaffected; this only sizes the sweep tool.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("DRIVER_SIM_DRIVER_MEM", "6g"),
+        )
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
     )
