@@ -70,7 +70,6 @@ def main() -> int:
     )
     # Partition-invariance sweeps: every oracle must hash identically
     # at ANY shuffle-partition count (fixed-point aggregation rule).
-    import os
 
     parts = os.environ.get("DRIVER_SIM_SHUFFLE_PARTITIONS")
     if parts:
