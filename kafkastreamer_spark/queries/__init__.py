@@ -19,5 +19,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational12,
     relational13,
     relational14,
+    relational15,
 )
 from kafkastreamer_spark import operators  # noqa: F401
