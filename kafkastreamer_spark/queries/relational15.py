@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.registry import register
@@ -338,3 +338,547 @@ def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, out).orderBy("key_name")
+
+
+# --- batch 181: compaction planning (next-fit bin packing) -----------------
+
+_COMPACT_TARGET = 2048  # target bin size in chars (fixture-scaled)
+
+
+@register(
+    "layout_compaction_nextfit",
+    oracle=f"""
+        WITH f AS (
+            SELECT source, doc_id, n_chars AS sz,
+                   SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM documents
+        ),
+        binned AS (
+            SELECT source, doc_id, sz,
+                   (cum - sz) // {_COMPACT_TARGET} AS bin
+            FROM f
+        ),
+        bins AS (
+            SELECT source, bin,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(sz) AS BIGINT) AS bytes
+            FROM binned GROUP BY source, bin
+        )
+        SELECT source,
+               CAST(sum(n_files) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(bytes) AS BIGINT) // count(*) AS avg_bin_bytes,
+               CAST(max(bytes) AS BIGINT) AS max_bin_bytes,
+               CAST(min(bytes) AS BIGINT) AS min_bin_bytes,
+               CAST(count_if(bytes > {_COMPACT_TARGET}) AS BIGINT)
+                   AS overflow_bins
+        FROM bins GROUP BY source ORDER BY source
+    """,
+    tags=("layout", "compaction", "lakehouse-ops"),
+)
+def layout_compaction_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: treat each document as an
+    ingested file (size = n_chars) and assign files to compaction
+    bins per source with deterministic next-fit-by-offset packing —
+    a file lands in bin ⌊start_offset / target⌋, where start_offset
+    is the exact running sum of sizes in doc_id order. Each bin then
+    holds ≥ target bytes except the trailing one (a file straddling a
+    boundary stays in the bin where it started — overflow-carry,
+    reported as ``overflow_bins``). This is the planning step a
+    lakehouse table service runs before rewriting a 100 TB table's
+    small files into target-sized parquet.
+
+    The exact per-source running sum is computed scalably with the
+    same two-phase shape as sample_pps_systematic: doc_id range
+    buckets (order-preserving) get within-bucket running sums under a
+    PARTITIONED window, bucket start offsets come from a window over
+    the tiny per-(source, bucket) totals table — no full-source
+    single-partition sort even when one source dominates the corpus.
+    Output is one summary row per source (fill statistics, overflow
+    count); the per-bin assignment stays distributed and is never
+    collected."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("sz"),
+        (F.col("doc_id") / 1024).cast("long").alias("b"),
+    )
+    win_in = (
+        Window.partitionBy("source", "b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_in", F.sum("sz").over(win_in))
+    totals = d.groupBy("source", "b").agg(F.sum("sz").alias("bt"))
+    win_b = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "source", "b", (F.sum("bt").over(win_b) - F.col("bt")).alias("off")
+    )
+    binned = (
+        d.join(offsets, ["source", "b"])
+        .select(
+            "source",
+            "sz",
+            F.expr(f"(off + cum_in - sz) div {_COMPACT_TARGET}").alias("bin"),
+        )
+    )
+    bins = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sz").cast("long").alias("bytes"),
+    )
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.expr("sum(bytes) div count(*)").alias("avg_bin_bytes"),
+            F.max("bytes").cast("long").alias("max_bin_bytes"),
+            F.min("bytes").cast("long").alias("min_bin_bytes"),
+            F.count_if(F.col("bytes") > _COMPACT_TARGET)
+            .cast("long")
+            .alias("overflow_bins"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- batch 182: Little's law conservation audit ----------------------------
+
+_SESSION_GAP_S = 1800  # same 30-min convention as events_sessionization
+
+
+@register(
+    "events_littles_law_audit",
+    oracle=f"""
+        WITH e AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 1000000 AS s
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                             IS NULL
+                          OR s - lag(s) OVER (PARTITION BY user_id
+                                              ORDER BY s) > {_SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+        ),
+        sid AS (
+            SELECT user_id, s,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sess,
+                   CAST(min(s) AS BIGINT) AS s0,
+                   CAST(max(s) AS BIGINT) AS s1
+            FROM sid GROUP BY user_id, sess
+        ),
+        horizon AS (
+            SELECT CAST(min(s) AS BIGINT) AS h0,
+                   CAST(max(s) AS BIGINT) AS h1
+            FROM e
+        ),
+        direct AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(s1 - s0) AS BIGINT) AS busy_s
+            FROM sess
+        ),
+        per_day AS (
+            SELECT CAST(coalesce(sum(
+                       least(s1, (d.k + 1) * 86400)
+                       - greatest(s0, d.k * 86400)), 0) AS BIGINT)
+                       AS busy_s_by_day
+            FROM sess,
+                 LATERAL (SELECT unnest(generate_series(
+                     s0 // 86400, s1 // 86400)) AS k) d
+        )
+        SELECT n_sessions, busy_s, busy_s_by_day,
+               CAST(CASE WHEN busy_s = busy_s_by_day THEN 1 ELSE 0 END
+                    AS BIGINT) AS identity_ok,
+               CAST(h1 - h0 AS BIGINT) AS horizon_s,
+               (100000000 * busy_s) // (h1 - h0) AS l_avg_fp8,
+               (10000 * n_sessions * 86400) // (h1 - h0)
+                   AS lambda_per_day_fp4,
+               (10000 * busy_s) // n_sessions AS w_avg_s_fp4
+        FROM direct CROSS JOIN per_day CROSS JOIN horizon
+    """,
+    tags=("events", "queueing", "conservation-audit"),
+)
+def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit (L = λ·W) over sessionized events: sessions
+    are 30-min-gap islands per user (the events_sessionization
+    convention), the busy integral ∫ concurrency dt equals the sum of
+    session durations EXACTLY, and the audit proves it by computing
+    that quantity two independent ways — directly per session, and by
+    splitting every session across the UTC days it spans and summing
+    the per-day overlaps. ``identity_ok`` certifies conservation; the
+    time-averaged concurrency L, arrival rate λ, and mean residence
+    W are then exact integer ratios of the certified sums. This is
+    the capacity-planning identity an SRE checks before trusting any
+    concurrency dashboard — and the aggregate cross-check of
+    events_peak_concurrency's sweep line.
+
+    All arithmetic is whole epoch-seconds (``epoch_us div 1e6``) —
+    no date→epoch conversion that could drag a timezone in. Duplicate
+    (user, second) pairs are collapsed first so the gaps-and-islands
+    window has a total order.
+
+    Scale shape: the per-user lag/running-sum windows partition on
+    user_id (bounded per-user series, the sessionization precedent);
+    sessions then collapse to one row each; the day-split explode
+    fans a session to its spanned days (bounded by the calendar) and
+    feeds a counts-only aggregate. Output is a single audit row."""
+    ev = load_table(spark, sf_dir, "events")
+    from kafkastreamer_spark.queries._util import epoch_s
+
+    e = ev.select("user_id", epoch_s(F.col("ts")).alias("s")).distinct()
+    wl = Window.partitionBy("user_id").orderBy("s")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(wl).isNull()
+            | (F.col("s") - F.lag("s").over(wl) > _SESSION_GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sid = g.withColumn(
+        "sess",
+        F.sum("brk").over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = sid.groupBy("user_id", "sess").agg(
+        F.min("s").cast("long").alias("s0"),
+        F.max("s").cast("long").alias("s1"),
+    )
+    horizon = e.agg(
+        F.min("s").cast("long").alias("h0"),
+        F.max("s").cast("long").alias("h1"),
+    )
+    direct = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("s1") - F.col("s0")).cast("long").alias("busy_s"),
+    )
+    per_day = (
+        sess.select(
+            "s0",
+            "s1",
+            F.explode(
+                F.sequence(
+                    F.expr("s0 div 86400"), F.expr("s1 div 86400")
+                )
+            ).alias("k"),
+        )
+        .select(
+            (
+                F.least(F.col("s1"), (F.col("k") + 1) * 86400)
+                - F.greatest(F.col("s0"), F.col("k") * 86400)
+            ).alias("ov")
+        )
+        .agg(
+            F.coalesce(F.sum("ov"), F.lit(0))
+            .cast("long")
+            .alias("busy_s_by_day")
+        )
+    )
+    return (
+        direct.crossJoin(F.broadcast(per_day))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "n_sessions",
+            "busy_s",
+            "busy_s_by_day",
+            F.when(F.col("busy_s") == F.col("busy_s_by_day"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("identity_ok"),
+            (F.col("h1") - F.col("h0")).cast("long").alias("horizon_s"),
+            F.expr("(100000000 * busy_s) div (h1 - h0)").alias(
+                "l_avg_fp8"
+            ),
+            F.expr(
+                "(10000 * n_sessions * 86400) div (h1 - h0)"
+            ).alias("lambda_per_day_fp4"),
+            F.expr("(10000 * busy_s) div n_sessions").alias(
+                "w_avg_s_fp4"
+            ),
+        )
+    )
+
+
+# --- batch 183: NDCG@k ranking-quality metric ------------------------------
+
+_NDCG_K = 10
+# Exact fixed-point discount table floor(1e8 / log2(rank+1)), computed
+# ONCE here in Python and embedded as the same literal CASE expression
+# in both engines — the only log2 in the operator happens at module
+# import, never inside either query engine, so the compared columns
+# stay transcendental-free.
+_DISC_FP8 = {
+    i: int(__import__("math").floor(1e8 / __import__("math").log2(i + 1)))
+    for i in range(1, _NDCG_K + 1)
+}
+
+
+def _disc_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {d}" for i, d in _DISC_FP8.items()
+    )
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=f"""
+        WITH rev AS (
+            SELECT n.n_name AS nation, s.s_suppkey,
+                   CAST(coalesce(sum(CASE WHEN year(CAST(l.l_shipdate
+                            AS DATE)) = 1995 THEN
+                        CAST(FLOOR((l.l_extendedprice
+                            * (1 - l.l_discount)) * 10000) AS BIGINT)
+                        END), 0) AS BIGINT) AS rev95_fp4,
+                   CAST(coalesce(sum(CASE WHEN year(CAST(l.l_shipdate
+                            AS DATE)) = 1996 THEN
+                        CAST(FLOOR((l.l_extendedprice
+                            * (1 - l.l_discount)) * 10000) AS BIGINT)
+                        END), 0) AS BIGINT) AS rev96_fp4
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+                 AND year(CAST(l.l_shipdate AS DATE)) IN (1995, 1996)
+            GROUP BY n.n_name, s.s_suppkey
+        ),
+        ranked AS (
+            SELECT nation, s_suppkey,
+                   CAST(row_number() OVER (PARTITION BY nation
+                        ORDER BY rev95_fp4 DESC, s_suppkey) AS BIGINT)
+                       AS pred_rank,
+                   CAST(row_number() OVER (PARTITION BY nation
+                        ORDER BY rev96_fp4 DESC, s_suppkey) AS BIGINT)
+                       AS actual_rank
+            FROM rev
+        ),
+        scored AS (
+            SELECT nation,
+                   greatest(0, 5 - actual_rank) AS rel,
+                   pred_rank, actual_rank
+            FROM ranked
+        )
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CASE WHEN pred_rank <= {_NDCG_K}
+                    THEN rel * ({_disc_case("pred_rank")}) ELSE 0 END)
+                    AS BIGINT) AS dcg_fp8,
+               CAST(sum(CASE WHEN actual_rank <= {_NDCG_K}
+                    THEN rel * ({_disc_case("actual_rank")}) ELSE 0 END)
+                    AS BIGINT) AS idcg_fp8,
+               (10000 * sum(CASE WHEN pred_rank <= {_NDCG_K}
+                    THEN rel * ({_disc_case("pred_rank")}) ELSE 0 END))
+                   // sum(CASE WHEN actual_rank <= {_NDCG_K}
+                    THEN rel * ({_disc_case("actual_rank")}) ELSE 0 END)
+                   AS ndcg_fp4
+        FROM scored GROUP BY nation ORDER BY nation
+    """,
+    tags=("ml-metrics", "ranking", "ndcg"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a historical ranking policy: rank each nation's
+    suppliers by 1995 revenue (the "prediction") and score that
+    ordering against graded relevance derived from realized 1996
+    revenue (top-1996 supplier rel=4 down to rel=1 for rank 4, 0
+    beyond). DCG uses the standard 1/log2(rank+1) discount as an
+    exact fixed-point table computed once at module import and
+    embedded identically in both engines; NDCG normalizes by the
+    ideal ordering's DCG, so every compared column is an exact
+    BIGINT. The companion of ml_click_purchase_auc (binary
+    classification) for the RANKING side of offline model evaluation.
+
+    Scale shape: one conditional-aggregate pass over the fact join
+    produces per-(nation, supplier) year revenues; the two
+    row_number windows partition on nation with per-nation group
+    sizes bounded by the supplier dim; discounts apply via a literal
+    CASE (no join); final rollup is counts-only. At 100 TB the only
+    fact-sized shuffle is the first aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from kafkastreamer_spark.queries._util import fixed
+
+    li_y = li.withColumn("yr", F.year(F.to_date("l_shipdate"))).filter(
+        F.col("yr").isin(1995, 1996)
+    )
+    rev_fp = fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    base = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(li_y, li_y.l_suppkey == s.s_suppkey, "left")
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1995, rev_fp)), F.lit(0)
+            )
+            .cast("long")
+            .alias("rev95_fp4"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1996, rev_fp)), F.lit(0)
+            )
+            .cast("long")
+            .alias("rev96_fp4"),
+        )
+    )
+    wp = Window.partitionBy("nation").orderBy(
+        F.desc("rev95_fp4"), "s_suppkey"
+    )
+    wa = Window.partitionBy("nation").orderBy(
+        F.desc("rev96_fp4"), "s_suppkey"
+    )
+    ranked = base.select(
+        "nation",
+        F.row_number().over(wp).cast("long").alias("pred_rank"),
+        F.row_number().over(wa).cast("long").alias("actual_rank"),
+    ).withColumn("rel", F.greatest(F.lit(0), 5 - F.col("actual_rank")))
+    dcg_term = F.when(
+        F.col("pred_rank") <= _NDCG_K,
+        F.col("rel") * F.expr(_disc_case("pred_rank")),
+    ).otherwise(F.lit(0))
+    idcg_term = F.when(
+        F.col("actual_rank") <= _NDCG_K,
+        F.col("rel") * F.expr(_disc_case("actual_rank")),
+    ).otherwise(F.lit(0))
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(dcg_term).cast("long").alias("dcg_fp8"),
+            F.sum(idcg_term).cast("long").alias("idcg_fp8"),
+            F.expr(
+                f"(10000 * sum(CASE WHEN pred_rank <= {_NDCG_K} "
+                f"THEN rel * ({_disc_case('pred_rank')}) ELSE 0 END)) "
+                f"div sum(CASE WHEN actual_rank <= {_NDCG_K} "
+                f"THEN rel * ({_disc_case('actual_rank')}) ELSE 0 END)"
+            ).alias("ndcg_fp4"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- batch 184: Croston intermittent-demand forecast -----------------------
+
+
+@register(
+    "lineitem_croston_forecast",
+    oracle="""
+        WITH pm AS (
+            SELECT l_partkey,
+                   year(CAST(l_shipdate AS DATE)) * 12
+                       + month(CAST(l_shipdate AS DATE)) AS mi,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem
+            WHERE year(CAST(l_shipdate AS DATE)) BETWEEN 1995 AND 1997
+            GROUP BY 1, 2
+        ),
+        nz AS (
+            SELECT l_partkey, mi, q,
+                   CAST(row_number() OVER (PARTITION BY l_partkey
+                        ORDER BY mi) AS BIGINT) AS j,
+                   CAST(coalesce(mi - lag(mi) OVER (PARTITION BY l_partkey
+                        ORDER BY mi), 1) AS BIGINT) AS p
+            FROM pm WHERE q > 0
+        ),
+        wtd AS (
+            SELECT l_partkey, q, p, j,
+                   CASE WHEN j = 1 THEN CAST(1 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << (j - 2)) END AS w
+            FROM nz
+        ),
+        acc AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_nonzero,
+                   CAST(sum(q * w) AS BIGINT) AS sz,
+                   CAST(sum(p * w) AS BIGINT) AS sp,
+                   CAST(sum(p) AS BIGINT) AS tot_p
+            FROM wtd GROUP BY l_partkey
+        )
+        SELECT l_partkey, n_nonzero,
+               (10000 * tot_p) // n_nonzero AS adi_fp4,
+               (10000 * sz) // sp AS croston_fp4,
+               (7500 * sz) // sp AS sba_fp4
+        FROM acc ORDER BY l_partkey
+    """,
+    tags=("inventory", "forecast", "intermittent-demand"),
+)
+def lineitem_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand, exactly: per part,
+    EWMA-smooth the nonzero monthly demand SIZES (z) and the
+    INTERVALS between demand months (p) with α = 1/2, forecast
+    z_ewma / p_ewma per month, plus the Syntetos–Boylan approximation
+    (SBA = (1 − α/2)·z/p = 3/4 of Croston) — the forecaster the
+    lineitem_demand_classification operator routes intermittent/lumpy
+    SKUs to. The α = 1/2 dyadic trick from events_ewma_halflife makes
+    both EWMAs exact BIGINT weighted sums (weight 2^(j-2), the
+    2^(n-1) denominators CANCEL in the z/p ratio), so the forecast is
+    a pure integer division — zero doubles anywhere in the operator,
+    not even the final division. The first interval is initialized to
+    1 (documented convention, identical in both engines).
+
+    Overflow headroom: ≤ 36 monthly points per part in the 1995-97
+    window ⇒ weights ≤ 2³⁴, monthly quantity ≤ ~10⁴ ⇒ Σ q·w < 2⁶³.
+    A longer horizon re-anchors per ~36-month block with the running
+    EWMA as seed — same plan shape.
+
+    Scale shape: one fact-table aggregate to (part, month), then
+    per-part windows over ≤ 36 rows, then a counts-only rollup —
+    exactly one fact-sized shuffle; output one row per active part."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year(F.to_date("l_shipdate")).between(1995, 1997)
+    )
+    pm = li.groupBy(
+        "l_partkey",
+        (
+            F.year(F.to_date("l_shipdate")) * 12
+            + F.month(F.to_date("l_shipdate"))
+        ).alias("mi"),
+    ).agg(
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    wl = Window.partitionBy("l_partkey").orderBy("mi")
+    nz = (
+        pm.filter(F.col("q") > 0)
+        .withColumn("j", F.row_number().over(wl).cast("long"))
+        .withColumn(
+            "p",
+            F.coalesce(
+                F.col("mi") - F.lag("mi").over(wl), F.lit(1)
+            ).cast("long"),
+        )
+    )
+    wtd = nz.withColumn(
+        "w",
+        F.when(F.col("j") == 1, F.lit(1).cast("long")).otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 2 AS INT))")
+        ),
+    )
+    acc = wtd.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+        F.sum(F.col("q") * F.col("w")).cast("long").alias("sz"),
+        F.sum(F.col("p") * F.col("w")).cast("long").alias("sp"),
+        F.sum("p").cast("long").alias("tot_p"),
+    )
+    return acc.select(
+        "l_partkey",
+        "n_nonzero",
+        F.expr("(10000 * tot_p) div n_nonzero").alias("adi_fp4"),
+        F.expr("(10000 * sz) div sp").alias("croston_fp4"),
+        F.expr("(7500 * sz) div sp").alias("sba_fp4"),
+    ).orderBy("l_partkey")
