@@ -20,5 +20,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational13,
     relational14,
     relational15,
+    relational16,
 )
 from kafkastreamer_spark import operators  # noqa: F401

@@ -1,0 +1,816 @@
+"""Round-4 batches 185-191: ML evaluation metrics (calibration,
+precision/recall ladder, uplift/Qini), graph local clustering, the
+Fisher/Paasche index-number completion, Copeland pairwise ranking,
+and the cross-source vocabulary-overlap matrix.
+
+These extend the SURVEY §2-C inventory families already certified in
+rounds 3-4 (the reference engine itself has no relational surface —
+its operators are the keyed arithmetic stages, Streamer.java:443-466):
+the ML-metrics family (ml_click_purchase_auc, ml_woe_binning_views)
+gains the two evaluation views every model report needs next to AUC —
+a reliability diagram with ECE and an operating-point ladder — plus
+the causal companion (Qini-style uplift by targeting depth); the
+graph family gains the per-node clustering coefficient the global
+triangle count cannot answer; the economics family completes the
+index-number triple (Laspeyres → Paasche → Fisher); and the
+LLM-corpus profiling family gains the source×source vocabulary
+Jaccard matrix used to decide which ingestion sources are redundant.
+
+Determinism discipline as everywhere else: counts and rank sums stay
+BIGINT end-to-end; ratios are fixed-point integer divisions on
+non-negative operands (floor == truncate in both engines) with signed
+cases routed through an explicit sign split; the only doubles are
++,*,/,sqrt (IEEE correctly-rounded, engine-exact) in the price
+indices, following orders_laspeyres_price_index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.queries.graph import _TRADE_EDGES_SQL, _trade_edges
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+# Shared score/label model of the ML-metrics family (same as
+# ml_click_purchase_auc): per-user click count as the ranking score,
+# label = fired more purchases than errors (both classes populated at
+# every fixture SF).
+_PER_USER_SQL = """
+    SELECT user_id,
+           CAST(count_if(event_type = 'click') AS BIGINT) AS score,
+           CASE WHEN count_if(event_type = 'purchase')
+                     > count_if(event_type = 'error')
+                THEN 1 ELSE 0 END AS y
+    FROM events GROUP BY user_id
+"""
+
+
+def _per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("score"),
+        F.when(
+            F.count_if(F.col("event_type") == "purchase")
+            > F.count_if(F.col("event_type") == "error"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+
+
+# --- batch 185: per-node local clustering coefficient -----------------------
+
+
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+        WITH und AS MATERIALIZED (
+            -- MATERIALIZED: und is referenced 5x (degree scan + the
+            -- 3-way wedge join); DuckDB's default CTE inlining
+            -- re-plans the 5-way trade-edge join per reference and
+            -- the wedge join degrades ~300x (measured 73s -> 0.3s).
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ({_TRADE_EDGES_SQL})
+            WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b AS node FROM und)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tcnt AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS tri
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
+        )
+        SELECT n.n_name AS nation,
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+               CAST(coalesce(t.tri, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN coalesce(d.deg, 0) >= 2
+                         THEN (10000 * 2 * coalesce(t.tri, 0))
+                              // (d.deg * (d.deg - 1))
+                         ELSE 0 END AS BIGINT) AS lcc_fp4
+        FROM nation n
+        LEFT JOIN deg d ON d.node = n.n_nationkey
+        LEFT JOIN tcnt t ON t.node = n.n_nationkey
+        ORDER BY nation
+    """,
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the undirected nation
+    trade graph: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each
+    node's neighborhood is to a clique. The global triangle count
+    (graph_triangle_count) says how cliquish the graph is overall;
+    the LOCAL coefficient ranks nodes by it, which is the form
+    community detection and fraud heuristics actually consume.
+    Triangles enumerate once via the oriented wedge-close join
+    (a<b<c, exactly the graph_triangle_count machinery) and explode
+    to corners; degree comes from the canonicalized edge list's
+    endpoint multiset. The coefficient is an exact fixed-point ratio
+    of BIGINTs (numerator 2T·10⁴, denominator deg·(deg−1); deg<2 → 0
+    by convention).
+
+    Scale shape: identical to graph_triangle_count — the edge list is
+    DISTINCT-collapsed before any self-join, orientation bounds the
+    wedge join, degrees are a counts-only aggregate, and the final
+    assembly joins three node-indexed tables of |V| rows under
+    broadcast. No windows, no single-partition stages."""
+    nation = load_table(spark, sf_dir, "nation")
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()  # endpoint degree scan + three-way wedge join below
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, und.b == e2.b2)
+        .join(e3, (und.a == e3.a3) & (e2.c == e3.c3))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    out = (
+        nation.join(
+            F.broadcast(deg), deg.node == nation.n_nationkey, "left"
+        )
+        .drop("node")
+        .join(F.broadcast(tcnt), tcnt.node == nation.n_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                F.expr("(10000 * 2 * coalesce(tri, 0)) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_fp4"),
+        )
+        .orderBy("nation")
+    )
+    return out
+
+
+# --- batch 186: calibration reliability bins + ECE ---------------------------
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+        WITH per_user AS ({_PER_USER_SQL}),
+        b AS (
+            SELECT least(score, 10) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM per_user GROUP BY 1
+        ),
+        g AS (
+            SELECT bin, n, pos,
+                   CAST(1000 * bin AS BIGINT) AS pred_fp4,
+                   (10000 * pos) // n AS obs_fp4,
+                   abs(1000 * bin - (10000 * pos) // n) AS gap_fp4
+            FROM b
+        ),
+        e AS (
+            SELECT (sum(n * gap_fp4)) // sum(n) AS ece_fp4 FROM g
+        )
+        SELECT bin, n AS n_users, pos AS n_pos,
+               pred_fp4, obs_fp4, gap_fp4, e.ece_fp4
+        FROM g CROSS JOIN e ORDER BY bin
+    """,
+    tags=("ml", "metrics", "calibration"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    click-count propensity model of ml_click_purchase_auc (the same
+    naive calibration map its Brier term uses: p = min(score,10)/10).
+    One row per predicted-probability bin: user count, positives,
+    predicted probability (exact, 1e-4 fixed point), observed rate,
+    and the |pred − obs| gap; ECE is the n-weighted mean gap — the
+    number a model card quotes next to AUC/Brier. AUC says the
+    ranking is good; the reliability diagram says whether the scores
+    can be READ as probabilities, and which bins lie.
+
+    Scale shape: one groupBy(user_id) over the fact table (the family's
+    single fact shuffle), then an 11-bin aggregate and a broadcast of
+    the 1-row ECE scalar back onto the bins. Every compared value is
+    an exact BIGINT (pred is exact by construction; obs and ECE are
+    single floor divisions on non-negative integers)."""
+    pu = _per_user(spark, sf_dir)
+    b = pu.groupBy(F.least("score", F.lit(10)).alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    g = b.select(
+        "bin",
+        "n",
+        "pos",
+        (F.lit(1000) * F.col("bin")).cast("long").alias("pred_fp4"),
+        F.expr("(10000 * pos) div n").alias("obs_fp4"),
+        F.abs(
+            F.lit(1000) * F.col("bin") - F.expr("(10000 * pos) div n")
+        ).alias("gap_fp4"),
+    )
+    e = g.agg(F.expr("sum(n * gap_fp4) div sum(n)").alias("ece_fp4"))
+    return (
+        g.crossJoin(F.broadcast(e))
+        .select("bin", F.col("n").alias("n_users"), F.col("pos").alias("n_pos"),
+                "pred_fp4", "obs_fp4", "gap_fp4", "ece_fp4")
+        .orderBy("bin")
+    )
+
+
+# --- batch 187: precision/recall operating-point ladder ----------------------
+
+
+@register(
+    "ml_pr_threshold_ladder",
+    oracle=f"""
+        WITH per_user AS ({_PER_USER_SQL}),
+        pv AS (
+            SELECT score AS v, CAST(sum(y) AS BIGINT) AS a,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM per_user GROUP BY score
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+                   CAST(sum(m - a) AS BIGINT) AS n_neg
+            FROM pv
+        ),
+        th AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS t),
+        agg AS (
+            SELECT th.t,
+                   CAST(coalesce(sum(CASE WHEN pv.v >= th.t
+                                          THEN pv.a END), 0) AS BIGINT) AS tp,
+                   CAST(coalesce(sum(CASE WHEN pv.v >= th.t
+                                          THEN pv.m - pv.a END), 0)
+                        AS BIGINT) AS fp
+            FROM th LEFT JOIN pv ON pv.v >= th.t
+            GROUP BY th.t
+        )
+        SELECT t AS threshold, tp, fp,
+               n_pos - tp AS fn, n_neg - fp AS tn,
+               CAST(CASE WHEN tp + fp = 0 THEN 0
+                         ELSE (10000 * tp) // (tp + fp) END
+                    AS BIGINT) AS precision_fp4,
+               CAST(CASE WHEN n_pos = 0 THEN 0
+                         ELSE (10000 * tp) // n_pos END
+                    AS BIGINT) AS recall_fp4,
+               CAST(CASE WHEN tp + fp + n_pos = 0 THEN 0
+                         ELSE (20000 * tp) // (tp + fp + n_pos) END
+                    AS BIGINT) AS f1_fp4
+        FROM agg CROSS JOIN tot ORDER BY t
+    """,
+    tags=("ml", "metrics", "classification"),
+)
+def ml_pr_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix and precision/recall/F1 at every operating
+    point of the click-count score (predict positive when
+    score ≥ t, t = 1..10): the table behind a precision-recall curve
+    and the artifact used to PICK a threshold, which AUC alone cannot
+    do. F1 uses the integer identity 2PR/(P+R) = 2tp/(tp+fp+n_pos),
+    so precision, recall, and F1 are each ONE floor division on
+    non-negative BIGINTs — engine-exact with no intermediate ratio.
+
+    Scale shape: the fact table collapses to per-user rows (single
+    shuffle), then to the distinct-score table pv — cardinality
+    bounded by the score domain, not by users — and the threshold
+    ladder is a broadcast theta-join of a 10-row literal table
+    against pv. Thresholds above the observed maximum keep their row
+    (LEFT JOIN, zero-filled) so the ladder's shape is stable across
+    scale factors."""
+    pu = _per_user(spark, sf_dir)
+    pv = pu.groupBy(F.col("score").alias("v")).agg(
+        F.sum("y").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    tot = pv.agg(
+        F.sum("a").cast("long").alias("n_pos"),
+        F.sum(F.col("m") - F.col("a")).cast("long").alias("n_neg"),
+    )
+    th = spark.range(1, 11).select(F.col("id").cast("long").alias("t"))
+    agg = (
+        F.broadcast(th)
+        .join(pv, pv.v >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.sum(F.col("m") - F.col("a")), F.lit(0))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("n_neg") - F.col("fp")).cast("long").alias("tn"),
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * tp) div (tp + fp)"))
+            .cast("long")
+            .alias("precision_fp4"),
+            F.when(F.col("n_pos") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * tp) div n_pos"))
+            .cast("long")
+            .alias("recall_fp4"),
+            F.when(F.col("tp") + F.col("fp") + F.col("n_pos") == 0, F.lit(0))
+            .otherwise(F.expr("(20000 * tp) div (tp + fp + n_pos)"))
+            .cast("long")
+            .alias("f1_fp4"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# --- batch 188: Paasche + Fisher price indices -------------------------------
+
+
+@register(
+    "orders_fisher_price_index",
+    oracle="""
+        WITH pm AS (
+            SELECT l_partkey AS part, strftime(l_shipdate, '%Y-%m') AS m,
+                   CAST(sum(CAST(floor(l_extendedprice * 10000) AS BIGINT))
+                        AS BIGINT) AS e4,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        priced AS (SELECT part, m, e4 // q AS p4, q FROM pm),
+        base AS (
+            SELECT part, p4 AS p0, q AS q0 FROM priced
+            WHERE m = (SELECT min(m) FROM priced)
+        ),
+        idx AS (
+            SELECT pr.m,
+                   CAST(sum(pr.p4 * b.q0) AS BIGINT) AS lasp_cur,
+                   CAST(sum(b.p0 * b.q0) AS BIGINT) AS lasp_ref,
+                   CAST(sum(pr.p4 * pr.q) AS BIGINT) AS paas_cur,
+                   CAST(sum(b.p0 * pr.q) AS BIGINT) AS paas_ref
+            FROM priced pr JOIN base b ON b.part = pr.part
+            GROUP BY pr.m
+        )
+        SELECT m AS month,
+               CAST(floor(CAST(lasp_cur AS DOUBLE) * 10000 / lasp_ref)
+                    AS BIGINT) AS laspeyres4,
+               CAST(floor(CAST(paas_cur AS DOUBLE) * 10000 / paas_ref)
+                    AS BIGINT) AS paasche4,
+               CAST(floor(sqrt((CAST(lasp_cur AS DOUBLE) * 10000 / lasp_ref)
+                               * (CAST(paas_cur AS DOUBLE) * 10000 / paas_ref)))
+                    AS BIGINT) AS fisher4
+        FROM idx ORDER BY month
+    """,
+    tags=("relational", "aggregate", "economics"),
+)
+def orders_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paasche and Fisher price indices per ship month, completing
+    the index-number triple started by orders_laspeyres_price_index
+    (same exact integer micro-price table): Laspeyres weights by the
+    BASE month's quantities (overstates inflation — consumers
+    substitute away), Paasche by the CURRENT month's (understates),
+    and Fisher is their geometric mean — the "ideal index" both
+    national statistics offices publish. Basket totals are exact
+    BIGINT dot products; the two ratios and the final sqrt stay in
+    the engine-exact double subset (+, *, /, sqrt are correctly
+    rounded IEEE in both engines), floored once at 1e-4.
+
+    Scale shape: identical to the Laspeyres query — one map-side
+    aggregate of lineitem per (part, month), the base-month slice
+    joined back on part (AQE broadcasts it), a |months|-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("e4"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+    )
+    priced = pm.select(
+        "part", "m", F.expr("e4 div q").alias("p4"), "q"
+    ).persist()  # base-month slice + monthly join both read it
+    base_month = priced.agg(F.min("m").alias("m0"))
+    base = priced.join(
+        F.broadcast(base_month), priced.m == F.col("m0")
+    ).select("part", F.col("p4").alias("p0"), F.col("q").alias("q0"))
+    idx = (
+        priced.join(base, "part")
+        .groupBy("m")
+        .agg(
+            F.sum(F.col("p4") * F.col("q0")).cast("long").alias("lasp_cur"),
+            F.sum(F.col("p0") * F.col("q0")).cast("long").alias("lasp_ref"),
+            F.sum(F.col("p4") * F.col("q")).cast("long").alias("paas_cur"),
+            F.sum(F.col("p0") * F.col("q")).cast("long").alias("paas_ref"),
+        )
+    )
+    lasp = F.col("lasp_cur").cast("double") * 10000 / F.col("lasp_ref")
+    paas = F.col("paas_cur").cast("double") * 10000 / F.col("paas_ref")
+    return idx.select(
+        F.col("m").alias("month"),
+        F.floor(lasp).cast("long").alias("laspeyres4"),
+        F.floor(paas).cast("long").alias("paasche4"),
+        F.floor(F.sqrt(lasp * paas)).cast("long").alias("fisher4"),
+    ).orderBy("month")
+
+
+# --- batch 189: uplift / Qini targeting-depth ladder -------------------------
+
+
+@register(
+    "ml_uplift_qini",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(count_if(event_type = 'click') AS BIGINT) AS score,
+                   CASE WHEN count_if(event_type = 'purchase')
+                             > count_if(event_type = 'error')
+                        THEN 1 ELSE 0 END AS y,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1 ELSE 0 END AS trt
+            FROM events GROUP BY user_id
+        ),
+        pv AS (
+            SELECT score AS v,
+                   CAST(count_if(trt = 1) AS BIGINT) AS nt_v,
+                   CAST(sum(CASE WHEN trt = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS at_v,
+                   CAST(count_if(trt = 0) AS BIGINT) AS nc_v,
+                   CAST(sum(CASE WHEN trt = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS ac_v
+            FROM per_user GROUP BY score
+        ),
+        cum AS (
+            SELECT v,
+                   CAST(sum(nt_v) OVER (ORDER BY v DESC) AS BIGINT) AS nt,
+                   CAST(sum(at_v) OVER (ORDER BY v DESC) AS BIGINT) AS conv_t,
+                   CAST(sum(nc_v) OVER (ORDER BY v DESC) AS BIGINT) AS nc,
+                   CAST(sum(ac_v) OVER (ORDER BY v DESC) AS BIGINT) AS conv_c
+            FROM pv
+        )
+        SELECT v AS score_cutoff, nt, conv_t, nc, conv_c,
+               conv_t * nc - conv_c * nt AS uplift_num,
+               nt * nc AS uplift_den,
+               CAST(CASE WHEN nt * nc = 0 THEN 0
+                         WHEN conv_t * nc - conv_c * nt < 0
+                         THEN -((10000 * (conv_c * nt - conv_t * nc))
+                                // (nt * nc))
+                         ELSE (10000 * (conv_t * nc - conv_c * nt))
+                              // (nt * nc) END
+                    AS BIGINT) AS uplift_fp4
+        FROM cum ORDER BY score_cutoff DESC
+    """,
+    tags=("ml", "causal", "uplift"),
+)
+def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (Qini-curve) ladder for the click-count score under a
+    deterministic md5 A/B split of users (first hex digit 0-7 →
+    treatment, the engine's standard hash-membership idiom — engine-,
+    partition-, and scale-invariant): at every targeting depth
+    "treat users with score ≥ v", the cumulative treated/control
+    sizes and conversions and the incremental conversion rate
+    conv_t/nt − conv_c/nc. This is the causal companion of the PR
+    ladder: precision asks "of those flagged, how many convert";
+    uplift asks "how many conversions did flagging CAUSE", which is
+    what a campaign-targeting decision actually needs. The rate
+    difference is emitted as an exact integer numerator/denominator
+    pair plus a sign-split fixed-point quotient (negatives routed
+    through -((10⁴·|num|) div den) so both engines truncate toward
+    zero identically).
+
+    Scale shape: one groupBy(user_id) fact shuffle with the split
+    and label computed in-aggregate, then all four cumulatives come
+    from ONE descending window over the distinct-score table —
+    domain-bounded like the AUC rank cumulation, never user-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("score"),
+        F.when(
+            F.count_if(F.col("event_type") == "purchase")
+            > F.count_if(F.col("event_type") == "error"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    ).withColumn(
+        "trt",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            1,
+        ).otherwise(0),
+    )
+    pv = pu.groupBy(F.col("score").alias("v")).agg(
+        F.count_if(F.col("trt") == 1).cast("long").alias("nt_v"),
+        F.sum(F.when(F.col("trt") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("at_v"),
+        F.count_if(F.col("trt") == 0).cast("long").alias("nc_v"),
+        F.sum(F.when(F.col("trt") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("ac_v"),
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.select(
+        "v",
+        F.sum("nt_v").over(w).cast("long").alias("nt"),
+        F.sum("at_v").over(w).cast("long").alias("conv_t"),
+        F.sum("nc_v").over(w).cast("long").alias("nc"),
+        F.sum("ac_v").over(w).cast("long").alias("conv_c"),
+    )
+    num = F.col("conv_t") * F.col("nc") - F.col("conv_c") * F.col("nt")
+    den = F.col("nt") * F.col("nc")
+    return cum.select(
+        F.col("v").alias("score_cutoff"),
+        "nt",
+        "conv_t",
+        "nc",
+        "conv_c",
+        num.cast("long").alias("uplift_num"),
+        den.cast("long").alias("uplift_den"),
+        F.when(den == 0, F.lit(0))
+        .when(
+            num < 0,
+            -F.expr(
+                "(10000 * (conv_c * nt - conv_t * nc)) div (nt * nc)"
+            ),
+        )
+        .otherwise(
+            F.expr("(10000 * (conv_t * nc - conv_c * nt)) div (nt * nc)")
+        )
+        .cast("long")
+        .alias("uplift_fp4"),
+    ).orderBy(F.col("score_cutoff").desc())
+
+
+# --- batch 190: Copeland pairwise trade-dominance ranking --------------------
+
+_FLOW_SQL = """
+    SELECT n1.n_name AS a, n2.n_name AS b,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                               * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS v
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "nation_copeland_ranking",
+    oracle=f"""
+        WITH flow AS ({_FLOW_SQL}),
+        pairs AS (
+            SELECT na.n_name AS a, nb.n_name AS b
+            FROM nation na JOIN nation nb ON na.n_name < nb.n_name
+        ),
+        scored AS (
+            SELECT p.a, p.b,
+                   coalesce(f1.v, 0) AS vab, coalesce(f2.v, 0) AS vba
+            FROM pairs p
+            LEFT JOIN flow f1 ON f1.a = p.a AND f1.b = p.b
+            LEFT JOIN flow f2 ON f2.a = p.b AND f2.b = p.a
+        ),
+        res AS (
+            SELECT a AS nation,
+                   CASE WHEN vab > vba THEN 1 ELSE 0 END AS w,
+                   CASE WHEN vab < vba THEN 1 ELSE 0 END AS lo,
+                   CASE WHEN vab = vba THEN 1 ELSE 0 END AS ti
+            FROM scored
+            UNION ALL
+            SELECT b,
+                   CASE WHEN vba > vab THEN 1 ELSE 0 END,
+                   CASE WHEN vba < vab THEN 1 ELSE 0 END,
+                   CASE WHEN vab = vba THEN 1 ELSE 0 END
+            FROM scored
+        )
+        SELECT nation,
+               CAST(sum(w) AS BIGINT) AS wins,
+               CAST(sum(lo) AS BIGINT) AS losses,
+               CAST(sum(ti) AS BIGINT) AS ties,
+               CAST(sum(w) - sum(lo) AS BIGINT) AS copeland
+        FROM res GROUP BY nation
+        ORDER BY copeland DESC, nation
+    """,
+    tags=("graph", "ranking", "economics"),
+)
+def nation_copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland pairwise-majority ranking of nations by bilateral
+    trade dominance: nation A "beats" B when A exports more to B than
+    B exports to A (exact fixed-point discounted revenue, the
+    nation_trade_balance_matrix flow); Copeland score = wins − losses
+    over all 24 opponents. This is the tournament-method companion to
+    supplier_borda_scorecard — Borda sums positional ranks (scores
+    are comparable magnitudes), Copeland counts pairwise victories
+    (robust to one outlier corridor distorting a rank sum). Missing
+    corridors count as zero flow, so every pair is decided; equal
+    flows (including double-missing) are ties.
+
+    Scale shape: the star join aggregates the fact to the
+    |nations|²-bounded flow matrix (one fact shuffle, dims
+    broadcast); the complete pair grid is a broadcast self-join of
+    the 25-row nation dim, the two flow lookups are broadcast hash
+    joins against the matrix, and the verdict explosion + rollup
+    touch ≤ 2·C(25,2) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("a"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("b"))
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    na = n.select(F.col("n_name").alias("pa"))
+    nb = n.select(F.col("n_name").alias("pb"))
+    pairs = na.join(F.broadcast(nb), F.col("pa") < F.col("pb"))
+    f1 = flow.select(F.col("a").alias("f1a"), F.col("b").alias("f1b"), F.col("v").alias("vab0"))
+    f2 = flow.select(F.col("a").alias("f2a"), F.col("b").alias("f2b"), F.col("v").alias("vba0"))
+    scored = (
+        pairs.join(
+            F.broadcast(f1),
+            (F.col("f1a") == F.col("pa")) & (F.col("f1b") == F.col("pb")),
+            "left",
+        )
+        .join(
+            F.broadcast(f2),
+            (F.col("f2a") == F.col("pb")) & (F.col("f2b") == F.col("pa")),
+            "left",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.coalesce(F.col("vab0"), F.lit(0)).alias("vab"),
+            F.coalesce(F.col("vba0"), F.lit(0)).alias("vba"),
+        )
+    )
+    res = scored.select(
+        F.col("pa").alias("nation"),
+        F.when(F.col("vab") > F.col("vba"), 1).otherwise(0).alias("w"),
+        F.when(F.col("vab") < F.col("vba"), 1).otherwise(0).alias("lo"),
+        F.when(F.col("vab") == F.col("vba"), 1).otherwise(0).alias("ti"),
+    ).unionAll(
+        scored.select(
+            F.col("pb").alias("nation"),
+            F.when(F.col("vba") > F.col("vab"), 1).otherwise(0).alias("w"),
+            F.when(F.col("vba") < F.col("vab"), 1).otherwise(0).alias("lo"),
+            F.when(F.col("vab") == F.col("vba"), 1).otherwise(0).alias("ti"),
+        )
+    )
+    return (
+        res.groupBy("nation")
+        .agg(
+            F.sum("w").cast("long").alias("wins"),
+            F.sum("lo").cast("long").alias("losses"),
+            F.sum("ti").cast("long").alias("ties"),
+            (F.sum("w") - F.sum("lo")).cast("long").alias("copeland"),
+        )
+        .orderBy(F.col("copeland").desc(), "nation")
+    )
+
+
+# --- batch 191: cross-source vocabulary Jaccard matrix -----------------------
+
+
+@register(
+    "text_source_vocab_jaccard",
+    oracle="""
+        WITH tok0 AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents
+        ),
+        tok AS (
+            SELECT DISTINCT source, t FROM tok0 WHERE t <> ''
+        ),
+        vs AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS vocab
+            FROM tok GROUP BY source
+        ),
+        inter AS (
+            SELECT x.source AS sa, y.source AS sb,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok x JOIN tok y
+              ON x.t = y.t AND x.source < y.source
+            GROUP BY 1, 2
+        )
+        SELECT i.sa AS source_a, i.sb AS source_b,
+               va.vocab AS vocab_a, vb.vocab AS vocab_b, i.n_common,
+               (10000 * i.n_common)
+                   // (va.vocab + vb.vocab - i.n_common) AS jaccard_fp4
+        FROM inter i
+        JOIN vs va ON va.source = i.sa
+        JOIN vs vb ON vb.source = i.sb
+        ORDER BY source_a, source_b
+    """,
+    tags=("llm-data", "text", "profiling"),
+)
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source vocabulary-overlap matrix: the Jaccard
+    similarity of each pair of ingestion sources' distinct-token
+    vocabularies (shared whitespace tokenization, parity with
+    string_split_regex). dedup_cross_source_matrix asks whether
+    sources share whole DOCUMENTS; this asks whether they speak the
+    same LANGUAGE — a high vocabulary Jaccard with low document
+    overlap marks a source as topically redundant, the signal used
+    when deciding which sources to down-weight in a corpus mix
+    (complementing sample_temperature_mix).
+
+    Scale shape: tokenization is a map-only explode; the (source,
+    token) DISTINCT is a counts-free aggregate with map-side partial
+    dedup; the pair intersection joins the inverted index with
+    ITSELF ON THE TOKEN KEY, so candidate volume is Σ_t df_t² with
+    df bounded by the source count (a few dozen), i.e. linear in
+    vocabulary — the same bounded-fanout shape as the shingle
+    inverted index in dedup_ngram_jaccard, never |vocab|² pairs.
+    The final assembly joins the tiny per-source vocab sizes under
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+        .persist()  # vocab sizes + self-join both read it
+    )
+    vs = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    right = tok.select(F.col("source").alias("sb"), F.col("t").alias("t2"))
+    inter = (
+        tok.join(
+            right,
+            (F.col("t") == F.col("t2")) & (F.col("source") < F.col("sb")),
+        )
+        .groupBy(F.col("source").alias("sa"), "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    va = vs.select(F.col("source").alias("va_s"), F.col("vocab").alias("vocab_a"))
+    vb = vs.select(F.col("source").alias("vb_s"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), F.col("va_s") == F.col("sa"))
+        .join(F.broadcast(vb), F.col("vb_s") == F.col("sb"))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.expr(
+                "(10000 * n_common) div (vocab_a + vocab_b - n_common)"
+            ).alias("jaccard_fp4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
