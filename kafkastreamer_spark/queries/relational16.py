@@ -814,3 +814,439 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- batch 192: bullwhip-effect variance amplification -----------------------
+
+
+@register(
+    "lineitem_bullwhip_ratio",
+    oracle="""
+        WITH months AS (
+            SELECT DISTINCT m FROM (
+                SELECT strftime(l_shipdate, '%Y-%m') AS m FROM lineitem
+                UNION ALL
+                SELECT strftime(o.o_orderdate, '%Y-%m') AS m
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+        ),
+        parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem),
+        ord_m AS (
+            SELECT l.l_partkey AS part, strftime(o.o_orderdate, '%Y-%m') AS m,
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        ship_m AS (
+            SELECT l_partkey AS part, strftime(l_shipdate, '%Y-%m') AS m,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT p.part, mo.m,
+                   CAST(coalesce(o.q, 0) AS BIGINT) AS qo,
+                   CAST(coalesce(s.q, 0) AS BIGINT) AS qs
+            FROM parts p
+            CROSS JOIN months mo
+            LEFT JOIN ord_m o ON o.part = p.part AND o.m = mo.m
+            LEFT JOIN ship_m s ON s.part = p.part AND s.m = mo.m
+        ),
+        ss AS (
+            SELECT part,
+                   CAST(count(*) AS BIGINT) AS n_months,
+                   CAST(count(*) * sum(qo * qo) - sum(qo) * sum(qo)
+                        AS BIGINT) AS ss_order,
+                   CAST(count(*) * sum(qs * qs) - sum(qs) * sum(qs)
+                        AS BIGINT) AS ss_ship
+            FROM grid GROUP BY part
+        )
+        SELECT part, n_months, ss_order, ss_ship,
+               CAST(CASE WHEN ss_order = 0 THEN 0
+                         ELSE (10000 * ss_ship) // ss_order END
+                    AS BIGINT) AS bullwhip_fp4,
+               CAST(CASE WHEN ss_ship > ss_order THEN 1 ELSE 0 END
+                    AS BIGINT) AS amplifying
+        FROM ss ORDER BY part
+    """,
+    tags=("supply-chain", "statistics", "variance"),
+)
+def lineitem_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect ratio per part: the variance of monthly SHIPPED
+    quantity over the variance of monthly ORDERED quantity (demand as
+    stated on the order date vs supply as executed on ship dates).
+    Shipping consolidates and delays order lines, so the shipped
+    series is a re-batched transform of the demand series; a ratio
+    above 1 is the classic bullwhip amplification a supply chain
+    measures before sizing safety stock (the diagnostic companion to
+    lineitem_eoq_policy / lineitem_croston_forecast /
+    lineitem_demand_classification). Both series are zero-filled onto
+    the SAME global month spine so the two variances share n, letting
+    the ratio reduce to the exact integer sum-of-squares quotient
+    SS = n·Σq² − (Σq)² — no division until the final fixed point.
+
+    Scale shape: two counts-only (part, month) aggregates of the fact
+    (map-side combine), the month spine is a tiny DISTINCT broadcast
+    cross-joined onto the part list (map-only row build, |parts|·|months|
+    rows — linear in parts), two broadcast-key left joins, and one
+    final part-keyed aggregate. No windows; nothing ever sorts the
+    fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    months = (
+        li.select(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+        .unionAll(lo.select(F.date_format("o_orderdate", "yyyy-MM").alias("m")))
+        .distinct()
+    )
+    parts = li.select(F.col("l_partkey").alias("part")).distinct()
+    ord_m = lo.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qo0"))
+    ship_m = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qs0"))
+    grid = (
+        parts.crossJoin(F.broadcast(months))
+        .join(ord_m, ["part", "m"], "left")
+        .join(ship_m, ["part", "m"], "left")
+        .select(
+            "part",
+            "m",
+            F.coalesce(F.col("qo0"), F.lit(0)).cast("long").alias("qo"),
+            F.coalesce(F.col("qs0"), F.lit(0)).cast("long").alias("qs"),
+        )
+    )
+    ss = grid.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("qo") * F.col("qo"))
+            - F.sum("qo") * F.sum("qo")
+        )
+        .cast("long")
+        .alias("ss_order"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("qs") * F.col("qs"))
+            - F.sum("qs") * F.sum("qs")
+        )
+        .cast("long")
+        .alias("ss_ship"),
+    )
+    return ss.select(
+        "part",
+        "n_months",
+        "ss_order",
+        "ss_ship",
+        F.when(F.col("ss_order") == 0, F.lit(0))
+        .otherwise(F.expr("(10000 * ss_ship) div ss_order"))
+        .cast("long")
+        .alias("bullwhip_fp4"),
+        F.when(F.col("ss_ship") > F.col("ss_order"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("amplifying"),
+    ).orderBy("part")
+
+
+# --- batch 193: directed-graph reciprocity ------------------------------------
+
+
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+        WITH flow AS MATERIALIZED ({_FLOW_SQL}),
+        paired AS (
+            SELECT f.a, f.b, f.v AS vab, r.v AS vba
+            FROM flow f
+            LEFT JOIN flow r ON r.a = f.b AND r.b = f.a
+        )
+        SELECT a AS nation,
+               CAST(count(*) AS BIGINT) AS out_edges,
+               CAST(count_if(vba IS NOT NULL) AS BIGINT) AS reciprocated,
+               (10000 * count_if(vba IS NOT NULL)) // count(*)
+                   AS reciprocity_fp4,
+               CAST(sum(least(vab, coalesce(vba, 0))) AS BIGINT)
+                   AS matched_flow_fp,
+               CAST(sum(vab) AS BIGINT) AS out_flow_fp,
+               (10000 * sum(least(vab, coalesce(vba, 0)))) // sum(vab)
+                   AS weighted_reciprocity_fp4
+        FROM paired GROUP BY a ORDER BY nation
+    """,
+    tags=("graph", "reciprocity", "economics"),
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation directed-edge reciprocity on the weighted trade
+    graph: of this nation's outgoing corridors, how many have ANY
+    return flow (edge reciprocity), and how much of its outgoing
+    trade value is matched by return value on the same corridor
+    (weighted reciprocity, Σ min(v_ab, v_ba) / Σ v_ab — the
+    Squartini-Garlaschelli weighted form). Complements
+    nation_copeland_ranking (who WINS each corridor) with how
+    SYMMETRIC each nation's trade relationships are; a pure exporter
+    scores near 0, balanced-trade nations near 1. All flows are
+    exact fixed-point revenue sums; both ratios are single floor
+    divisions on non-negative BIGINTs.
+
+    Scale shape: one star-join fact aggregate to the |nations|²
+    matrix, one broadcast self-join on the swapped pair, one
+    25-group rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("a"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("b"))
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .persist()  # forward scan + swapped-pair self-join below
+    )
+    rev = flow.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb"), F.col("v").alias("vba")
+    )
+    paired = flow.join(
+        F.broadcast(rev),
+        (F.col("ra") == F.col("b")) & (F.col("rb") == F.col("a")),
+        "left",
+    )
+    return (
+        paired.groupBy(F.col("a").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_edges"),
+            F.count_if(F.col("vba").isNotNull())
+            .cast("long")
+            .alias("reciprocated"),
+            F.expr(
+                "(10000 * count_if(vba IS NOT NULL)) div count(*)"
+            ).alias("reciprocity_fp4"),
+            F.sum(F.least(F.col("v"), F.coalesce(F.col("vba"), F.lit(0))))
+            .cast("long")
+            .alias("matched_flow_fp"),
+            F.sum("v").cast("long").alias("out_flow_fp"),
+            F.expr(
+                "(10000 * sum(least(v, coalesce(vba, 0)))) div sum(v)"
+            ).alias("weighted_reciprocity_fp4"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- batch 194: zone-map / partition-pruning audit ---------------------------
+
+# (predicate name, lo, hi) value ranges probed against per-day
+# partition min/max stats — the file-skipping question a lakehouse
+# zone map answers.
+_PRUNE_PREDICATES = [
+    ("value_0_10", 0.0, 10.0),
+    ("value_40_60", 40.0, 60.0),
+    ("value_90_100", 90.0, 100.0),
+    ("value_top_tail", 99.0, 1e9),
+]
+
+
+def _prune_pred_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS pred, CAST({lo} AS DOUBLE) AS lo,"
+        f" CAST({hi} AS DOUBLE) AS hi"
+        for name, lo, hi in _PRUNE_PREDICATES
+    )
+
+
+@register(
+    "layout_stats_pruning_audit",
+    oracle=f"""
+        WITH stats AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(value) AS v_min, max(value) AS v_max
+            FROM events GROUP BY 1
+        ),
+        preds AS ({_prune_pred_sql()}),
+        audit AS (
+            SELECT p.pred, s.day, s.n_rows,
+                   CASE WHEN s.v_max < p.lo OR s.v_min > p.hi
+                        THEN 1 ELSE 0 END AS skipped
+            FROM preds p CROSS JOIN stats s
+        )
+        SELECT pred,
+               CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(sum(skipped) AS BIGINT) AS skipped_partitions,
+               CAST(sum(CASE WHEN skipped = 1 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS skipped_rows,
+               CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS scanned_rows,
+               (10000 * sum(CASE WHEN skipped = 1 THEN n_rows ELSE 0 END))
+                   // sum(n_rows) AS skip_ratio_fp4
+        FROM audit GROUP BY pred ORDER BY pred
+    """,
+    tags=("layout", "zone-map", "lakehouse-ops"),
+)
+def layout_stats_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / partition-pruning effectiveness audit: build per-day
+    partition statistics (row count, min/max of the value column) —
+    exactly what parquet footers and Iceberg manifests store — then
+    replay a set of range predicates against the stats alone and
+    report how many partitions and rows each predicate could SKIP
+    without reading data. A partition is skippable iff its [min, max]
+    interval misses [lo, hi] entirely. This quantifies whether the
+    current time-partitioned layout serves value-range queries (low
+    skip ratio → the table wants Z-ordering on value, the decision
+    layout_zorder_audit then scores).
+
+    Scale shape: the stats table is one counts-and-extremes aggregate
+    per partition key (map-side combine; at 100 TB this is the
+    manifest scan, not a data scan), and the audit is a 4-row literal
+    table cross-applied to |days| stat rows — dimension-bounded.
+    Min/max comparisons on doubles are exact (no arithmetic, just
+    ordering), and every reported number is a BIGINT count or one
+    floor division."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    preds = spark.createDataFrame(
+        [(name, float(lo), float(hi)) for name, lo, hi in _PRUNE_PREDICATES],
+        "pred string, lo double, hi double",
+    )
+    audit = F.broadcast(preds).crossJoin(stats).select(
+        "pred",
+        "n_rows",
+        F.when(
+            (F.col("v_max") < F.col("lo")) | (F.col("v_min") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("skipped"),
+    )
+    return (
+        audit.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("skipped").cast("long").alias("skipped_partitions"),
+            F.sum(F.when(F.col("skipped") == 1, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("skipped_rows"),
+            F.sum(F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("scanned_rows"),
+            F.expr(
+                "(10000 * sum(CASE WHEN skipped = 1 THEN n_rows ELSE 0 END))"
+                " div sum(n_rows)"
+            ).alias("skip_ratio_fp4"),
+        )
+        .orderBy("pred")
+    )
+
+
+# --- batch 195: KS separation of the score distributions ---------------------
+
+
+@register(
+    "ml_score_ks_separation",
+    oracle=f"""
+        WITH per_user AS ({_PER_USER_SQL}),
+        pv AS (
+            SELECT score AS v, CAST(sum(y) AS BIGINT) AS a,
+                   CAST(count(*) - sum(y) AS BIGINT) AS b
+            FROM per_user GROUP BY score
+        ),
+        cum AS (
+            SELECT v,
+                   CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS cp,
+                   CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cn
+            FROM pv
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+                   CAST(sum(b) AS BIGINT) AS n_neg
+            FROM pv
+        ),
+        gaps AS (
+            SELECT v, abs(cp * n_neg - cn * n_pos) AS gap_num
+            FROM cum CROSS JOIN tot
+        )
+        SELECT t.n_pos, t.n_neg,
+               (SELECT max(gap_num) FROM gaps) AS ks_num,
+               CAST(t.n_pos * t.n_neg AS BIGINT) AS ks_den,
+               (10000 * (SELECT max(gap_num) FROM gaps))
+                   // (t.n_pos * t.n_neg) AS ks_fp4,
+               (SELECT min(v) FROM gaps
+                WHERE gap_num = (SELECT max(gap_num) FROM gaps))
+                   AS ks_cutoff
+        FROM tot t
+    """,
+    tags=("ml", "metrics", "statistics"),
+)
+def ml_score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the click-count score between
+    converters and non-converters: max over cutoffs v of
+    |F_pos(v) − F_neg(v)| — the credit-scoring industry's standard
+    single-number discrimination metric next to AUC (KS reports the
+    BEST single cutoff's separation; AUC integrates over all of
+    them), plus the cutoff where the maximum is attained (smallest
+    such score on ties). The gap is kept as the exact integer
+    |cp·n_neg − cn·n_pos| over the common denominator n_pos·n_neg, so
+    the max, the argmax, and the final fixed-point ratio are all
+    engine-exact. Completes the ML-metrics family's discrimination
+    views: AUC (ranking), KS (best cutoff), PR ladder (all cutoffs),
+    calibration (probability quality), Qini (causal value).
+
+    Scale shape: one groupBy(user_id) fact shuffle, then the ECDF
+    cumulation runs on the distinct-score table (domain-bounded, the
+    AUC/Qini pattern) and reduces to a single row."""
+    pu = _per_user(spark, sf_dir)
+    pv = pu.groupBy(F.col("score").alias("v")).agg(
+        F.sum("y").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pv.select(
+        "v",
+        F.sum("a").over(w).cast("long").alias("cp"),
+        F.sum("b").over(w).cast("long").alias("cn"),
+    )
+    tot = pv.agg(
+        F.sum("a").cast("long").alias("n_pos"),
+        F.sum("b").cast("long").alias("n_neg"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(F.col("cp") * F.col("n_neg") - F.col("cn") * F.col("n_pos")).alias(
+            "gap_num"
+        ),
+        "n_pos",
+        "n_neg",
+    )
+    mx = gaps.agg(F.max("gap_num").alias("mx"))
+    return (
+        gaps.crossJoin(F.broadcast(mx))
+        .agg(
+            F.max("n_pos").cast("long").alias("n_pos"),
+            F.max("n_neg").cast("long").alias("n_neg"),
+            F.max("gap_num").cast("long").alias("ks_num"),
+            (F.max("n_pos") * F.max("n_neg")).cast("long").alias("ks_den"),
+            F.expr(
+                "(10000 * max(gap_num)) div (max(n_pos) * max(n_neg))"
+            ).alias("ks_fp4"),
+            F.min(F.when(F.col("gap_num") == F.col("mx"), F.col("v")))
+            .cast("long")
+            .alias("ks_cutoff"),
+        )
+    )
