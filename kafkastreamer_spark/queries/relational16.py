@@ -1250,3 +1250,312 @@ def ml_score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_cutoff"),
         )
     )
+
+
+# --- batch 196: customer segment migration matrix ----------------------------
+
+_MIG_SPLIT = "1996-01-01"  # fixture order dates span 1992-1998
+
+
+def _freq_class_sql(cnt: str) -> str:
+    return (
+        f"CASE WHEN {cnt} = 0 THEN 'none' WHEN {cnt} = 1 THEN 'one'"
+        f" WHEN {cnt} <= 3 THEN 'repeat' ELSE 'loyal' END"
+    )
+
+
+@register(
+    "customer_segment_migration",
+    oracle=f"""
+        WITH per AS (
+            SELECT o_custkey AS cust,
+                   CAST(count_if(o_orderdate < DATE '{_MIG_SPLIT}')
+                        AS BIGINT) AS c1,
+                   CAST(count_if(o_orderdate >= DATE '{_MIG_SPLIT}')
+                        AS BIGINT) AS c2
+            FROM orders GROUP BY o_custkey
+        ),
+        seg AS (
+            SELECT {_freq_class_sql('c1')} AS seg_before,
+                   {_freq_class_sql('c2')} AS seg_after
+            FROM per
+        ),
+        mat AS (
+            SELECT seg_before, seg_after, CAST(count(*) AS BIGINT) AS n_cust
+            FROM seg GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT seg_before, CAST(sum(n_cust) AS BIGINT) AS row_total
+            FROM mat GROUP BY seg_before
+        )
+        SELECT m.seg_before, m.seg_after, m.n_cust, t.row_total,
+               (10000 * m.n_cust) // t.row_total AS row_share_fp4
+        FROM mat m JOIN tot t USING (seg_before)
+        ORDER BY seg_before, seg_after
+    """,
+    tags=("crm", "reporting", "migration"),
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer frequency-segment migration matrix across a fixed
+    period split (orders before vs since {split}): each customer is
+    classed none/one/repeat/loyal by order count IN EACH PERIOD, and
+    the matrix counts every (before → after) transition with its
+    row-conditional share — the CRM view behind churn and win-back
+    programs (a heavy none→loyal column means acquisition; a heavy
+    loyal→none column means churn). The class boundaries are fixed
+    CASE buckets on exact BIGINT counts (not quantiles), so the
+    matrix is engine- and scale-exact; row shares are one floor
+    division each. Complements customer_rfm_segmentation (a single
+    period's segments) and events_growth_accounting (daily user-level
+    accounting) with the period-over-period transition structure.
+
+    Scale shape: one conditional-count groupBy(custkey) over the
+    fact (map-side combine), a map-only CASE classification, a
+    ≤16-cell matrix aggregate, and a broadcast of the 4-row row
+    totals. Single fact shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_MIG_SPLIT).cast("date")
+
+    def klass(c):
+        return (
+            F.when(c == 0, "none")
+            .when(c == 1, "one")
+            .when(c <= 3, "repeat")
+            .otherwise("loyal")
+        )
+
+    per = o.groupBy("o_custkey").agg(
+        F.count_if(F.col("o_orderdate") < split).cast("long").alias("c1"),
+        F.count_if(F.col("o_orderdate") >= split).cast("long").alias("c2"),
+    )
+    seg = per.select(
+        klass(F.col("c1")).alias("seg_before"),
+        klass(F.col("c2")).alias("seg_after"),
+    )
+    mat = seg.groupBy("seg_before", "seg_after").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    tot = mat.groupBy("seg_before").agg(
+        F.sum("n_cust").cast("long").alias("row_total")
+    )
+    return (
+        mat.join(F.broadcast(tot), "seg_before")
+        .select(
+            "seg_before",
+            "seg_after",
+            "n_cust",
+            "row_total",
+            F.expr("(10000 * n_cust) div row_total").alias("row_share_fp4"),
+        )
+        .orderBy("seg_before", "seg_after")
+    )
+
+
+customer_segment_migration.__doc__ = customer_segment_migration.__doc__.format(
+    split=_MIG_SPLIT
+)
+
+
+# --- batch 197: Neyman stratified-sampling allocation -------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type AS stratum,
+                   CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(count(*) * sum(v2 * v2) - sum(v2) * sum(v2)
+                        AS BIGINT) AS ss_h
+            FROM (SELECT event_type,
+                         CAST(floor(value * 100) AS BIGINT) AS v2
+                  FROM events)
+            GROUP BY event_type
+        ),
+        w AS (
+            SELECT stratum, n_h, ss_h,
+                   CAST(floor(n_h * sqrt(CAST(ss_h AS DOUBLE)
+                                         / (n_h * (n_h - 1))))
+                        AS BIGINT) AS weight
+            FROM s WHERE n_h >= 2
+        ),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w)
+        SELECT w.stratum, w.n_h, w.ss_h, w.weight,
+               ({_NEYMAN_BUDGET} * w.weight) // t.wsum AS n_alloc,
+               (10000 * w.weight) // t.wsum AS alloc_share_fp4
+        FROM w CROSS JOIN tot t
+        ORDER BY stratum
+    """,
+    tags=("sampling", "statistics", "design"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation over event
+    types: sample budget n_h ∝ N_h·S_h (stratum size × stratum
+    standard deviation) — the design that minimizes the variance of
+    the stratified mean for a fixed total budget, the step a survey
+    or eval-set designer runs BEFORE sample_stratified_hash draws the
+    actual rows. Values are fixed-pointed to integers (floor(v·100)),
+    the per-stratum sum of squares n·Σv² − (Σv)² stays exact BIGINT,
+    and S_h enters through one sqrt on the sample-variance ratio —
+    inside the engine-exact double subset — floored immediately back
+    to an integer weight so the ALLOCATION arithmetic (shares, seat
+    counts) is pure BIGINT division; no order-dependent double
+    summation anywhere.
+
+    Scale shape: one counts-and-moments aggregate per stratum
+    (map-side combine over the fact), then all allocation math on the
+    |strata|-row table with the 1-row weight total broadcast back.
+    Single fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("stratum"),
+        F.floor(F.col("value") * 100).cast("long").alias("v2"),
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("v2") * F.col("v2"))
+            - F.sum("v2") * F.sum("v2")
+        )
+        .cast("long")
+        .alias("ss_h"),
+    )
+    w = s.filter(F.col("n_h") >= 2).select(
+        "stratum",
+        "n_h",
+        "ss_h",
+        F.floor(
+            F.col("n_h")
+            * F.sqrt(
+                F.col("ss_h").cast("double")
+                / (F.col("n_h") * (F.col("n_h") - 1))
+            )
+        )
+        .cast("long")
+        .alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            "ss_h",
+            "weight",
+            F.expr(f"({_NEYMAN_BUDGET} * weight) div wsum").alias("n_alloc"),
+            F.expr("(10000 * weight) div wsum").alias("alloc_share_fp4"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# --- batch 198: inter-order gap quartiles per segment -------------------------
+
+
+@register(
+    "customer_order_gap_quartiles",
+    oracle="""
+        WITH seq AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey,
+                   datediff('day', DATE '1970-01-01', o.o_orderdate)
+                       AS eday,
+                   o.o_orderkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        gaps AS (
+            SELECT segment,
+                   eday - lag(eday) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY eday, o_orderkey) AS gap
+            FROM seq
+        ),
+        gv AS (
+            SELECT segment, gap, CAST(count(*) AS BIGINT) AS cnt
+            FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT segment, gap,
+                   CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY gap)
+                        AS BIGINT) AS c,
+                   CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
+            FROM gv
+        )
+        SELECT segment,
+               CAST(max(n) AS BIGINT) AS n_gaps,
+               min(CASE WHEN c >= (25 * n + 99) // 100 THEN gap END)
+                   AS p25_days,
+               min(CASE WHEN c >= (50 * n + 99) // 100 THEN gap END)
+                   AS p50_days,
+               min(CASE WHEN c >= (75 * n + 99) // 100 THEN gap END)
+                   AS p75_days,
+               min(CASE WHEN c >= (90 * n + 99) // 100 THEN gap END)
+                   AS p90_days
+        FROM cum GROUP BY segment ORDER BY segment
+    """,
+    tags=("crm", "statistics", "quantiles"),
+)
+def customer_order_gap_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence distribution per market segment: exact
+    p25/p50/p75/p90 of the day gaps between each customer's
+    consecutive orders — the reorder-cycle numbers a replenishment or
+    churn-risk model is calibrated against (a customer 2× past their
+    segment's p75 gap is a churn candidate). Dates are converted to
+    epoch-day integers FIRST (date subtraction is interval-typed in
+    DuckDB and unit-string-divergent across engines — integer
+    subtraction of epoch days is not), the per-customer LAG orders by
+    (eday, orderkey) so same-day order pairs break ties identically
+    in both engines, and the quantiles use the upper-discrete ⌈q·n⌉
+    convention on the per-segment distinct-gap cumulative table —
+    the exact-quantile machinery of orders_quantile_treatment_effect.
+
+    Scale shape: one fact-dim broadcast join, a LAG window
+    partitioned by customer (parallel across the key domain, never
+    global), a (segment, gap) counts aggregate, and windows over the
+    DISTINCT-GAP domain per segment. No single-partition stages."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seq = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("eday"),
+        "o_orderkey",
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy("eday", "o_orderkey")
+    gaps = seq.select(
+        "segment", (F.col("eday") - F.lag("eday").over(wlag)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gv = gaps.groupBy("segment", "gap").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("segment")
+    cum = gv.select(
+        "segment",
+        "gap",
+        F.sum("cnt").over(wcum).cast("long").alias("c"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+
+    def q(p: int, name: str):
+        return F.min(
+            F.when(F.col("c") >= F.expr(f"({p} * n + 99) div 100"), F.col("gap"))
+        ).alias(name)
+
+    return (
+        cum.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            q(25, "p25_days"),
+            q(50, "p50_days"),
+            q(75, "p75_days"),
+            q(90, "p90_days"),
+        )
+        .orderBy("segment")
+    )
