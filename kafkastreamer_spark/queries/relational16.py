@@ -1559,3 +1559,408 @@ def customer_order_gap_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- batch 199: Kraljic procurement portfolio matrix --------------------------
+
+
+@register(
+    "part_kraljic_matrix",
+    oracle="""
+        WITH bs AS (
+            SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS rev_fp
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        sh AS (
+            SELECT brand, rev_fp,
+                   (10000 * rev_fp)
+                       // sum(rev_fp) OVER (PARTITION BY brand) AS share_fp4
+            FROM bs
+        ),
+        b AS (
+            SELECT brand,
+                   CAST(sum(rev_fp) AS BIGINT) AS brand_rev_fp,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(share_fp4 * share_fp4) AS BIGINT) AS hhi_fp8
+            FROM sh GROUP BY brand
+        ),
+        tot AS (SELECT CAST(sum(brand_rev_fp) AS BIGINT) AS t FROM b)
+        SELECT brand, n_suppliers, brand_rev_fp, hhi_fp8,
+               (10000 * brand_rev_fp) // t.t AS rev_share_fp4,
+               CASE
+                 WHEN hhi_fp8 >= 25000000
+                      AND (10000 * brand_rev_fp) // t.t
+                          >= 10000 // (SELECT count(*) FROM b)
+                   THEN 'strategic'
+                 WHEN hhi_fp8 >= 25000000 THEN 'bottleneck'
+                 WHEN (10000 * brand_rev_fp) // t.t
+                      >= 10000 // (SELECT count(*) FROM b)
+                   THEN 'leverage'
+                 ELSE 'non_critical'
+               END AS quadrant
+        FROM b CROSS JOIN tot t
+        ORDER BY brand
+    """,
+    tags=("supply-chain", "reporting", "portfolio"),
+)
+def part_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kraljic procurement-portfolio matrix per part brand: profit
+    impact (the brand's share of total discounted revenue) against
+    supply risk (the supplier-concentration HHI within the brand,
+    Σ share², share in exact 1e-4 fixed point → HHI in 1e-8), and the
+    resulting quadrant — strategic (high/high), bottleneck (high
+    risk, low impact), leverage (low risk, high impact), non-critical.
+    Thresholds are structural, not fitted: risk is "high" above
+    HHI 0.25 (one supplier holds ≥ half in the 2-supplier worst case),
+    impact is "high" above the uniform share 1/|brands|. This is the
+    classification a sourcing organization runs before negotiating —
+    composing supplier_market_concentration's HHI arithmetic with the
+    revenue rollup at brand grain.
+
+    Scale shape: one fact×part broadcast join aggregated to
+    (brand, supplier) — map-side combine — then brand-grain window +
+    rollup over a dimension-bounded table (|brands|·|suppliers| ≤
+    dim²) and a 1-row total broadcast. Single fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_fp")
+        )
+    )
+    share = F.expr(
+        "(10000 * rev_fp) div (sum(rev_fp) OVER (PARTITION BY brand))"
+    )
+    b = (
+        bs.withColumn("share_fp4", share)
+        .groupBy("brand")
+        .agg(
+            F.sum("rev_fp").cast("long").alias("brand_rev_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("share_fp4") * F.col("share_fp4"))
+            .cast("long")
+            .alias("hhi_fp8"),
+        )
+    )
+    tot = b.agg(
+        F.sum("brand_rev_fp").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    j = b.crossJoin(F.broadcast(tot)).withColumn(
+        "rev_share_fp4", F.expr("(10000 * brand_rev_fp) div t")
+    )
+    hi_risk = F.col("hhi_fp8") >= 25000000
+    hi_impact = F.col("rev_share_fp4") >= F.expr("10000 div n_brands")
+    return (
+        j.select(
+            "brand",
+            "n_suppliers",
+            "brand_rev_fp",
+            "hhi_fp8",
+            "rev_share_fp4",
+            F.when(hi_risk & hi_impact, "strategic")
+            .when(hi_risk, "bottleneck")
+            .when(hi_impact, "leverage")
+            .otherwise("non_critical")
+            .alias("quadrant"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- batch 200: unigram-LM seed vocabulary (SentencePiece-style) --------------
+
+_SEED_LENS = (2, 3, 4, 5)
+_SEED_TOPK = 200
+
+
+def _seed_len_sql(k: int) -> str:
+    return f"""
+        SELECT ng, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, length(lower(text)) - {k} + 2),
+                       i -> substr(lower(text), CAST(i AS BIGINT), {k})))
+                   AS ng
+            FROM documents
+        )
+        GROUP BY ng
+    """
+
+
+@register(
+    "tokenizer_unigram_seed_vocab",
+    oracle=f"""
+        WITH counted AS (
+            {" UNION ALL ".join(_seed_len_sql(k) for k in _SEED_LENS)}
+        )
+        SELECT ng AS piece,
+               CAST(length(ng) AS BIGINT) AS piece_len,
+               n AS n_occurrences,
+               CAST(n * (length(ng) - 1) AS BIGINT) AS seed_score
+        FROM counted
+        ORDER BY seed_score DESC, piece
+        LIMIT {_SEED_TOPK}
+    """,
+    tags=("llm-data", "tokenizer", "topk"),
+)
+def tokenizer_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-vocabulary candidates for a unigram-LM tokenizer
+    (SentencePiece-style): every character n-gram of length 2-5 over
+    the lowercased corpus (whitespace kept — a real unigram tokenizer
+    treats the space as a meta-symbol), scored count·(len−1) — the
+    standard "suffix-array substring frequency × compressed chars"
+    seeding heuristic — and the top-{_SEED_TOPK} kept. Complements
+    tokenizer_bpe_first_merges (greedy pair merges) with the OTHER
+    mainstream tokenizer-training entry point: unigram starts from a
+    large seeded candidate set and prunes by EM, and this query is
+    that seed. Counts and scores are pure BIGINTs; ties break on the
+    piece string.
+
+    Scale shape: substring generation is a map-only explode (≈4
+    windows per character — the simhash/shingle cost envelope), the
+    count shuffles (ngram, partial-count) pairs with map-side
+    combine, and the top-K is TakeOrderedAndProject. At 100 TB the
+    candidate domain is the bottleneck exactly as in real
+    SentencePiece seeding — production runs cap it the same way this
+    ladder does (bounded lengths, frequency floor at the reducer)."""
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for k in _SEED_LENS:
+        parts.append(
+            d.select(
+                F.explode(
+                    F.when(
+                        F.length(F.lower(F.col("text"))) >= k,
+                        F.expr(
+                            f"transform(sequence(1, char_length(lower(text)) - {k} + 1),"
+                            f" i -> substring(lower(text), i, {k}))"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("ng")
+            )
+        )
+    from functools import reduce as _reduce
+
+    counted = (
+        _reduce(DataFrame.unionAll, parts)
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        counted.select(
+            F.col("ng").alias("piece"),
+            F.length("ng").cast("long").alias("piece_len"),
+            F.col("n").alias("n_occurrences"),
+            (F.col("n") * (F.length("ng") - 1)).cast("long").alias("seed_score"),
+        )
+        .orderBy(F.col("seed_score").desc(), "piece")
+        .limit(_SEED_TOPK)
+    )
+
+
+# --- batch 201: rolling 7-day exact median ------------------------------------
+
+
+@register(
+    "events_rolling_median_7d",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        rolled AS (
+            SELECT day, c,
+                   list(c) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+            FROM daily
+        )
+        SELECT day, c AS n_events,
+               CAST(len(win) AS BIGINT) AS window_days,
+               CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+                   AS rolling_median,
+               CAST(c - list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+                   AS deviation
+        FROM rolled ORDER BY day
+    """,
+    tags=("timeseries", "window", "robust-statistics"),
+)
+def events_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of the daily event count (lower
+    median: sorted window element ⌊(n+1)/2⌋), with each day's
+    deviation from it — the robust-baseline companion to
+    events_ewma_halflife (mean-based, outlier-sensitive) and the
+    windowed analogue of events_anomaly_mad's global median: a spike
+    day barely moves a median baseline, so deviation-from-rolling-
+    median is the standard robust anomaly signal. Both engines build
+    the SAME construction — collect the frame into a list, sort it,
+    index it — so there is no quantile-convention mismatch to paper
+    over; counts are BIGINTs throughout.
+
+    Scale shape: the fact collapses to one row per day first
+    (map-side combine), so the unpartitioned ordered window runs on
+    the DAY DOMAIN — a few thousand rows for a decade of data, the
+    same dimension-bounded-series pattern as
+    events_rolling_trend_slope / events_seasonal_naive_backtest;
+    the frame is 7 elements, so the per-row sort is O(7 log 7)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    rolled = daily.withColumn("win", F.collect_list("c").over(w))
+    med = F.element_at(
+        F.array_sort(F.col("win")),
+        ((F.size("win") + 1) / 2).cast("int"),
+    )
+    return rolled.select(
+        "day",
+        F.col("c").alias("n_events"),
+        F.size("win").cast("long").alias("window_days"),
+        med.cast("long").alias("rolling_median"),
+        (F.col("c") - med).cast("long").alias("deviation"),
+    ).orderBy("day")
+
+
+# --- batch 202: walk-forward cross-validation folds ---------------------------
+
+_WF_FOLDS = 5
+_WF_TEST_MONTHS = 3
+
+
+@register(
+    "split_walk_forward_folds",
+    oracle=f"""
+        WITH m AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mon
+            FROM orders
+        ),
+        mi AS (
+            SELECT mon, CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS idx,
+                   CAST(count(*) OVER () AS BIGINT) AS n_months
+            FROM m
+        ),
+        om AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        folds AS (SELECT unnest(range(1, {_WF_FOLDS} + 1)) AS fold),
+        lab AS (
+            SELECT f.fold, mi.mon, mi.idx, om.n_rows,
+                   CASE
+                     WHEN mi.idx <= mi.n_months
+                          - {_WF_TEST_MONTHS} * ({_WF_FOLDS} + 1 - f.fold)
+                       THEN 'train'
+                     WHEN mi.idx <= mi.n_months
+                          - {_WF_TEST_MONTHS} * ({_WF_FOLDS} - f.fold)
+                       THEN 'test'
+                     ELSE 'future'
+                   END AS role
+            FROM folds f CROSS JOIN mi JOIN om ON om.mon = mi.mon
+        )
+        SELECT fold,
+               min(CASE WHEN role = 'train' THEN mon END) AS train_start,
+               max(CASE WHEN role = 'train' THEN mon END) AS train_end,
+               min(CASE WHEN role = 'test' THEN mon END) AS test_start,
+               max(CASE WHEN role = 'test' THEN mon END) AS test_end,
+               CAST(sum(CASE WHEN role = 'train' THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN role = 'test' THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS n_test,
+               CAST(CASE WHEN max(CASE WHEN role = 'train' THEN mon END)
+                              < min(CASE WHEN role = 'test' THEN mon END)
+                         THEN 1 ELSE 0 END AS BIGINT) AS no_leakage
+        FROM lab GROUP BY fold ORDER BY fold
+    """,
+    tags=("ml", "splits", "timeseries"),
+)
+def split_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation folds over
+    order months: fold k trains on everything up to a cut and tests
+    on the NEXT {_WF_TEST_MONTHS} months, the cut advancing per fold
+    so the last fold tests on the final months — the only CV scheme
+    that respects time's arrow (split_kfold_assign and
+    split_train_valid_test are exchangeable-row designs; using them
+    on temporal data leaks the future into training). Each fold row
+    reports its month ranges, exact train/test row counts, and a
+    computed (not assumed) no-leakage bit: max train month < min test
+    month. Months after the fold's test block are held out entirely.
+
+    Scale shape: the fact collapses to per-month counts once
+    (map-side combine); everything else — the month index, the
+    fold×month lattice, the range/count rollup — runs on the
+    |months|·|folds| grid, a few hundred rows regardless of data
+    volume. The month-index window runs on the distinct-month
+    domain."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    wi = Window.orderBy("mon")
+    mi = om.select(
+        "mon",
+        "n_rows",
+        F.row_number().over(wi).cast("long").alias("idx"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias("n_months"),
+    )
+    folds = spark.range(1, _WF_FOLDS + 1).select(F.col("id").alias("fold"))
+    lab = (
+        F.broadcast(folds)
+        .crossJoin(mi)
+        .select(
+            "fold",
+            "mon",
+            "n_rows",
+            F.when(
+                F.col("idx")
+                <= F.col("n_months")
+                - _WF_TEST_MONTHS * (_WF_FOLDS + 1 - F.col("fold")),
+                "train",
+            )
+            .when(
+                F.col("idx")
+                <= F.col("n_months") - _WF_TEST_MONTHS * (_WF_FOLDS - F.col("fold")),
+                "test",
+            )
+            .otherwise("future")
+            .alias("role"),
+        )
+    )
+    tr = F.when(F.col("role") == "train", F.col("mon"))
+    te = F.when(F.col("role") == "test", F.col("mon"))
+    return (
+        lab.groupBy("fold")
+        .agg(
+            F.min(tr).alias("train_start"),
+            F.max(tr).alias("train_end"),
+            F.min(te).alias("test_start"),
+            F.max(te).alias("test_end"),
+            F.sum(F.when(F.col("role") == "train", F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("role") == "test", F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.when(F.max(tr) < F.min(te), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("no_leakage"),
+        )
+        .orderBy("fold")
+    )

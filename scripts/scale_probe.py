@@ -83,6 +83,11 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     "join_spatial_grid_knn": (("embeddings",), (1, 4, 16)),
     "part_substitution_affinity": (("part", "lineitem"), (1, 2, 4)),
     "supplier_borda_scorecard": (("orders", "lineitem"), (1, 2, 4)),
+    # Round-4 continuation (batches 185-198).
+    "text_source_vocab_jaccard": (("documents",), (1, 4, 16)),
+    "lineitem_bullwhip_ratio": (("orders", "lineitem"), (1, 2, 4)),
+    "graph_local_clustering": (("orders", "lineitem"), (1, 2, 4)),
+    "customer_order_gap_quartiles": (("orders",), (1, 2, 4)),
 }
 
 
