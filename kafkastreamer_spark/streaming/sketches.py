@@ -411,3 +411,84 @@ def alarm_hysteresis_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_median_stateful(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    x_col: str = "x",
+    horizon: int = 7,
+) -> DataFrame:
+    """Streaming rolling-{horizon}-day exact median — the stateful
+    twin of the batch events_rolling_median_7d (which builds the
+    window with collect_list over a day-ordered frame): per key, the
+    state is the last ≤``horizon`` (day, count) pairs; each arriving
+    daily row appends, trims the window to the ``horizon`` most
+    recent days, and emits the LOWER median (sorted window element
+    ⌊(n+1)/2⌋ — the identical convention, so stream and batch agree
+    exactly). Same-day re-delivery replaces the day's count (at-least
+    -once upstream collapses to exactly-once output semantics, the
+    CDC pattern of upsert_parquet_sink).
+
+    State per key is bounded by ``horizon`` — O(1) per key like the
+    latch and WAU twins, so a 100 TB stream's state store scales with
+    the key domain only.
+
+    Batch parity (tested): when per-key rows arrive day-ordered, the
+    emitted (key, day, rolling_median) rows equal the batch
+    construction across any micro-batch split."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            days, counts = state.get
+            days, counts = list(days), list(counts)
+        else:
+            days, counts = [], []
+        out_day, out_n, out_med = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(day_col)
+            for day, x in zip(pdf[day_col], pdf[x_col]):
+                x = int(x)
+                if days and day in days:
+                    counts[days.index(day)] = x  # same-day re-delivery
+                else:
+                    days.append(day)
+                    counts.append(x)
+                    if len(days) > horizon:
+                        # trim to the `horizon` most recent days
+                        order = sorted(range(len(days)), key=days.__getitem__)
+                        keep = sorted(order[-horizon:])
+                        days = [days[i] for i in keep]
+                        counts = [counts[i] for i in keep]
+                win = sorted(counts)
+                out_day.append(day)
+                out_n.append(len(win))
+                out_med.append(win[(len(win) + 1) // 2 - 1])
+        state.update((days, counts))
+        if out_day:
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    day_col: out_day,
+                    "window_days": out_n,
+                    "rolling_median": out_med,
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {day_col} string,"
+            " window_days long, rolling_median long"
+        ),
+        stateStructType="days array<string>, counts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
