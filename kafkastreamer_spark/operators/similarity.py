@@ -847,3 +847,238 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- batch 203: IVF nprobe -> recall tuning curve -----------------------------
+
+_NPROBE_LEVELS = (1, 2, 4, 8)
+
+
+@register(
+    "similarity_nprobe_recall_curve",
+    oracle=f"""
+        WITH e AS MATERIALIZED ({_SQL_EMB}),
+        params AS (
+            SELECT GREATEST(1, CAST(COUNT(*) AS BIGINT)
+                   // GREATEST(1, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                       AS BIGINT))) AS step
+            FROM e
+        ),
+        centroids AS MATERIALIZED (
+            SELECT vec_id AS cent_id, v AS cv FROM e, params
+            WHERE vec_id % step = 0
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_sql_cos('e.v', 'c.cv')} DESC,
+                                                   c.cent_id) AS rn
+                FROM e JOIN centroids c ON true
+            ) WHERE rn = 1
+        ),
+        q AS MATERIALIZED (
+            SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < {N_QUERIES}
+        ),
+        prober AS MATERIALIZED (
+            SELECT query_id, qv, cent_id, rn FROM (
+                SELECT q.query_id, q.qv, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC,
+                                                   c.cent_id) AS rn
+                FROM q JOIN centroids c ON true
+            ) WHERE rn <= {max(_NPROBE_LEVELS)}
+        ),
+        levels AS (SELECT unnest([{", ".join(map(str, _NPROBE_LEVELS))}])
+                       AS nprobe),
+        cand AS MATERIALIZED (
+            SELECT l.nprobe, p.query_id, a.vec_id AS neighbor_id,
+                   {_sql_cos('p.qv', 'a.v')} AS c
+            FROM levels l
+            JOIN prober p ON p.rn <= l.nprobe
+            JOIN assign a ON a.cent_id = p.cent_id
+            WHERE a.vec_id != p.query_id
+        ),
+        ivf5 AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+                SELECT nprobe, query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                          ORDER BY c DESC, neighbor_id) AS r
+                FROM cand
+            ) WHERE r <= {TOP_K}
+        ),
+        truth AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_sql_cos('q.qv', 'e.v')} DESC,
+                                                   e.vec_id) AS r
+                FROM q JOIN e ON e.vec_id != q.query_id
+            ) WHERE r <= {TOP_K}
+        ),
+        nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+        hits AS (
+            SELECT i.nprobe, CAST(count(*) AS BIGINT) AS total_hits
+            FROM ivf5 i JOIN truth t
+              ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+            GROUP BY i.nprobe
+        ),
+        vol AS (
+            SELECT nprobe, CAST(count(*) AS BIGINT) AS total_candidates
+            FROM cand GROUP BY nprobe
+        )
+        SELECT v.nprobe, nq.n_queries,
+               coalesce(h.total_hits, 0) AS total_hits,
+               (10000 * coalesce(h.total_hits, 0))
+                   // ({TOP_K} * nq.n_queries) AS recall_fp4,
+               v.total_candidates,
+               v.total_candidates // nq.n_queries AS avg_candidates
+        FROM vol v
+        LEFT JOIN hits h ON h.nprobe = v.nprobe
+        CROSS JOIN nq
+        ORDER BY v.nprobe
+    """,
+    tags=("llm-data", "similarity", "evaluation"),
+)
+def similarity_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@{TOP_K} against brute-force truth
+    AND candidate volume scanned, at nprobe = 1/2/4/8 — the
+    recall-vs-cost trade-off table an ANN deployment reads to pick
+    its operating point (similarity_recall_at_k evaluates ONE point;
+    real index tuning sweeps the curve: recall rises with nprobe
+    while scanned volume grows ~linearly, and the knee is the
+    config). Probe ranks are computed ONCE up to max(nprobe) and each
+    level filters rn <= nprobe, so the sweep costs one extra column,
+    not four re-searches; recall and volume are exact BIGINT ratios.
+
+    Scale shape: centroid assignment is the persisted map-side argmax
+    of similarity_ivf_probe (one row per vector shuffles); the level
+    lattice multiplies only the PROBE table (|queries|·max_nprobe
+    rows, broadcast); candidate scoring stays bounded by
+    nprobe·(n/√n) per query per level. The brute-force truth is the
+    |queries|·n scan the curve exists to amortize — at 100 TB it runs
+    on a held-out calibration slice exactly as here (N_QUERIES
+    queries), never the full corpus."""
+    import math
+
+    e = _emb(spark, sf_dir)
+    n = e.count()
+    ncent = max(1, int(math.floor(math.sqrt(float(n)))))
+    step = max(1, n // ncent)
+    ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    cp = (
+        ep.filter(F.col("vec_id") % step == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nv").alias("ncv"),
+        )
+        .persist()
+    )
+    assign = (
+        ep.crossJoin(F.broadcast(cp))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "cent_id",
+            (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("cc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("cc"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "v", "nv", (-F.col("m.nc")).alias("cent_id"))
+    )
+    q = ep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cent_id")
+    prober = (
+        q.crossJoin(F.broadcast(cp))
+        .select(
+            "query_id",
+            "qv",
+            "qnv",
+            "cent_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnv") * F.col("ncv"))).alias("qc"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= max(_NPROBE_LEVELS))
+        .select("query_id", "qv", "qnv", "cent_id", "rn")
+    )
+    levels = spark.createDataFrame(
+        [(p,) for p in _NPROBE_LEVELS], "nprobe long"
+    )
+    probes_l = (
+        prober.crossJoin(F.broadcast(levels))
+        .filter(F.col("rn") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "qv", "qnv", "cent_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probes_l), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv"))).alias("c"),
+        )
+        .persist()  # top-K ranking + volume rollup both read it
+    )
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("c"), "neighbor_id"
+    )
+    ivf5 = (
+        cand.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    w_truth = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    truth = (
+        q.crossJoin(ep)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv"))).alias("c"),
+        )
+        .withColumn("r", F.row_number().over(w_truth))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    )
+    hits = (
+        ivf5.join(
+            F.broadcast(truth),
+            (ivf5.query_id == truth.query_id)
+            & (ivf5.neighbor_id == truth.t_neighbor),
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
+    )
+    vol = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("total_candidates")
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        vol.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_queries",
+            F.coalesce(F.col("total_hits"), F.lit(0))
+            .cast("long")
+            .alias("total_hits"),
+            F.expr(
+                f"(10000 * coalesce(total_hits, 0)) div ({TOP_K} * n_queries)"
+            ).alias("recall_fp4"),
+            "total_candidates",
+            F.expr("total_candidates div n_queries").alias("avg_candidates"),
+        )
+        .orderBy("nprobe")
+    )
