@@ -1964,3 +1964,258 @@ def split_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --- batch 204: ER blocking quality audit --------------------------------------
+
+
+@register(
+    "er_blocking_quality_audit",
+    oracle="""
+        WITH nm AS MATERIALIZED (
+            SELECT DISTINCT p_name AS name,
+                   string_split(p_name, ' ')[-1] AS noun
+            FROM part
+        ),
+        allp AS MATERIALIZED (
+            SELECT a.name AS na, b.name AS nb,
+                   CASE WHEN levenshtein(a.name, b.name) <= 4
+                        THEN 1 ELSE 0 END AS is_match
+            FROM nm a JOIN nm b ON a.name < b.name
+        ),
+        cand AS (
+            SELECT a.name AS na, b.name AS nb
+            FROM nm a JOIN nm b
+              ON a.noun = b.noun AND a.name < b.name
+        ),
+        j AS (
+            SELECT p.na, p.nb, p.is_match,
+                   CASE WHEN c.na IS NOT NULL THEN 1 ELSE 0 END AS in_block
+            FROM allp p
+            LEFT JOIN cand c ON c.na = p.na AND c.nb = p.nb
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM nm) AS n_names,
+            CAST(count(*) AS BIGINT) AS n_all_pairs,
+            CAST(sum(in_block) AS BIGINT) AS n_candidate_pairs,
+            CAST(sum(is_match) AS BIGINT) AS n_true_matches,
+            CAST(sum(is_match * in_block) AS BIGINT) AS n_found_matches,
+            (10000 * (count(*) - sum(in_block))) // count(*)
+                AS reduction_ratio_fp4,
+            CAST(CASE WHEN sum(is_match) = 0 THEN 10000
+                      ELSE (10000 * sum(is_match * in_block))
+                           // sum(is_match) END
+                 AS BIGINT) AS pairs_completeness_fp4
+        FROM j
+    """,
+    tags=("er", "evaluation", "data-quality"),
+)
+def er_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation for the ER pipeline
+    (er_part_entity_clusters): reduction ratio (how many of the
+    all-pairs comparisons the head-noun block AVOIDS) against pairs
+    completeness (what fraction of true matches — levenshtein ≤ 4 on
+    the full vocabulary, no blocking — the block RETAINS). These are
+    THE two numbers record-linkage literature grades a blocking key
+    on: a key that prunes 99% of pairs but drops a third of the true
+    matches is a bad key; this audit measures both sides exactly
+    instead of assuming the block is lossless. All counts BIGINT;
+    ratios single floor divisions.
+
+    Scale shape: both pair sets live on the DISTINCT-NAME vocabulary
+    (64 names — bounded by the name domain, not records), so the
+    exhaustive truth is |vocab|² ≈ 2k levenshtein calls, exactly how
+    a production linkage team calibrates blocking: exhaustively on a
+    vocabulary/sample, never on the record cross product. The fact
+    table is touched once, by the distinct()."""
+    p = load_table(spark, sf_dir, "part")
+    nm = (
+        p.select("p_name")
+        .distinct()
+        .select(
+            F.col("p_name").alias("name"),
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+        .persist()  # all-pairs + blocked-pairs both read it
+    )
+    a, b = nm.alias("a"), nm.alias("b")
+    allp = (
+        a.join(F.broadcast(b), F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+            F.when(
+                F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4, 1
+            )
+            .otherwise(0)
+            .alias("is_match"),
+        )
+    )
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("cna"),
+            F.col("b.name").alias("cnb"),
+            F.lit(1).alias("in_block"),
+        )
+    )
+    j = allp.join(
+        F.broadcast(cand),
+        (F.col("na") == F.col("cna")) & (F.col("nb") == F.col("cnb")),
+        "left",
+    ).select(
+        "na",
+        "is_match",
+        F.coalesce(F.col("in_block"), F.lit(0)).alias("in_block"),
+    )
+    nn = nm.agg(F.count(F.lit(1)).cast("long").alias("n_names"))
+    return (
+        j.crossJoin(F.broadcast(nn))
+        .agg(
+            F.max("n_names").cast("long").alias("n_names"),
+            F.count(F.lit(1)).cast("long").alias("n_all_pairs"),
+            F.sum("in_block").cast("long").alias("n_candidate_pairs"),
+            F.sum("is_match").cast("long").alias("n_true_matches"),
+            F.sum(F.col("is_match") * F.col("in_block"))
+            .cast("long")
+            .alias("n_found_matches"),
+            F.expr(
+                "(10000 * (count(*) - sum(in_block))) div count(*)"
+            ).alias("reduction_ratio_fp4"),
+            F.when(F.sum("is_match") == 0, F.lit(10000))
+            .otherwise(
+                F.expr("(10000 * sum(is_match * in_block)) div sum(is_match)")
+            )
+            .cast("long")
+            .alias("pairs_completeness_fp4"),
+        )
+    )
+
+
+# --- batch 205: lead-lag cross-correlation of event series ---------------------
+
+_XCORR_LAGS = tuple(range(-3, 4))
+
+
+@register(
+    "events_leadlag_crosscorr",
+    oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS eday,
+                   CAST(count_if(event_type = 'click') AS BIGINT) AS x,
+                   CAST(count_if(event_type = 'error') AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT unnest([{", ".join(map(str, _XCORR_LAGS))}])
+                     AS lag),
+        paired AS (
+            SELECT l.lag, a.x, b.y
+            FROM lags l
+            JOIN daily a ON true
+            JOIN daily b ON b.eday = a.eday + l.lag
+        ),
+        ss AS (
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                        AS BIGINT) AS ssxy,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                        AS BIGINT) AS ssxx,
+                   CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                        AS BIGINT) AS ssyy
+            FROM paired GROUP BY lag
+        )
+        SELECT lag, n_days, ssxy, ssxx, ssyy,
+               CAST(CASE
+                 WHEN ssxx = 0 OR ssyy = 0 THEN 0
+                 WHEN ssxy < 0 THEN
+                   -CAST(floor(10000.0 * (-ssxy)
+                        / sqrt(CAST(ssxx AS DOUBLE) * CAST(ssyy AS DOUBLE)))
+                        AS BIGINT)
+                 ELSE
+                   CAST(floor(10000.0 * ssxy
+                        / sqrt(CAST(ssxx AS DOUBLE) * CAST(ssyy AS DOUBLE)))
+                        AS BIGINT)
+               END AS BIGINT) AS r_fp4
+        FROM ss ORDER BY lag
+    """,
+    tags=("timeseries", "statistics", "correlation"),
+)
+def events_leadlag_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily click series and
+    the daily error series at lags −3..+3 days: Pearson r of
+    (clicks_t, errors_{t+ℓ}) over the overlapping day window — the
+    diagnostic that answers "do errors FOLLOW click surges (capacity)
+    or PRECEDE them (alerting artifacts)?" by where the |r| peak
+    sits. The autocorrelation twin events_autocorrelation_lag7
+    correlates a series with itself; this correlates two series and
+    sweeps the alignment. Sums of squares are exact BIGINTs
+    (n·Σxy − ΣxΣy over each lag's own overlap); only the final
+    normalization touches doubles (one sqrt, one division — IEEE
+    correctly rounded in both engines), sign-split so both engines
+    truncate identically.
+
+    Scale shape: the fact collapses to one (day, x, y) row per day
+    (map-side combine), the 7-row lag table broadcast-joins the daily
+    series onto its shifted self on an integer epoch-day equi-key,
+    and the rollup is counts-only per lag. Day-domain-bounded like
+    the rolling-median family."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("eday")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("x"),
+        F.count_if(F.col("event_type") == "error").cast("long").alias("y"),
+    ).persist()  # both sides of the shifted self-join
+    lags = spark.createDataFrame([(l,) for l in _XCORR_LAGS], "lag long")
+    a = daily.select(F.col("eday").alias("a_day"), "x")
+    b = daily.select(F.col("eday").alias("b_day"), "y")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("b_day") == F.col("a_day") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    ss = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("ssxy"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("long")
+        .alias("ssxx"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y")
+        )
+        .cast("long")
+        .alias("ssyy"),
+    )
+    denom = F.sqrt(F.col("ssxx").cast("double") * F.col("ssyy").cast("double"))
+    return ss.select(
+        "lag",
+        "n_days",
+        "ssxy",
+        "ssxx",
+        "ssyy",
+        F.when((F.col("ssxx") == 0) | (F.col("ssyy") == 0), F.lit(0))
+        .when(
+            F.col("ssxy") < 0,
+            -F.floor(F.lit(10000.0) * (-F.col("ssxy")) / denom),
+        )
+        .otherwise(F.floor(F.lit(10000.0) * F.col("ssxy") / denom))
+        .cast("long")
+        .alias("r_fp4"),
+    ).orderBy("lag")
