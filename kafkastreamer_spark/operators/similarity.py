@@ -1082,3 +1082,118 @@ def similarity_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nprobe")
     )
+
+
+# --- batch 206: kNN label-vote classification accuracy -------------------------
+
+
+@register(
+    "ml_knn_label_accuracy",
+    oracle=f"""
+        WITH e AS MATERIALIZED ({_SQL_EMB}),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, label AS true_label
+            FROM e WHERE vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT query_id, true_label, neighbor_label FROM (
+                SELECT q.query_id, q.true_label,
+                       e.label AS neighbor_label,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_sql_cos('q.qv', 'e.v')} DESC,
+                                                   e.vec_id) AS r
+                FROM q JOIN e ON e.vec_id != q.query_id
+            ) WHERE r <= {TOP_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, neighbor_label,
+                   CAST(count(*) AS BIGINT) AS n_votes
+            FROM ranked GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT query_id, true_label, neighbor_label AS pred_label,
+                   n_votes
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY n_votes DESC, neighbor_label) AS pr
+                FROM votes
+            ) WHERE pr = 1
+        )
+        SELECT query_id,
+               CAST(true_label AS BIGINT) AS true_label,
+               CAST(pred_label AS BIGINT) AS pred_label,
+               n_votes,
+               CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END
+                    AS BIGINT) AS correct
+        FROM pred ORDER BY query_id
+    """,
+    tags=("ml", "similarity", "evaluation"),
+)
+def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label-vote classification over the
+    embeddings table: each query vector's label is predicted by
+    majority vote among its {TOP_K} brute-force cosine neighbors
+    (ties break to the smallest label — deterministic), scored
+    against the fixture's true label column. This is the evaluation
+    that decides whether an embedding space is USABLE for
+    classification before anyone trains a head on it — the
+    label-aware companion to similarity_recall_at_k (which scores the
+    index, not the space). Vote counts and the correctness bit are
+    pure BIGINTs; neighbor ranking uses the engine's bit-exact
+    fold-cosine.
+
+    Scale shape: the |queries|·n scoring join is the same
+    broadcast-queries pattern as similarity_topk_bruteforce (queries
+    tiny, corpus streamed); votes and the argmax run on
+    |queries|·k rows. At 100 TB the same evaluation runs on a
+    calibration query set against the IVF candidates instead of the
+    full scan."""
+    e = _emb(spark, sf_dir)
+    ep = e.select("vec_id", "v", "label", norm(F.col("v")).alias("nv")).persist()
+    q = ep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.col("label").alias("true_label"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
+    ranked = (
+        ep.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("neighbor_label"),
+            "vec_id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv"))).alias("c"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+    )
+    votes = ranked.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "neighbor_label"
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("neighbor_label").cast("long").alias("pred_label"),
+            "n_votes",
+        )
+    )
+    return pred.select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        F.when(F.col("pred_label") == F.col("true_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    ).orderBy("query_id")
