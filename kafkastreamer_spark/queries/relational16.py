@@ -2219,3 +2219,180 @@ def events_leadlag_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_fp4"),
     ).orderBy("lag")
+
+
+# --- batch 207: ML model report card (capstone) --------------------------------
+
+
+@register(
+    "ml_model_report_card",
+    oracle=f"""
+        WITH per_user AS MATERIALIZED ({_PER_USER_SQL}),
+        pv AS MATERIALIZED (
+            SELECT score AS v, CAST(sum(y) AS BIGINT) AS a,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM per_user GROUP BY score
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+                   CAST(sum(m - a) AS BIGINT) AS n_neg,
+                   CAST(sum(m) AS BIGINT) AS n_users
+            FROM pv
+        ),
+        cum AS (
+            SELECT v, a, m,
+                   CAST(coalesce(sum(m) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS c,
+                   CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS cp,
+                   CAST(sum(m - a) OVER (ORDER BY v) AS BIGINT) AS cn
+            FROM pv
+        ),
+        auc AS (
+            SELECT CAST(sum(a * (2*c + m + 1)) AS BIGINT)
+                       - t.n_pos * (t.n_pos + 1) AS two_u
+            FROM cum CROSS JOIN tot t
+            GROUP BY t.n_pos
+        ),
+        ks AS (
+            SELECT max(abs(cp * t.n_neg - cn * t.n_pos)) AS ks_num
+            FROM cum CROSS JOIN tot t
+        ),
+        f1 AS (
+            SELECT max((20000 * tp) // (tp + fp + n_pos)) AS best_f1_fp4
+            FROM (
+                SELECT th.t,
+                       CAST(coalesce(sum(CASE WHEN pv.v >= th.t
+                                              THEN pv.a END), 0)
+                            AS BIGINT) AS tp,
+                       CAST(coalesce(sum(CASE WHEN pv.v >= th.t
+                                              THEN pv.m - pv.a END), 0)
+                            AS BIGINT) AS fp
+                FROM (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS t) th
+                LEFT JOIN pv ON pv.v >= th.t
+                GROUP BY th.t
+            ) CROSS JOIN tot
+            WHERE tp + fp + n_pos > 0
+        ),
+        cal AS (
+            SELECT (sum(n * gap_fp4)) // sum(n) AS ece_fp4
+            FROM (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       abs(1000 * least(score, 10)
+                           - (10000 * sum(y)) // count(*)) AS gap_fp4
+                FROM per_user GROUP BY least(score, 10)
+            )
+        )
+        SELECT t.n_users, t.n_pos, t.n_neg,
+               (100000000 * auc.two_u) // (2 * t.n_pos * t.n_neg)
+                   AS auc_fp8,
+               (10000 * ks.ks_num) // (t.n_pos * t.n_neg) AS ks_fp4,
+               f1.best_f1_fp4, cal.ece_fp4
+        FROM tot t
+        CROSS JOIN auc CROSS JOIN ks CROSS JOIN f1 CROSS JOIN cal
+    """,
+    tags=("ml", "metrics", "capstone"),
+)
+def ml_model_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row model report card for the click-count propensity
+    signal: ROC-AUC (ranking quality), KS separation (best-cutoff
+    discrimination), best achievable F1 over the threshold ladder
+    (operating-point quality), and ECE (probability calibration) —
+    the four numbers of the ML-metrics family's individual queries
+    (ml_click_purchase_auc, ml_score_ks_separation,
+    ml_pr_threshold_ladder, ml_calibration_bins) composed from ONE
+    shared per-user aggregation, the way a model card actually ships.
+    Every metric keeps its source query's exact integer construction,
+    so this capstone is oracle-exact end to end.
+
+    Scale shape: one groupBy(user_id) fact shuffle feeds everything;
+    AUC/KS/F1 all run on the distinct-score table (domain-bounded)
+    and the calibration bins on an 11-row rollup; four 1-row scalars
+    broadcast-join into the report."""
+    pu = _per_user(spark, sf_dir).persist()  # scores + calibration bins
+    pv = pu.groupBy(F.col("score").alias("v")).agg(
+        F.sum("y").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    ).persist()  # rank cum, KS cum, threshold ladder
+    tot = pv.agg(
+        F.sum("a").cast("long").alias("n_pos"),
+        F.sum(F.col("m") - F.col("a")).cast("long").alias("n_neg"),
+        F.sum("m").cast("long").alias("n_users"),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.select(
+        "v",
+        "a",
+        "m",
+        F.coalesce(F.sum("m").over(w_prev), F.lit(0)).cast("long").alias("c"),
+        F.sum("a").over(w_cum).cast("long").alias("cp"),
+        F.sum(F.col("m") - F.col("a")).over(w_cum).cast("long").alias("cn"),
+    ).crossJoin(F.broadcast(tot))
+    auc = cum.agg(
+        (
+            F.sum(F.col("a") * (2 * F.col("c") + F.col("m") + 1))
+            - F.max("n_pos") * (F.max("n_pos") + 1)
+        )
+        .cast("long")
+        .alias("two_u")
+    )
+    ks = cum.agg(
+        F.max(
+            F.abs(F.col("cp") * F.col("n_neg") - F.col("cn") * F.col("n_pos"))
+        )
+        .cast("long")
+        .alias("ks_num")
+    )
+    th = spark.range(1, 11).select(F.col("id").cast("long").alias("t"))
+    f1 = (
+        F.broadcast(th)
+        .join(pv, pv.v >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.sum(F.col("m") - F.col("a")), F.lit(0))
+            .cast("long")
+            .alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot.select("n_pos")))
+        .filter(F.col("tp") + F.col("fp") + F.col("n_pos") > 0)
+        .agg(
+            F.max(F.expr("(20000 * tp) div (tp + fp + n_pos)"))
+            .cast("long")
+            .alias("best_f1_fp4")
+        )
+    )
+    cal = (
+        pu.groupBy(F.least("score", F.lit(10)).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .select(
+            "n",
+            F.abs(
+                F.lit(1000) * F.col("bin") - F.expr("(10000 * pos) div n")
+            ).alias("gap_fp4"),
+        )
+        .agg(F.expr("sum(n * gap_fp4) div sum(n)").alias("ece_fp4"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(cal))
+        .select(
+            "n_users",
+            "n_pos",
+            "n_neg",
+            F.expr("(100000000 * two_u) div (2 * n_pos * n_neg)").alias(
+                "auc_fp8"
+            ),
+            F.expr("(10000 * ks_num) div (n_pos * n_neg)").alias("ks_fp4"),
+            "best_f1_fp4",
+            "ece_fp4",
+        )
+    )
