@@ -492,3 +492,97 @@ def rolling_median_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_finalize_on_timeout(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionizer that FINALIZES sessions via event-time
+    timeouts — the arbitrary-stateful counterpart of the built-in
+    session_window aggregation (events_session_window_native): per
+    key, events within ``gap_minutes`` of the session's end extend
+    it; a larger gap closes it (emitted immediately); and a session
+    with NO further events is closed by the state timeout when the
+    WATERMARK passes session_end + gap — the mechanism the built-in
+    operator uses internally, exercised here through the public
+    GroupStateTimeout.EventTimeTimeout API so custom session payloads
+    (first/last timestamps, counts — or anything else) can ride it.
+
+    The input stream must carry a watermark on ``ts_col``. Sessions
+    still open when the stream pauses remain in the state store
+    (readable via the Spark 4 state data source) — exactly the
+    recovery contract of the built-in operator.
+
+    Output: (key, session_start_us, session_end_us, n_events) — epoch
+    microseconds, BIGINT-exact for parity checks.
+
+    State per key is one open session (3 longs) — O(1), scale bounded
+    by the live-key domain like the latch/WAU/median twins."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            out.append((start_us, end_us, n))
+        else:
+            if state.exists:
+                start_us, end_us, n = state.get
+            else:
+                start_us = end_us = -1
+                n = 0
+            ts_all = []
+            for pdf in pdfs:
+                # pandas datetime64[ns/us] -> epoch microseconds
+                ts_all.extend(
+                    int(v) // 1000
+                    for v in pd.to_datetime(pdf[ts_col]).astype("int64")
+                )
+            for t in sorted(ts_all):
+                if n == 0:
+                    start_us = end_us = t
+                    n = 1
+                elif t - end_us <= gap_us:
+                    end_us = max(end_us, t)
+                    n += 1
+                else:
+                    out.append((start_us, end_us, n))
+                    start_us = end_us = t
+                    n = 1
+            if n > 0:
+                state.update((start_us, end_us, n))
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max((end_us + gap_us) // 1000, wm_ms + 1)
+                )
+        if out:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out),
+                    "session_start_us": [o[0] for o in out],
+                    "session_end_us": [o[1] for o in out],
+                    "n_events": [o[2] for o in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, session_start_us long,"
+            " session_end_us long, n_events long"
+        ),
+        stateStructType="start_us long, end_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
