@@ -763,3 +763,166 @@ def multimodal_video_shot_boundaries(
         .mapInPandas(_shot_boundary_batches, schema=_SHOT_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# --- batch 208: image byte-histogram pair verification --------------------------
+
+_HIST_BINS = 16  # byte-value bins (byte // 16): a tiny grayscale histogram
+_HIST_BAND = 128  # blocking: same source + same length band
+_HIST_TOPK = 30
+
+
+def _hist_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8) // _HIST_BINS
+            counts = np.bincount(arr, minlength=_HIST_BINS)
+            for b in range(_HIST_BINS):
+                out.append((doc_id, b, int(counts[b])))
+        yield pd.DataFrame(out, columns=["doc_id", "bin", "cnt"])
+
+
+@register(
+    "multimodal_image_histogram_pairs",
+    oracle=f"""
+        WITH hist AS MATERIALIZED (
+            SELECT doc_id, b AS bin, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT doc_id,
+                       ascii(substr(text, CAST(i AS INTEGER), 1))
+                           // {_HIST_BINS} AS b
+                FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+            )
+            GROUP BY doc_id, b
+        ),
+        meta AS MATERIALIZED (
+            SELECT doc_id, source,
+                   length(text) // {_HIST_BAND} AS band,
+                   CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_bytes AS bytes_a, b.n_bytes AS bytes_b
+            FROM meta a JOIN meta b
+              ON a.source = b.source AND a.band = b.band
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, p.bytes_a, p.bytes_b,
+                   CAST(sum(least(ha.cnt, hb.cnt)) AS BIGINT) AS overlap
+            FROM pairs p
+            JOIN hist ha ON ha.doc_id = p.doc_a
+            JOIN hist hb ON hb.doc_id = p.doc_b AND hb.bin = ha.bin
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, bytes_a, bytes_b, overlap,
+               (10000 * overlap) // greatest(bytes_a, bytes_b)
+                   AS intersection_fp4
+        FROM inter
+        ORDER BY intersection_fp4 DESC, doc_a, doc_b
+        LIMIT {_HIST_TOPK}
+    """,
+    tags=("llm-data", "multimodal", "dedup"),
+)
+def multimodal_image_histogram_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-intersection near-duplicate verification for image
+    blobs: each payload's {_HIST_BINS}-bin byte-value histogram
+    (computed batch-wise in numpy through Arrow ``mapInPandas`` — the
+    real decoder slot, like the audio/video paths), candidate pairs
+    blocked by (source, length band), and the classic
+    histogram-intersection score Σ min(h_a, h_b) / max(|a|, |b|) —
+    the cheap second-stage verifier that sits between
+    multimodal_image_ahash_pairs (bit-level blocking) and an
+    expensive pixel diff: aHash says "structurally similar", the
+    histogram says "same tonal content", and both are wrong rarely
+    enough together. Exact BIGINT counts; one floor division.
+
+    Scale shape: the histogram build is a map-only Arrow pass (1 →
+    {_HIST_BINS} rows per blob); candidates are bounded by the
+    (source, band) blocking exactly like the dedup family's banded
+    joins; the intersection join is equi-keyed on (doc, bin). The
+    oracle mirrors the byte loop with ascii(substr(…)) — the
+    text-bytes-as-pixels trick of the audio-energy path, so the
+    whole Arrow pipeline is value-hash-checked end to end."""
+    blobs = _blobs(spark, sf_dir)
+    hist = blobs.select("doc_id", "payload").mapInPandas(
+        _hist_rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("bin", LongType()),
+                StructField("cnt", LongType()),
+            ]
+        ),
+    ).filter(F.col("cnt") > 0)
+    d = load_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        "source",
+        (F.length("text").cast("long") / _HIST_BAND)
+        .cast("long")
+        .alias("band"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("band").alias("band_a"),
+        F.col("n_bytes").alias("bytes_a"),
+    )
+    b = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("band").alias("band_b"),
+        F.col("n_bytes").alias("bytes_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", "bytes_a", "bytes_b")
+    ha = hist.select(
+        F.col("doc_id").alias("ha_id"),
+        F.col("bin").alias("ha_bin"),
+        F.col("cnt").alias("ha_cnt"),
+    )
+    hb = hist.select(
+        F.col("doc_id").alias("hb_id"),
+        F.col("bin").alias("hb_bin"),
+        F.col("cnt").alias("hb_cnt"),
+    )
+    inter = (
+        pairs.join(ha, F.col("ha_id") == F.col("doc_a"))
+        .join(
+            hb,
+            (F.col("hb_id") == F.col("doc_b"))
+            & (F.col("hb_bin") == F.col("ha_bin")),
+        )
+        .groupBy("doc_a", "doc_b", "bytes_a", "bytes_b")
+        .agg(
+            F.sum(F.least(F.col("ha_cnt"), F.col("hb_cnt")))
+            .cast("long")
+            .alias("overlap")
+        )
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            "bytes_a",
+            "bytes_b",
+            "overlap",
+            F.expr(
+                "(10000 * overlap) div greatest(bytes_a, bytes_b)"
+            ).alias("intersection_fp4"),
+        )
+        .orderBy(F.col("intersection_fp4").desc(), "doc_a", "doc_b")
+        .limit(_HIST_TOPK)
+    )
