@@ -2396,3 +2396,134 @@ def ml_model_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_fp4",
         )
     )
+
+
+# --- batch 209: row-level-security policy audit --------------------------------
+
+# Static policy: which market segments each region's analysts may see.
+# Deliberately partial — every region has masked segments so the audit
+# measurably filters (not a rubber stamp).
+_RLS_POLICY = [
+    ("AFRICA", "AUTOMOBILE"),
+    ("AFRICA", "BUILDING"),
+    ("AMERICA", "AUTOMOBILE"),
+    ("AMERICA", "MACHINERY"),
+    ("ASIA", "FURNITURE"),
+    ("ASIA", "HOUSEHOLD"),
+    ("ASIA", "MACHINERY"),
+    ("EUROPE", "BUILDING"),
+    ("EUROPE", "FURNITURE"),
+    ("MIDDLE EAST", "HOUSEHOLD"),
+]
+
+
+def _rls_policy_sql() -> str:
+    rows = ", ".join(f"('{r}', '{s}')" for r, s in _RLS_POLICY)
+    return f"SELECT * FROM (VALUES {rows}) AS p(region, segment)"
+
+
+@register(
+    "governance_row_level_policy",
+    oracle=f"""
+        WITH pol AS ({_rls_policy_sql()}),
+        cust AS (
+            SELECT r.r_name AS region, c.c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal2
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        lab AS (
+            SELECT c.region, c.segment, c.n_cust, c.bal2,
+                   CASE WHEN p.segment IS NOT NULL THEN 1 ELSE 0 END
+                       AS visible
+            FROM cust c
+            LEFT JOIN pol p
+              ON p.region = c.region AND p.segment = c.segment
+        )
+        SELECT region,
+               CAST(sum(n_cust) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN visible = 1 THEN n_cust ELSE 0 END)
+                    AS BIGINT) AS n_visible,
+               CAST(sum(CASE WHEN visible = 0 THEN n_cust ELSE 0 END)
+                    AS BIGINT) AS n_masked,
+               CAST(sum(CASE WHEN visible = 1 THEN bal2 ELSE 0 END)
+                    AS BIGINT) AS visible_bal2,
+               (10000 * sum(CASE WHEN visible = 1 THEN n_cust ELSE 0 END))
+                   // sum(n_cust) AS visibility_fp4
+        FROM lab GROUP BY region ORDER BY region
+    """,
+    tags=("governance", "security", "reporting"),
+)
+def governance_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level-security policy audit: apply a (region → allowed
+    market segments) policy table to the customer base and report,
+    per region, how many customer rows a policy-scoped analyst can
+    SEE versus how many the policy MASKS, plus the visible balance
+    total and the visibility rate. This is the row-level companion to
+    governance_pii_redaction (column-level masking) and the
+    k-anonymity family (aggregation-level) — together the three
+    governance layers a data platform enforces. The policy is a
+    deliberately partial literal table so the audit demonstrably
+    filters; counts and fixed-point balances are exact BIGINTs.
+
+    Scale shape: one fact aggregate to (region, segment) grain —
+    dims broadcast — then the policy (a literal of a few rows)
+    broadcast-left-joins the dimension-bounded matrix; the rollup
+    touches ≤ |regions|·|segments| rows. At 100 TB the policy join
+    is exactly how engines inject RLS predicates: against the
+    aggregated or scanned grain, always broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("bal2"),
+        )
+    )
+    pol = spark.createDataFrame(
+        _RLS_POLICY, "p_region string, p_segment string"
+    ).withColumn("visible", F.lit(1))
+    lab = cust.join(
+        F.broadcast(pol),
+        (F.col("p_region") == F.col("region"))
+        & (F.col("p_segment") == F.col("segment")),
+        "left",
+    ).select(
+        "region",
+        "n_cust",
+        "bal2",
+        F.coalesce(F.col("visible"), F.lit(0)).alias("visible"),
+    )
+    return (
+        lab.groupBy("region")
+        .agg(
+            F.sum("n_cust").cast("long").alias("n_total"),
+            F.sum(F.when(F.col("visible") == 1, F.col("n_cust")).otherwise(0))
+            .cast("long")
+            .alias("n_visible"),
+            F.sum(F.when(F.col("visible") == 0, F.col("n_cust")).otherwise(0))
+            .cast("long")
+            .alias("n_masked"),
+            F.sum(F.when(F.col("visible") == 1, F.col("bal2")).otherwise(0))
+            .cast("long")
+            .alias("visible_bal2"),
+            F.expr(
+                "(10000 * sum(CASE WHEN visible = 1 THEN n_cust ELSE 0 END))"
+                " div sum(n_cust)"
+            ).alias("visibility_fp4"),
+        )
+        .orderBy("region")
+    )
