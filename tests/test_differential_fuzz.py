@@ -243,3 +243,55 @@ def test_random_setop_matches_duckdb(spark, sf_dir, oracle_con, plan):
         f"SELECT {cols} FROM lineitem WHERE l_partkey % 3 = {b_cut % 3}"
     )
     assert_matches_oracle(df, oracle_con, sql, name=f"fuzz-setop:{op}")
+
+
+@SLOW_OK
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_sign_split_fixed_point_matches_duckdb(spark, pairs):
+    """The engine's sign-split fixed-point convention (negatives routed
+    through -((1e4*|num|) div den) so Spark's truncating `div` and
+    DuckDB's flooring `//` agree) must hold for ARBITRARY integers,
+    not just the fixture values the qini/cross-corr oracles happen to
+    produce. Also pins the positive path and the `% `/`div` pair."""
+    import duckdb
+
+    df = spark.createDataFrame(pairs, "num long, den long")
+    got = {
+        (r["num"], r["den"], r["fp4"], r["q"], r["m"])
+        for r in df.selectExpr(
+            "num",
+            "den",
+            "CASE WHEN num < 0 THEN -((10000 * (-num)) div den)"
+            " ELSE (10000 * num) div den END AS fp4",
+            "CASE WHEN num < 0 THEN -((-num) div den)"
+            " ELSE num div den END AS q",
+            "CASE WHEN num < 0 THEN -((-num) % den)"
+            " ELSE num % den END AS m",
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({n}, {d})" for n, d in pairs)
+    want = set(
+        con.execute(
+            f"""
+            SELECT num, den,
+                   CASE WHEN num < 0 THEN -((10000 * (-num)) // den)
+                        ELSE (10000 * num) // den END AS fp4,
+                   CASE WHEN num < 0 THEN -((-num) // den)
+                        ELSE num // den END AS q,
+                   CASE WHEN num < 0 THEN -((-num) % den)
+                        ELSE num % den END AS m
+            FROM (VALUES {vals}) AS t(num, den)
+            """
+        ).fetchall()
+    )
+    assert got == want
