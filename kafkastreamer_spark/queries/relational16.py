@@ -2527,3 +2527,64 @@ def governance_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# --- batch 210: SQL pipe-syntax surface -----------------------------------------
+
+# The Spark-side text uses SQL pipe syntax (|>, Spark 4's linear query
+# form); the oracle is the equivalent plain ANSI text for DuckDB. Both
+# compile to the same logical plan shape — the pair proves the engine's
+# THIRD query entry point (DataFrame API, ANSI SQL text, pipe syntax)
+# is gate-identical.
+_PIPE_SQL = """
+    FROM orders
+    |> JOIN customer ON o_custkey = c_custkey
+    |> WHERE o_orderstatus <> 'P'
+    |> AGGREGATE COUNT(*) AS n_orders,
+                 SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                     AS revenue_fp
+       GROUP BY c_mktsegment AS segment, o_orderstatus AS status
+    |> WHERE n_orders > 0
+    |> ORDER BY segment, status
+"""
+
+
+@register(
+    "sql_text_pipe_syntax",
+    oracle="""
+        SELECT c_mktsegment AS segment, o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                    AS BIGINT) AS revenue_fp
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'P'
+        GROUP BY c_mktsegment, o_orderstatus
+        HAVING COUNT(*) > 0
+        ORDER BY segment, status
+    """,
+    tags=("sql-surface", "relational", "pipe-syntax"),
+)
+def sql_text_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-syntax surface proof: the implementation text is
+    Spark 4 PIPE SQL (FROM … |> JOIN … |> WHERE … |> AGGREGATE … |>
+    ORDER BY — the linear form where each operator consumes the
+    previous result, GoogleSQL-style), executed through the engine's
+    run_sql door; the oracle is the equivalent classic ANSI text on
+    DuckDB. Same plan, same fixed-point revenue discipline,
+    gate-identical results — so a user can bring ANY of the three
+    query dialects (DataFrame API, ANSI SQL, pipe SQL) and keep every
+    determinism guarantee. The post-aggregation `|> WHERE` is pipe
+    syntax's HAVING; the oracle says HAVING.
+
+    Scale shape: Catalyst compiles the pipe text to the identical
+    star-join + hash-aggregate plan as the ANSI text — broadcast
+    customer, one fact shuffle on the group keys."""
+    from kafkastreamer_spark.sql import run_sql
+
+    df = run_sql(spark, sf_dir, _PIPE_SQL)
+    return df.select(
+        "segment",
+        "status",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("revenue_fp").cast("long").alias("revenue_fp"),
+    )
