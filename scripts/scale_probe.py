@@ -88,6 +88,15 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     "lineitem_bullwhip_ratio": (("orders", "lineitem"), (1, 2, 4)),
     "graph_local_clustering": (("orders", "lineitem"), (1, 2, 4)),
     "customer_order_gap_quartiles": (("orders",), (1, 2, 4)),
+    "similarity_nprobe_recall_curve": (("embeddings",), (1, 4, 16)),
+    # Copy inflation multiplies docs per (source, band) block — the
+    # blocking domain is fixed, so candidate pairs grow ~k² with k
+    # (the join_interval_overlap phenomenon: density², not rows²).
+    # Measured 12.8x wall at 16x. In production the block domain
+    # (source count) grows WITH the corpus, keeping block density
+    # and per-block pair volume bounded.
+    "multimodal_image_histogram_pairs": (("documents",), (1, 4, 16)),
+    "tokenizer_unigram_seed_vocab": (("documents",), (1, 4, 16)),
 }
 
 
