@@ -86,3 +86,83 @@ def test_rolling_median_matches_reference_across_batches(spark, sf_dir, tmp_path
         [d for d in os.listdir(out) if d.startswith("b")]
     )
     assert n_batches >= 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=40),  # day offset
+            st.integers(min_value=1, max_value=1000),  # count
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    n_batches=st.integers(min_value=1, max_value=3),
+)
+def test_rolling_median_property_random_series(
+    spark, tmp_path_factory, data, n_batches
+):
+    """Random (key, day, count) series under random micro-batch splits
+    (split by day order, so arrival stays day-ordered per key — the
+    operator's documented contract): streamed rolling medians must
+    equal the pure-python replay. Hardens the fixture-based parity
+    test against shapes the fixture doesn't produce (gaps longer than
+    the horizon, single-day series, duplicate counts)."""
+    rows = [
+        (k, f"2024-01-{d + 1:02d}", c) for k, d, c in data
+    ]
+    want = _reference([{"event_type": k, "day": day, "x": c} for k, day, c in rows])
+
+    tmp_path = tmp_path_factory.mktemp("rmprop")
+    daily = spark.createDataFrame(rows, "event_type string, day string, x long")
+    days = sorted({r[1] for r in rows})
+    # n_batches chronological slices (some possibly empty are skipped)
+    cuts = [
+        days[(i * len(days)) // n_batches] for i in range(1, n_batches)
+    ]
+    inp = str(tmp_path / "in")
+    bounds = [None, *cuts, None]
+    wrote = 0
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = daily
+        if lo is not None:
+            part = part.filter(F.col("day") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("day") < hi)
+        if part.count() > 0:
+            part.coalesce(1).write.mode("append").parquet(inp)
+            wrote += 1
+    assert wrote >= 1
+
+    stream = file_source(spark, inp, daily.schema, max_files_per_trigger=1)
+    rolled = rolling_median_stateful(stream)
+    out = str(tmp_path / "out")
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    q = (
+        rolled.writeStream.foreachBatch(wb)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_type"], r["day"]): (r["window_days"], r["rolling_median"])
+        for r in spark.read.parquet(os.path.join(out, "*")).collect()
+    }
+    assert got == want
