@@ -2588,3 +2588,232 @@ def sql_text_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("revenue_fp").cast("long").alias("revenue_fp"),
     )
+
+
+# --- batch 211: interrupted time series ----------------------------------------
+
+_ITS_CUT_DAYS = 15  # intervention: 15 days after the first event day
+
+
+@register(
+    "events_interrupted_time_series",
+    oracle=f"""
+        WITH daily AS (
+            SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS e,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        base AS (SELECT CAST(min(e) AS BIGINT) AS e0 FROM daily),
+        seg AS (
+            SELECT CASE WHEN d.e < b.e0 + {_ITS_CUT_DAYS}
+                        THEN 'pre' ELSE 'post' END AS segment,
+                   d.e - b.e0 AS x, d.y
+            FROM daily d CROSS JOIN base b
+        ),
+        sums AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM seg GROUP BY segment
+        ),
+        fit AS (
+            SELECT segment, n,
+                   CAST(floor(10000.0 * sy / n) AS BIGINT) AS mean4,
+                   CAST(floor(10000 * (CAST(n AS DOUBLE) * sxy
+                                       - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)) AS BIGINT) AS slope4
+            FROM sums
+        )
+        SELECT pre.n AS n_pre, post.n AS n_post,
+               pre.mean4 AS pre_mean4, post.mean4 AS post_mean4,
+               pre.slope4 AS pre_slope4, post.slope4 AS post_slope4,
+               post.mean4 - pre.mean4 AS mean_shift4,
+               post.slope4 - pre.slope4 AS slope_change4
+        FROM fit pre JOIN fit post
+          ON pre.segment = 'pre' AND post.segment = 'post'
+    """,
+    tags=("stats", "causal", "timeseries"),
+)
+def events_interrupted_time_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interrupted time-series analysis of the daily event count
+    around a fixed intervention point ({_ITS_CUT_DAYS} days into the
+    series): per-segment OLS level (mean) and trend (slope), and the
+    two ITS effect estimates — the level SHIFT and the slope CHANGE
+    at the cut. The third member of the engine's causal-design family
+    (orders_did_estimator needs a control group;
+    orders_quantile_treatment_effect needs a treatment column; ITS
+    needs only time), and the design an ops team applies to "did the
+    deploy change traffic". Slope/mean use the agg_ols_trend
+    discipline: exact BIGINT sums, one double ratio each, floored at
+    1e-4; the effect columns are exact differences OF the floored
+    values, so every reported number is engine-deterministic.
+
+    Scale shape: the fact collapses to per-day counts (map-side
+    combine), the 1-row min-day base broadcasts onto the day series,
+    and both fits are one counts-and-moments aggregate over the
+    day-domain-bounded table. Single fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("e")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    base = daily.agg(F.min("e").cast("long").alias("e0"))
+    seg = daily.crossJoin(F.broadcast(base)).select(
+        F.when(F.col("e") < F.col("e0") + _ITS_CUT_DAYS, "pre")
+        .otherwise("post")
+        .alias("segment"),
+        (F.col("e") - F.col("e0")).alias("x"),
+        "y",
+    )
+    sums = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    fit = sums.select(
+        "segment",
+        "n",
+        F.floor(F.lit(10000.0) * F.col("sy") / F.col("n"))
+        .cast("long")
+        .alias("mean4"),
+        F.floor(
+            10000
+            * (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+        )
+        .cast("long")
+        .alias("slope4"),
+    )
+    pre = fit.filter(F.col("segment") == "pre").select(
+        F.col("n").alias("n_pre"),
+        F.col("mean4").alias("pre_mean4"),
+        F.col("slope4").alias("pre_slope4"),
+    )
+    post = fit.filter(F.col("segment") == "post").select(
+        F.col("n").alias("n_post"),
+        F.col("mean4").alias("post_mean4"),
+        F.col("slope4").alias("post_slope4"),
+    )
+    return pre.crossJoin(F.broadcast(post)).select(
+        "n_pre",
+        "n_post",
+        "pre_mean4",
+        "post_mean4",
+        "pre_slope4",
+        "post_slope4",
+        (F.col("post_mean4") - F.col("pre_mean4"))
+        .cast("long")
+        .alias("mean_shift4"),
+        (F.col("post_slope4") - F.col("pre_slope4"))
+        .cast("long")
+        .alias("slope_change4"),
+    )
+
+
+# --- batch 212: quantity-weighted median unit price -----------------------------
+
+
+@register(
+    "lineitem_weighted_median_price",
+    oracle="""
+        WITH priced AS (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(l_extendedprice * 10000) AS BIGINT)
+                       // CAST(l_quantity AS BIGINT) AS p4,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem WHERE l_quantity > 0
+        ),
+        pv AS (
+            SELECT flag, p4, CAST(sum(w) AS BIGINT) AS w
+            FROM priced GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT flag, p4,
+                   CAST(sum(w) OVER (PARTITION BY flag ORDER BY p4)
+                        AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+            FROM pv
+        )
+        SELECT flag,
+               CAST(max(tw) AS BIGINT) AS total_weight,
+               min(CASE WHEN cw >= (tw + 1) // 2 THEN p4 END)
+                   AS wmedian_p4,
+               min(CASE WHEN cw >= (25 * tw + 99) // 100 THEN p4 END)
+                   AS wp25_p4,
+               min(CASE WHEN cw >= (75 * tw + 99) // 100 THEN p4 END)
+                   AS wp75_p4
+        FROM cum GROUP BY flag ORDER BY flag
+    """,
+    tags=("relational", "statistics", "quantiles"),
+)
+def lineitem_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUANTITY-weighted median (and weighted p25/p75) of the unit
+    micro-price per return flag: each distinct unit price counts with
+    the quantity transacted at it, not once per row — the
+    volume-representative price statistic a pricing desk quotes
+    (agg_median_exact's unweighted median answers "the middle ROW";
+    this answers "the middle UNIT"). Unit prices are the exact
+    integer micro-prices of the index-number family (e4 div q); the
+    weighted quantiles use the upper-discrete ⌈q·W⌉ convention on the
+    per-flag cumulative-weight table — the orders_quantile_treatment
+    _effect lattice generalized to weights.
+
+    Scale shape: one map-side (flag, price) weight aggregate over the
+    fact, then windows over the DISTINCT-PRICE domain per flag —
+    bounded by the price domain, not rows. Single fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.filter(F.col("l_quantity") > 0).select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 10000) AS BIGINT)"
+            " div CAST(l_quantity AS BIGINT)"
+        ).alias("p4"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    pv = priced.groupBy("flag", "p4").agg(F.sum("w").cast("long").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("p4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = pv.select(
+        "flag",
+        "p4",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("w").over(wall).cast("long").alias("tw"),
+    )
+
+    def wq(expr: str, name: str):
+        return F.min(
+            F.when(F.col("cw") >= F.expr(expr), F.col("p4"))
+        ).alias(name)
+
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            wq("(tw + 1) div 2", "wmedian_p4"),
+            wq("(25 * tw + 99) div 100", "wp25_p4"),
+            wq("(75 * tw + 99) div 100", "wp75_p4"),
+        )
+        .orderBy("flag")
+    )
