@@ -2817,3 +2817,154 @@ def lineitem_weighted_median_price(
         )
         .orderBy("flag")
     )
+
+
+# --- batch 213: modularity of the region partition ------------------------------
+
+
+@register(
+    "graph_modularity_regions",
+    oracle=f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ({_TRADE_EDGES_SQL})
+            WHERE src <> dst
+        ),
+        nr AS (
+            SELECT n.n_nationkey AS node, r.r_name AS region
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        lab AS (
+            SELECT u.a, u.b, ra.region AS reg_a, rb.region AS reg_b
+            FROM und u
+            JOIN nr ra ON ra.node = u.a
+            JOIN nr rb ON rb.node = u.b
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        intra AS (
+            SELECT reg_a AS region, CAST(count(*) AS BIGINT) AS intra_edges
+            FROM lab WHERE reg_a = reg_b GROUP BY reg_a
+        ),
+        deg AS (
+            SELECT region, CAST(count(*) AS BIGINT) AS deg_sum
+            FROM (SELECT reg_a AS region FROM lab
+                  UNION ALL SELECT reg_b FROM lab)
+            GROUP BY region
+        ),
+        per AS (
+            SELECT d.region,
+                   coalesce(i.intra_edges, 0) AS intra_edges,
+                   d.deg_sum,
+                   4 * m.m * coalesce(i.intra_edges, 0)
+                       - d.deg_sum * d.deg_sum AS q_num
+            FROM deg d
+            LEFT JOIN intra i ON i.region = d.region
+            CROSS JOIN m
+        ),
+        tot AS (
+            SELECT CAST(sum(q_num) AS BIGINT) AS q_num_total,
+                   CAST(4 * m.m * m.m AS BIGINT) AS q_den
+            FROM per CROSS JOIN m GROUP BY m.m
+        )
+        SELECT p.region, p.intra_edges, p.deg_sum,
+               CAST(p.q_num AS BIGINT) AS q_contrib_num,
+               t.q_den,
+               CAST(CASE WHEN t.q_num_total < 0
+                         THEN -((10000 * (-t.q_num_total)) // t.q_den)
+                         ELSE (10000 * t.q_num_total) // t.q_den END
+                    AS BIGINT) AS modularity_fp4
+        FROM per p CROSS JOIN tot t
+        ORDER BY p.region
+    """,
+    tags=("graph", "communities", "statistics"),
+)
+def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the GEOGRAPHIC partition of the
+    undirected nation trade graph: does trade cluster within regions
+    (Q > 0) or flow indifferently across them (Q ≈ 0)? Per region,
+    the intra-region edge count, endpoint-degree mass, and the exact
+    contribution numerator of Q = Σ_c (e_c/m − (d_c/2m)²) over the
+    common denominator 4m² — so Q itself is ONE sign-split fixed-point
+    division of exact BIGINTs (the quality score community-detection
+    methods optimize, here EVALUATING a given partition — the
+    complement of graph_supplier-style detection: known communities,
+    measured quality). A negative or near-zero Q on this fixture is
+    itself the finding: TPC-H-style trade is deliberately
+    region-agnostic.
+
+    Scale shape: the DISTINCT edge list is the graph_triangle_count
+    derivation (one fact shuffle); labeling is two broadcast joins of
+    the 25-row nation→region map; everything after runs on
+    |regions|-bounded tables."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()  # edge count + labeling both read it
+    )
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("node"), F.col("r_name").alias("region")
+    )
+    ra = nr.select(F.col("node").alias("na"), F.col("region").alias("reg_a"))
+    rb = nr.select(F.col("node").alias("nb"), F.col("region").alias("reg_b"))
+    lab = (
+        und.join(F.broadcast(ra), F.col("na") == F.col("a"))
+        .join(F.broadcast(rb), F.col("nb") == F.col("b"))
+        .select("a", "b", "reg_a", "reg_b")
+        .persist()  # intra count + degree mass both read it
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        lab.filter(F.col("reg_a") == F.col("reg_b"))
+        .groupBy(F.col("reg_a").alias("region"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = (
+        lab.select(F.col("reg_a").alias("region"))
+        .unionAll(lab.select(F.col("reg_b").alias("region")))
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_sum"))
+    )
+    per = (
+        deg.join(F.broadcast(intra), "region", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "region",
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            "deg_sum",
+            (
+                4 * F.col("m") * F.coalesce(F.col("intra_edges"), F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+    )
+    tot = per.crossJoin(F.broadcast(m)).agg(
+        F.sum("q_num").cast("long").alias("q_num_total"),
+        (4 * F.max("m") * F.max("m")).cast("long").alias("q_den"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "intra_edges",
+            "deg_sum",
+            F.col("q_num").alias("q_contrib_num"),
+            "q_den",
+            F.when(
+                F.col("q_num_total") < 0,
+                -F.expr("(10000 * (-q_num_total)) div q_den"),
+            )
+            .otherwise(F.expr("(10000 * q_num_total) div q_den"))
+            .cast("long")
+            .alias("modularity_fp4"),
+        )
+        .orderBy("region")
+    )
