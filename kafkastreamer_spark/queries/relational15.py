@@ -882,3 +882,87 @@ def lineitem_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(10000 * sz) div sp").alias("croston_fp4"),
         F.expr("(7500 * sz) div sp").alias("sba_fp4"),
     ).orderBy("l_partkey")
+
+
+# --- batch 215: cross-field business-rule conformance audit ----------------
+
+# (rule name, table, violation predicate SQL). Rules mix held
+# invariants (name digits encode the key) with genuinely violated
+# ones (negative account balances exist in the fixture) so the audit
+# demonstrably measures rather than rubber-stamps.
+_RULES = [
+    ("customer.name_encodes_key",
+     "customer", "CAST(substr(c_name, 10) AS BIGINT) <> c_custkey"),
+    ("supplier.name_encodes_key",
+     "supplier", "CAST(substr(s_name, 10) AS BIGINT) <> s_suppkey"),
+    ("customer.acctbal_nonnegative", "customer", "c_acctbal < 0"),
+    ("supplier.acctbal_nonnegative", "supplier", "s_acctbal < 0"),
+    ("part.size_in_1_50", "part", "p_size < 1 OR p_size > 50"),
+    ("lineitem.discount_le_10pct",
+     "lineitem", "l_discount < 0 OR l_discount > 0.1"),
+]
+
+
+def _rule_sql(name: str, table: str, viol: str) -> str:
+    return f"""
+        SELECT '{name}' AS rule,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count_if({viol}) AS BIGINT) AS violations
+        FROM {table}
+    """
+
+
+@register(
+    "profile_crossfield_rules",
+    oracle=f"""
+        WITH per_rule AS ({" UNION ALL ".join(
+            _rule_sql(*r) for r in _RULES)})
+        SELECT rule, n_rows, violations,
+               (10000 * (n_rows - violations)) // n_rows
+                   AS conformance_fp4,
+               CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS holds
+        FROM per_rule ORDER BY rule
+    """,
+    tags=("profiling", "data-quality", "rules"),
+)
+def profile_crossfield_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field business-rule conformance audit — the rule-based
+    third leg of the profiling family (profile_fd_violations measures
+    dependencies, profile_key_candidates uniqueness; this measures
+    DECLARED invariants): per rule, exact violation counts and the
+    conformance rate. The rule set mixes structural encodings that
+    hold (entity names embed their keys — parsed and compared, not
+    assumed) with range rules the fixture genuinely violates
+    (negative account balances), so nonzero violation counts prove
+    the audit measures. This is the Deequ/Great-Expectations check
+    suite shape, evaluated engine-exactly.
+
+    Scale shape: each rule is one conditional-count aggregate over
+    its table — a map-side-combining counts-only pass, rules running
+    as independent DAG branches; no joins, no windows, no shuffle
+    beyond the 1-row-per-rule partials. Adding a rule is O(+1 array
+    element) exactly like the FD audit."""
+    tabs = {t: load_table(spark, sf_dir, t) for t in {r[1] for r in _RULES}}
+    out = []
+    for name, table, viol in _RULES:
+        out.append(
+            tabs[table].agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_if(F.expr(viol)).cast("long").alias("violations"),
+            )
+        )
+    per_rule = reduce(DataFrame.unionAll, out)
+    return per_rule.select(
+        "rule",
+        "n_rows",
+        "violations",
+        F.expr("(10000 * (n_rows - violations)) div n_rows").alias(
+            "conformance_fp4"
+        ),
+        F.when(F.col("violations") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("holds"),
+    ).orderBy("rule")
