@@ -3101,3 +3101,118 @@ def sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --- batch 216: order header vs line-detail reconciliation ----------------------
+
+
+@register(
+    "orders_header_detail_reconciliation",
+    oracle="""
+        WITH detail AS (
+            SELECT l_orderkey AS k,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 10000) AS BIGINT))
+                        AS BIGINT) AS detail_fp,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY 1
+        ),
+        recon AS (
+            SELECT o.o_orderstatus AS status,
+                   CAST(floor(o.o_totalprice * 10000) AS BIGINT)
+                       AS header_fp,
+                   d.detail_fp, d.n_lines
+            FROM orders o LEFT JOIN detail d ON d.k = o.o_orderkey
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count_if(n_lines IS NULL) AS BIGINT) AS n_no_detail,
+               CAST(count_if(detail_fp = header_fp) AS BIGINT)
+                   AS n_reconciled,
+               CAST(count_if(detail_fp IS NOT NULL
+                             AND detail_fp <> header_fp) AS BIGINT)
+                   AS n_breaks,
+               CAST(sum(header_fp) AS BIGINT) AS total_header_fp,
+               CAST(coalesce(sum(detail_fp), 0) AS BIGINT)
+                   AS total_detail_fp,
+               CAST(sum(header_fp) - coalesce(sum(detail_fp), 0)
+                    AS BIGINT) AS net_gap_fp,
+               CAST(coalesce(max(abs(header_fp - detail_fp)), 0)
+                    AS BIGINT) AS max_abs_gap_fp
+        FROM recon GROUP BY status ORDER BY status
+    """,
+    tags=("finance", "reconciliation", "data-quality"),
+)
+def orders_header_detail_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Header-vs-detail financial reconciliation: per order status,
+    does the order header's total price tie out to the sum of its
+    line items' net-of-discount, gross-of-tax amounts? Reports
+    orders with NO detail at all (orphan headers — the fixture has
+    them), exactly-reconciled orders, break counts, and the exact
+    net and worst-case gaps. This is the month-end close control a
+    finance team runs on any two-level fact (header/detail,
+    ledger/subledger) — the financial sibling of
+    profile_inclusion_deps' referential audit, measuring VALUE
+    agreement, not just key presence. Every amount is an exact
+    fixed-point BIGINT; gaps are exact signed subtractions (no
+    division anywhere).
+
+    Scale shape: one map-side-combining aggregate of the line fact to
+    order grain, one key-equi left join against the header fact (both
+    sides shuffle on the same key — AQE picks the strategy), one
+    status rollup. Two fact shuffles total, the minimum for a
+    two-fact reconciliation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 10000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("detail_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    recon = o.join(detail, o.o_orderkey == detail.k, "left").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 10000).cast("long").alias("header_fp"),
+        "detail_fp",
+        "n_lines",
+    )
+    return (
+        recon.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count_if(F.col("n_lines").isNull())
+            .cast("long")
+            .alias("n_no_detail"),
+            F.count_if(F.col("detail_fp") == F.col("header_fp"))
+            .cast("long")
+            .alias("n_reconciled"),
+            F.count_if(
+                F.col("detail_fp").isNotNull()
+                & (F.col("detail_fp") != F.col("header_fp"))
+            )
+            .cast("long")
+            .alias("n_breaks"),
+            F.sum("header_fp").cast("long").alias("total_header_fp"),
+            F.coalesce(F.sum("detail_fp"), F.lit(0))
+            .cast("long")
+            .alias("total_detail_fp"),
+            (F.sum("header_fp") - F.coalesce(F.sum("detail_fp"), F.lit(0)))
+            .cast("long")
+            .alias("net_gap_fp"),
+            F.coalesce(
+                F.max(F.abs(F.col("header_fp") - F.col("detail_fp"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_abs_gap_fp"),
+        )
+        .orderBy("status")
+    )
