@@ -166,3 +166,57 @@ def test_rolling_median_property_random_series(
         for r in spark.read.parquet(os.path.join(out, "*")).collect()
     }
     assert got == want
+
+
+def test_rolling_median_survives_stream_restart(spark, sf_dir, tmp_path):
+    """Checkpoint recovery across separate RUNS: first two-thirds of
+    the day range in run 1, the rest appended for run 2 with the same
+    checkpoint — the union of emitted rows must equal the full-series
+    reference with no day double-emitted."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    rows = [r.asDict() for r in daily.collect()]
+    want = _reference(rows)
+    days = sorted({r["day"] for r in rows})
+    cut = days[2 * len(days) // 3]
+    inp = str(tmp_path / "rrin")
+    out = str(tmp_path / "rrout")
+    ckpt = str(tmp_path / "rrckpt")
+
+    def wb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    def run_once():
+        stream = file_source(
+            spark, inp, daily.schema, max_files_per_trigger=1
+        )
+        q = (
+            rolling_median_stateful(stream)
+            .writeStream.foreachBatch(wb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    daily.filter(F.col("day") < cut).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+    n_run1 = spark.read.parquet(os.path.join(out, "*")).count()
+    assert 0 < n_run1 < len(rows)
+
+    daily.filter(F.col("day") >= cut).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+    got_rows = spark.read.parquet(os.path.join(out, "*")).collect()
+    got = {
+        (r["event_type"], r["day"]): (r["window_days"], r["rolling_median"])
+        for r in got_rows
+    }
+    assert len(got_rows) == len(rows)  # nothing double-emitted
+    assert got == want
