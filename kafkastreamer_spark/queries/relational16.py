@@ -3216,3 +3216,197 @@ def orders_header_detail_reconciliation(
         )
         .orderBy("status")
     )
+
+
+# --- batch 217: bootstrap CI for the AUC ----------------------------------------
+
+_AUC_BOOT_B = 100
+
+
+@register(
+    "ml_auc_bootstrap_ci",
+    oracle=f"""
+        WITH per_user AS MATERIALIZED ({_PER_USER_SQL}),
+        reps AS (
+            SELECT b.b,
+                   CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 3 AS w,
+                   u.score, u.y
+            FROM per_user u, unnest(range(0, {_AUC_BOOT_B})) AS b(b)
+        ),
+        pv AS (
+            SELECT b, score AS v,
+                   CAST(sum(w * y) AS BIGINT) AS a,
+                   CAST(sum(w) AS BIGINT) AS m
+            FROM reps GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT b, v, a, m,
+                   CAST(coalesce(sum(m) OVER (PARTITION BY b ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS c
+            FROM pv
+        ),
+        rep_auc AS (
+            SELECT b,
+                   CAST(sum(a) AS BIGINT) AS n_pos,
+                   CAST(sum(m - a) AS BIGINT) AS n_neg,
+                   CAST(sum(a * (2*c + m + 1)) AS BIGINT) AS two_r
+            FROM cum GROUP BY b
+        ),
+        rep_fp AS (
+            SELECT b,
+                   CASE WHEN n_pos = 0 OR n_neg = 0 THEN 50000000
+                        ELSE (100000000 * (two_r - n_pos * (n_pos + 1)))
+                             // (2 * n_pos * n_neg) END AS auc_fp8
+            FROM rep_auc
+        ),
+        ranked AS (
+            SELECT auc_fp8, row_number() OVER (ORDER BY auc_fp8, b) AS rn
+            FROM rep_fp
+        ),
+        pt AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+                   CAST(sum(m - a) AS BIGINT) AS n_neg,
+                   CAST(sum(a * (2*c + m + 1)) AS BIGINT) AS two_r
+            FROM (
+                SELECT v, a, m,
+                       CAST(coalesce(sum(m) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS c
+                FROM (
+                    SELECT score AS v, CAST(sum(y) AS BIGINT) AS a,
+                           CAST(count(*) AS BIGINT) AS m
+                    FROM per_user GROUP BY score
+                )
+            )
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_user) AS n_users,
+               {_AUC_BOOT_B} AS n_replicates,
+               (100000000 * (pt.two_r - pt.n_pos * (pt.n_pos + 1)))
+                   // (2 * pt.n_pos * pt.n_neg) AS point_auc_fp8,
+               (SELECT auc_fp8 FROM ranked WHERE rn = 5) AS lo_auc_fp8,
+               (SELECT auc_fp8 FROM ranked WHERE rn = 95) AS hi_auc_fp8
+        FROM pt
+    """,
+    tags=("ml", "metrics", "bootstrap"),
+)
+def ml_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multiplier-bootstrap confidence interval for the
+    ROC-AUC: {_AUC_BOOT_B} replicates reweight every USER by the
+    hash-derived {{0,1,2}} multiplier of events_bootstrap_mean_ci
+    (md5(user, replicate) — reproducible Poisson-bootstrap, no RNG,
+    both engines draw identical weights), each replicate's AUC
+    computed through the tie-corrected WEIGHTED rank-sum identity
+    (integer weights are just duplicated samples, so the
+    ml_click_purchase_auc integerization carries over unchanged), and
+    the CI is the 5th/95th order statistic of the replicate AUCs.
+    This is the error bar a model report puts next to the point AUC —
+    without it, a 0.71-vs-0.72 model comparison is noise. A replicate
+    that zeroes out a class degenerates to AUC 0.5 by convention
+    (documented, deterministic).
+
+    Scale shape: ONE groupBy(user) fact shuffle; the replicate lattice
+    multiplies only the per-user table (users × {_AUC_BOOT_B}, map-side
+    explode) and immediately collapses to (replicate, distinct-score)
+    grain — the windows run per replicate over the score DOMAIN, and
+    the order statistic over {_AUC_BOOT_B} rows."""
+    pu = _per_user(spark, sf_dir).persist()  # replicates + point estimate
+    b = spark.range(0, _AUC_BOOT_B).select(F.col("id").cast("long").alias("b"))
+    reps = pu.crossJoin(F.broadcast(b)).select(
+        "b",
+        "score",
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("w"),
+    )
+    pv = reps.groupBy("b", F.col("score").alias("v")).agg(
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("a"),
+        F.sum("w").cast("long").alias("m"),
+    )
+    w_prev = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.withColumn(
+        "c", F.coalesce(F.sum("m").over(w_prev), F.lit(0)).cast("long")
+    )
+    rep_auc = cum.groupBy("b").agg(
+        F.sum("a").cast("long").alias("n_pos"),
+        F.sum(F.col("m") - F.col("a")).cast("long").alias("n_neg"),
+        F.sum(F.col("a") * (2 * F.col("c") + F.col("m") + 1))
+        .cast("long")
+        .alias("two_r"),
+    )
+    rep_fp = rep_auc.select(
+        "b",
+        F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(50000000))
+        .otherwise(
+            F.expr(
+                "(100000000 * (two_r - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * n_neg)"
+            )
+        )
+        .cast("long")
+        .alias("auc_fp8"),
+    )
+    ranked = rep_fp.withColumn(
+        "rn", F.row_number().over(Window.orderBy("auc_fp8", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == 5).select(
+        F.col("auc_fp8").alias("lo_auc_fp8")
+    )
+    hi = ranked.filter(F.col("rn") == 95).select(
+        F.col("auc_fp8").alias("hi_auc_fp8")
+    )
+    pv0 = pu.groupBy(F.col("score").alias("v")).agg(
+        F.sum("y").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    w0 = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pt = (
+        pv0.withColumn(
+            "c", F.coalesce(F.sum("m").over(w0), F.lit(0)).cast("long")
+        )
+        .agg(
+            F.sum("a").cast("long").alias("n_pos"),
+            F.sum(F.col("m") - F.col("a")).cast("long").alias("n_neg"),
+            F.sum(F.col("a") * (2 * F.col("c") + F.col("m") + 1))
+            .cast("long")
+            .alias("two_r"),
+        )
+    )
+    nu = pu.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return (
+        pt.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_users",
+            F.lit(_AUC_BOOT_B).cast("long").alias("n_replicates"),
+            F.expr(
+                "(100000000 * (two_r - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * n_neg)"
+            ).alias("point_auc_fp8"),
+            "lo_auc_fp8",
+            "hi_auc_fp8",
+        )
+    )
