@@ -3410,3 +3410,138 @@ def ml_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_auc_fp8",
         )
     )
+
+
+# --- batch 218: coarsened-exact-matching ATT --------------------------------------
+
+
+@register(
+    "events_cem_att",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(count_if(event_type = 'click') AS BIGINT) AS score,
+                   CASE WHEN count_if(event_type = 'purchase')
+                             > count_if(event_type = 'error')
+                        THEN 1 ELSE 0 END AS y,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1 ELSE 0 END AS trt
+            FROM events GROUP BY user_id
+        ),
+        bins AS (
+            SELECT least(score, 10) AS bin,
+                   CAST(count_if(trt = 1) AS BIGINT) AS nt,
+                   CAST(sum(CASE WHEN trt = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS at,
+                   CAST(count_if(trt = 0) AS BIGINT) AS nc,
+                   CAST(sum(CASE WHEN trt = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS ac
+            FROM per_user GROUP BY 1
+        ),
+        matched AS (
+            SELECT bin, nt, at, nc, ac,
+                   at * nc - ac * nt AS gap_num,
+                   nt * nc AS gap_den,
+                   CAST(CASE WHEN at * nc - ac * nt < 0
+                             THEN -((10000 * (ac * nt - at * nc))
+                                    // (nt * nc))
+                             ELSE (10000 * (at * nc - ac * nt))
+                                  // (nt * nc) END AS BIGINT) AS gap_fp4
+            FROM bins WHERE nt > 0 AND nc > 0
+        ),
+        att AS (
+            SELECT CAST(sum(nt) AS BIGINT) AS n_matched_treated,
+                   CAST(CASE WHEN sum(nt * gap_fp4) < 0
+                             THEN -((-sum(nt * gap_fp4)) // sum(nt))
+                             ELSE sum(nt * gap_fp4) // sum(nt) END
+                        AS BIGINT) AS att_fp4
+            FROM matched
+        ),
+        pruned AS (
+            SELECT CAST(coalesce(sum(nt + nc), 0) AS BIGINT) AS n_pruned
+            FROM bins WHERE nt = 0 OR nc = 0
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM matched)
+                   AS n_matched_bins,
+               a.n_matched_treated, p.n_pruned, a.att_fp4
+        FROM att a CROSS JOIN pruned p
+    """,
+    tags=("ml", "causal", "matching"),
+)
+def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching estimate of the average treatment
+    effect on the treated: users are matched on their coarsened
+    click-score bin (the calibration-bin coarsening), bins missing
+    either a treated or control member are PRUNED (reported — CEM's
+    honesty feature: it tells you whom you could not match), and the
+    ATT is the treated-weighted mean of per-bin outcome-rate gaps.
+    Completes the causal family's estimator spectrum: DiD (parallel
+    trends), QTE (distributional), ITS (time only), Qini (targeting
+    value), and now matching (selection on observables). The same md5
+    A/B split and label as ml_uplift_qini, so the two estimates are
+    directly comparable. Per-bin gaps use the fuzzed sign-split
+    fixed-point convention; the ATT rollup reapplies it to the
+    weighted sum.
+
+    Scale shape: one groupBy(user) fact shuffle, an 11-bin
+    conditional aggregate, and scalar rollups — nothing beyond the
+    ml-metrics family's single-shuffle contract."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("score"),
+        F.when(
+            F.count_if(F.col("event_type") == "purchase")
+            > F.count_if(F.col("event_type") == "error"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    ).withColumn(
+        "trt",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            1,
+        ).otherwise(0),
+    )
+    bins = pu.groupBy(F.least("score", F.lit(10)).alias("bin")).agg(
+        F.count_if(F.col("trt") == 1).cast("long").alias("nt"),
+        F.sum(F.when(F.col("trt") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("at"),
+        F.count_if(F.col("trt") == 0).cast("long").alias("nc"),
+        F.sum(F.when(F.col("trt") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("ac"),
+    )
+    gap_num = F.col("at") * F.col("nc") - F.col("ac") * F.col("nt")
+    matched = bins.filter((F.col("nt") > 0) & (F.col("nc") > 0)).withColumn(
+        "gap_fp4",
+        F.when(
+            gap_num < 0,
+            -F.expr("(10000 * (ac * nt - at * nc)) div (nt * nc)"),
+        )
+        .otherwise(F.expr("(10000 * (at * nc - ac * nt)) div (nt * nc)"))
+        .cast("long"),
+    )
+    att = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_bins"),
+        F.sum("nt").cast("long").alias("n_matched_treated"),
+        F.when(
+            F.sum(F.col("nt") * F.col("gap_fp4")) < 0,
+            -F.expr("(-sum(nt * gap_fp4)) div sum(nt)"),
+        )
+        .otherwise(F.expr("sum(nt * gap_fp4) div sum(nt)"))
+        .cast("long")
+        .alias("att_fp4"),
+    )
+    pruned = bins.filter((F.col("nt") == 0) | (F.col("nc") == 0)).agg(
+        F.coalesce(F.sum(F.col("nt") + F.col("nc")), F.lit(0))
+        .cast("long")
+        .alias("n_pruned")
+    )
+    return att.crossJoin(F.broadcast(pruned)).select(
+        "n_matched_bins", "n_matched_treated", "n_pruned", "att_fp4"
+    )
