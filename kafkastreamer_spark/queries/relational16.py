@@ -3545,3 +3545,156 @@ def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     return att.crossJoin(F.broadcast(pruned)).select(
         "n_matched_bins", "n_matched_treated", "n_pruned", "att_fp4"
     )
+
+
+# --- batch 219: seasonality / trend strength ------------------------------------
+
+
+@register(
+    "events_seasonal_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        ma AS (
+            SELECT day, c,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN (sum(c) OVER w * 10000) // 7 END AS trend4,
+                   CAST(dayofweek(day) AS BIGINT) AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT day, c, dow, trend4, c * 10000 - trend4 AS det4
+            FROM ma WHERE trend4 IS NOT NULL
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(floor(CAST(sum(det4) AS DOUBLE) / count(det4))
+                        AS BIGINT) AS seasonal4
+            FROM det GROUP BY dow
+        ),
+        comp AS (
+            SELECT CAST(floor(CAST(d.det4 AS DOUBLE) / 10000) AS BIGINT)
+                       AS det0,
+                   CAST(floor(CAST(d.det4 - s.seasonal4 AS DOUBLE) / 10000)
+                        AS BIGINT) AS rem0,
+                   CAST(floor(CAST(d.c * 10000 - s.seasonal4 AS DOUBLE)
+                              / 10000) AS BIGINT) AS deseas0
+            FROM det d JOIN seas s USING (dow)
+        ),
+        ss AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(det0 * det0)
+                        - sum(det0) * sum(det0) AS BIGINT) AS ss_det,
+                   CAST(count(*) * sum(rem0 * rem0)
+                        - sum(rem0) * sum(rem0) AS BIGINT) AS ss_rem,
+                   CAST(count(*) * sum(deseas0 * deseas0)
+                        - sum(deseas0) * sum(deseas0) AS BIGINT) AS ss_deseas
+            FROM comp
+        )
+        SELECT n AS n_days_used, ss_det, ss_rem, ss_deseas,
+               CAST(greatest(0, 10000 - CASE WHEN ss_det = 0 THEN 10000
+                        ELSE (10000 * ss_rem) // ss_det END)
+                    AS BIGINT) AS seasonal_strength_fp4,
+               CAST(greatest(0, 10000 - CASE WHEN ss_deseas = 0 THEN 10000
+                        ELSE (10000 * ss_rem) // ss_deseas END)
+                    AS BIGINT) AS trend_strength_fp4
+        FROM ss
+    """,
+    tags=("timeseries", "statistics", "decomposition"),
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonality/trend STRENGTH of the daily event series:
+    F_seasonal = max(0, 1 − Var(remainder)/Var(detrended)) and
+    F_trend = max(0, 1 − Var(remainder)/Var(deseasonalized)) — the
+    two numbers that SUMMARIZE events_seasonal_decompose's component
+    table (strength ≈ 1: the component explains the series; ≈ 0:
+    noise), used to route series between seasonal and non-seasonal
+    forecasters (lineitem_demand_classification's continuous
+    sibling). Components reuse the decompose pipeline bit-for-bit,
+    are rescaled to count units through the floor-via-double route
+    (negatives floor identically in both engines), and each variance
+    is the exact integer SS = n·Σx² − (Σx)²; the ratios are single
+    floor divisions.
+
+    Scale shape: identical to the decompose query — per-day
+    map-side reduction, calendar-bounded windows, 7-row broadcast
+    seasonal table, one scalar rollup. The count-unit rescale keeps
+    n·Σx² within BIGINT for series up to ~10⁶ days × 10⁸ daily
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "c",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.expr("(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING"
+                   " AND 3 FOLLOWING) * 10000) div 7"),
+        ).alias("trend4"),
+        F.dayofweek("day").cast("long").alias("dow"),
+    )
+    det = ma.filter(F.col("trend4").isNotNull()).select(
+        "day",
+        "c",
+        "dow",
+        (F.col("c") * 10000 - F.col("trend4")).alias("det4"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.floor(F.sum("det4").cast("double") / F.count("det4"))
+        .cast("long")
+        .alias("seasonal4")
+    )
+    comp = det.join(F.broadcast(seas), "dow").select(
+        F.floor(F.col("det4").cast("double") / 10000).cast("long").alias("det0"),
+        F.floor((F.col("det4") - F.col("seasonal4")).cast("double") / 10000)
+        .cast("long")
+        .alias("rem0"),
+        F.floor(
+            (F.col("c") * 10000 - F.col("seasonal4")).cast("double") / 10000
+        )
+        .cast("long")
+        .alias("deseas0"),
+    )
+
+    def ssq(col: str, name: str):
+        return (
+            F.count(F.lit(1)) * F.sum(F.col(col) * F.col(col))
+            - F.sum(col) * F.sum(col)
+        ).cast("long").alias(name)
+
+    ss = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_used"),
+        ssq("det0", "ss_det"),
+        ssq("rem0", "ss_rem"),
+        ssq("deseas0", "ss_deseas"),
+    )
+    return ss.select(
+        "n_days_used",
+        "ss_det",
+        "ss_rem",
+        "ss_deseas",
+        F.greatest(
+            F.lit(0),
+            F.lit(10000)
+            - F.when(F.col("ss_det") == 0, F.lit(10000)).otherwise(
+                F.expr("(10000 * ss_rem) div ss_det")
+            ),
+        )
+        .cast("long")
+        .alias("seasonal_strength_fp4"),
+        F.greatest(
+            F.lit(0),
+            F.lit(10000)
+            - F.when(F.col("ss_deseas") == 0, F.lit(10000)).otherwise(
+                F.expr("(10000 * ss_rem) div ss_deseas")
+            ),
+        )
+        .cast("long")
+        .alias("trend_strength_fp4"),
+    )
