@@ -3698,3 +3698,116 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trend_strength_fp4"),
     )
+
+
+# --- batch 220: source-level n-gram containment matrix ---------------------------
+
+_SRC_NGRAM_N = 5
+
+
+@register(
+    "text_source_ngram_containment",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, doc_id,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT source,
+                   list_transform(
+                       range(1, len(w) - {_SRC_NGRAM_N} + 2),
+                       i -> array_to_string(
+                           w[CAST(i AS BIGINT):CAST(i + {_SRC_NGRAM_N} - 1
+                                                    AS BIGINT)], ' ')
+                   ) AS gs
+            FROM tok WHERE len(w) >= {_SRC_NGRAM_N}
+        ),
+        sh AS MATERIALIZED (
+            SELECT DISTINCT source, unnest(gs) AS g FROM sh0
+        ),
+        vs AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY source
+        ),
+        inter AS (
+            SELECT x.source AS sa, y.source AS sb,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM sh x JOIN sh y
+              ON x.g = y.g AND x.source <> y.source
+            GROUP BY 1, 2
+        )
+        SELECT i.sa AS source_a, i.sb AS source_b,
+               va.n_shingles AS shingles_a, i.n_common,
+               (10000 * i.n_common) // va.n_shingles
+                   AS containment_fp4
+        FROM inter i
+        JOIN vs va ON va.source = i.sa
+        ORDER BY containment_fp4 DESC, source_a, source_b
+        LIMIT 40
+    """,
+    tags=("llm-data", "dedup", "profiling"),
+)
+def text_source_ngram_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source×source {_SRC_NGRAM_N}-gram CONTAINMENT matrix: what
+    fraction of source A's distinct word shingles also appear
+    anywhere in source B — the asymmetric partial-copy signal between
+    ingestion sources (dedup_cross_source_matrix catches whole-
+    document sharing via prefix fingerprints;
+    text_source_vocab_jaccard catches topical overlap at the token
+    level; this sits between — a source that PARAPHRASES another
+    shares n-grams without sharing documents or just vocabulary).
+    Directionality matters: a small source copied INTO a big one
+    shows high containment A→B and low B→A. Top-40 ordered pairs by
+    containment; exact BIGINT counts, one floor division.
+
+    Scale shape: shingling is a map-only explode; the (source,
+    shingle) DISTINCT collapses before the self-join; the pair join
+    is equi-keyed on the shingle with fanout bounded by the source
+    count per shingle — the dedup_ngram_jaccard inverted-index
+    envelope at source (not document) grain, so candidate volume is
+    linear in distinct shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    from kafkastreamer_spark.operators._embed import shingles, tokens
+
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                shingles(tokens(F.col("text")), _SRC_NGRAM_N)
+            ).alias("g"),
+        )
+        .distinct()
+        .persist()  # per-source sizes + the pair self-join
+    )
+    vs = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    right = sh.select(F.col("source").alias("sb"), F.col("g").alias("g2"))
+    inter = (
+        sh.join(
+            right,
+            (F.col("g") == F.col("g2")) & (F.col("source") != F.col("sb")),
+        )
+        .groupBy(F.col("source").alias("sa"), "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    va = vs.select(
+        F.col("source").alias("va_s"), F.col("n_shingles").alias("shingles_a")
+    )
+    return (
+        inter.join(F.broadcast(va), F.col("va_s") == F.col("sa"))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "shingles_a",
+            "n_common",
+            F.expr("(10000 * n_common) div shingles_a").alias(
+                "containment_fp4"
+            ),
+        )
+        .orderBy(F.col("containment_fp4").desc(), "source_a", "source_b")
+        .limit(40)
+    )
