@@ -290,8 +290,15 @@ def test_sign_split_fixed_point_matches_duckdb(spark, pairs):
                         ELSE num // den END AS q,
                    CASE WHEN num < 0 THEN -((-num) % den)
                         ELSE num % den END AS m
-            FROM (VALUES {vals}) AS t(num, den)
+            FROM (SELECT CAST(num AS BIGINT) AS num,
+                         CAST(den AS BIGINT) AS den
+                  FROM (VALUES {vals}) AS t(num, den))
             """
+            # DuckDB types bare integer literals INT32, so 10000*num
+            # overflows without the cast — found by hypothesis. Real
+            # oracles are immune: every compared column is CAST AS
+            # BIGINT at its aggregate, which is exactly the discipline
+            # this cast mirrors.
         ).fetchall()
     )
     assert got == want
