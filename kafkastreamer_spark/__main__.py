@@ -61,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
                 spec = from_dict(json.load(fh))
         else:
             spec = parse_topology_xml(args.topology)
-    except TopologyError as exc:
+    except (TopologyError, ValueError, OSError) as exc:
+        # ValueError covers json.JSONDecodeError (malformed JSON, or an
+        # XML file passed with --mode dag); OSError covers a missing/
+        # unreadable file — all land on the clean exit-2 path.
         print(f"error: invalid topology: {exc}", file=sys.stderr)
         return 2
 

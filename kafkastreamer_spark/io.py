@@ -257,3 +257,20 @@ def write_audit_publish(
         os.rename(staging, publish_path)
         report["published"] = True
     return report
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on whatever filesystem backs it
+    (local, HDFS, object store) — resolved through the Hadoop
+    FileSystem API so URI schemes work the same on a cluster as on
+    local[n]. Sinks that incrementally maintain a persisted table
+    (SCD2 upsert, sketch merge) use this to distinguish "first batch,
+    nothing persisted yet" from a transient read failure: swallowing
+    the latter under a bare except would silently re-initialize the
+    table and discard all prior state."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return bool(fs.exists(p))

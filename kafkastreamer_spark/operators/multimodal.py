@@ -327,7 +327,8 @@ def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
             n = int(arr.size)
             if n == 0:
-                rows.append((doc_id, 0, 0, 0, 0))
+                # Empty payload ⇒ document absent from the output, matching
+                # the oracle (unnest over a 0-length range yields no rows).
                 continue
             sq = arr * arr
             idx = np.arange(0, n, _FRAME)
@@ -683,7 +684,8 @@ def _shot_boundary_batches(
             )
             n = int(arr.size)
             if n == 0:
-                rows.append((doc_id, 0, 0, 0, None))
+                # Empty payload ⇒ document absent from the output, matching
+                # the oracle (unnest over a 0-length range yields no rows).
                 continue
             idx = np.arange(0, n, _SHOT_FRAME)
             sums = np.add.reduceat(arr, idx)

@@ -301,9 +301,13 @@ def merge_upsert_sink(
         changes = batch_df.groupBy(key_col).agg(
             F.sum(delta_col).alias("_delta")
         )
-        try:
+        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
+
+        # Existence probe, not a catch-all: a transient read error must
+        # fail (and retry) the batch rather than reset the totals.
+        if table_exists(spark, base_dir):
             base = spark.read.parquet(base_dir).select(key_col, "total")
-        except Exception:
+        else:
             base = changes.select(
                 key_col, F.lit(None).cast("long").alias("total")
             ).limit(0)
@@ -387,12 +391,17 @@ def upsert_parquet_sink(
         if not affected:
             return
         data_cols = [c for c in batch.columns]  # includes _bkt
-        try:
+        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
+
+        # Existence probe, not a catch-all: a transient read error must
+        # fail (and retry) the batch — swallowing it would dynamic-
+        # overwrite the affected buckets with only this batch's rows.
+        if table_exists(spark, table_dir):
             current = spark.read.parquet(table_dir).filter(
                 F.col("_bkt").isin(affected)
             )
             merged = current.select(*data_cols).unionByName(batch.select(*data_cols))
-        except Exception:  # first batch: table doesn't exist yet
+        else:  # first batch: table doesn't exist yet
             merged = batch.select(*data_cols)
         from pyspark.sql import Window  # noqa: PLC0415
 
@@ -471,14 +480,21 @@ def scd2_upsert_sink(
         affected = [r["_bkt"] for r in changes.select("_bkt").distinct().collect()]
         if not affected:
             return
-        try:
+        # Explicit existence probe — NOT a bare except around the read:
+        # a transient IO error / corrupt footer must propagate and fail
+        # the batch (checkpoint retries it), never masquerade as "first
+        # batch" and dynamic-overwrite buckets with only the current
+        # batch's changes (silent history loss).
+        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
+
+        if table_exists(spark, table_dir):
             existing = (
                 spark.read.parquet(table_dir)
                 .filter(F.col("_bkt").isin(affected))
                 .select("k", "v", "valid_from", "_bkt")
             )
             events = existing.unionByName(changes)
-        except Exception:  # first batch
+        else:  # first batch
             events = changes
         events = events.dropDuplicates(["k", "valid_from", "v"])
         from pyspark.sql import Window  # noqa: PLC0415

@@ -62,9 +62,13 @@ def cms_merge_sink(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_cells = cms_cells(batch_df, key_col)
-        try:
+        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
+
+        # Existence probe, not a catch-all: a transient read error must
+        # fail (and retry) the batch, never zero out the persisted cells.
+        if table_exists(spark, base_dir):
             base = spark.read.parquet(base_dir).select("d", "bucket", "cell")
-        except Exception:
+        else:
             base = batch_cells.limit(0)
         merged = (
             base.alias("b")
@@ -269,7 +273,7 @@ def running_zscore_stateful(
     integers (fixed-point values ≤ ~10⁵ ⇒ Σv₄² safe past 10⁸ events
     per key), so replaying micro-batches or re-partitioning the
     stream reproduces identical flags. The comparison is cross-
-    multiplied — (100·|v₄·n − Σv₄|)² vs z²·n·(n·Σv₄² − Σv₄²) — so no
+    multiplied — (100·|v₄·n − Σv₄|)² vs z₁₀₀²·(n·Σv₄² − (Σv₄)²) — so no
     square root or division ever runs; everything is int arithmetic
     (python ints, overflow-free).
 
@@ -291,10 +295,12 @@ def running_zscore_stateful(
                 v4 = int(v * 10000 // 1)  # floor, matches F.floor(v*1e4)
                 flagged = False
                 if n >= min_history:
-                    # |v - mean| > z * stddev  <=>
-                    # (100*|v4*n - s1|)^2 > z100^2 * n * (n*s2 - s1^2)
+                    # |v - mean| > z * stddev with mean = s1/(n*1e4) and
+                    # sigma^2 = (n*s2 - s1^2)/(n^2*1e8); multiplying both
+                    # sides of the squared inequality by n^2*1e8 gives
+                    # (100*|v4*n - s1|)^2 > z100^2 * (n*s2 - s1^2)
                     lhs = (100 * abs(v4 * n - s1)) ** 2
-                    rhs = z_threshold_x100**2 * n * (n * s2 - s1 * s1)
+                    rhs = z_threshold_x100**2 * (n * s2 - s1 * s1)
                     flagged = lhs > rhs
                 ids.append(int(eid))
                 flags.append(flagged)
@@ -339,11 +345,16 @@ def kll_merge_sink(
         batch_sk = batch_df.agg(
             F.kll_sketch_agg_double(value_col).alias("sk")
         )
-        try:
+        # Existence probe instead of a catch-all: a transient read
+        # failure must fail the batch (retried from the checkpoint),
+        # not silently reset the persisted sketch to this batch only.
+        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
+
+        if table_exists(spark, base_dir):
             base = spark.read.parquet(base_dir).select("sk")
             both = base.unionByName(batch_sk)
             merged = both.agg(F.kll_merge_agg_double("sk").alias("sk"))
-        except Exception:
+        else:
             merged = batch_sk
         tmp = base_dir + f".tmp{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)

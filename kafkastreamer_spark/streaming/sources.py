@@ -262,7 +262,16 @@ def register_keyval_text_sink(spark: SparkSession) -> None:
         n = 0
         with open(os.path.join(path, name), "w") as f:
             for row in it:
-                f.write(f"{row['key']}={row['value']}\n")
+                k, v = str(row["key"]), str(row["value"])
+                # Wire-format contract (enforced, not silently corrupted):
+                # the reader splits each line at its FIRST '=', so '=' is
+                # legal in values but not keys; newlines are the record
+                # separator so legal in neither.
+                if "=" in k:
+                    raise ValueError(f"keyval_text: '=' not allowed in key: {k!r}")
+                if "\n" in k or "\r" in k or "\n" in v or "\r" in v:
+                    raise ValueError("keyval_text: newline not allowed in key/value")
+                f.write(f"{k}={v}\n")
                 n += 1
         return _Msg(name, n)
 
@@ -333,7 +342,9 @@ def read_keyval_text(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         return spark.createDataFrame([], "key string, value string")
     df = spark.read.text(files)
+    # Split at the FIRST '=' only: keys may not contain '=' (writer
+    # enforces), values may — 'k=a=b' must round-trip as ('k', 'a=b').
     return df.select(
         F.split_part("value", F.lit("="), F.lit(1)).alias("key"),
-        F.split_part("value", F.lit("="), F.lit(2)).alias("value"),
+        F.expr("substring(value, instr(value, '=') + 1)").alias("value"),
     )

@@ -45,3 +45,16 @@ def test_invalid_dag_exits_2(tmp_path):
         ],
     }))
     assert main(["--topology", str(topo), "--mode", "dag"]) == 2
+
+def test_malformed_json_exits_2(tmp_path):
+    """Malformed JSON (or an XML file passed with --mode dag) must hit
+    the clean exit-2 path, not an uncaught JSONDecodeError."""
+    topo = tmp_path / "broken.json"
+    topo.write_text("{not json")
+    assert main(["--topology", str(topo), "--mode", "dag"]) == 2
+
+    xml = tmp_path / "topo.xml"
+    xml.write_text("<topology><streamID>x</streamID></topology>")
+    assert main(["--topology", str(xml), "--mode", "dag"]) == 2
+
+    assert main(["--topology", str(tmp_path / "absent.json"), "--mode", "dag"]) == 2

@@ -78,3 +78,28 @@ def test_streaming_write_manifest_per_batch(sink, tmp_path):
     assert len(manifests) == 2  # one per micro-batch
     back = read_keyval_text(sink, out)
     assert sorted(int(r["value"]) for r in back.collect()) == list(range(80))
+
+def test_equals_in_value_round_trips(sink, tmp_path):
+    """'k=a=b' must read back as ('k', 'a=b') — the reader splits at
+    the FIRST '=' only (ADVICE r4: split_part(...,2) truncated it)."""
+    out = str(tmp_path / "kveq")
+    df = sink.createDataFrame(
+        [("k1", "a=b"), ("k2", "x==y=z"), ("k3", "plain")],
+        "key string, value string",
+    )
+    df.write.format("keyval_text").mode("append").option("path", out).save()
+    back = {r["key"]: r["value"] for r in read_keyval_text(sink, out).collect()}
+    assert back == {"k1": "a=b", "k2": "x==y=z", "k3": "plain"}
+
+
+def test_wire_format_violations_rejected(sink, tmp_path):
+    """'=' in a key or newline anywhere breaks the line format — the
+    writer must fail the job, not silently corrupt the round-trip."""
+    for rows in ([("a=b", "v")], [("k", "line1\nline2")], [("k\r", "v")]):
+        out = str(tmp_path / f"kvbad{abs(hash(str(rows)))}")
+        df = sink.createDataFrame(rows, "key string, value string")
+        with pytest.raises(Exception, match="keyval_text"):
+            df.write.format("keyval_text").mode("append").option(
+                "path", out
+            ).save()
+        assert not os.path.exists(os.path.join(out, "_MANIFEST"))

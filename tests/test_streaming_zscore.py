@@ -13,7 +13,13 @@ from kafkastreamer_spark.tables import load_table
 
 def _reference_flags(rows, z100=300, min_history=5):
     """Pure-python replay of the contract: per key in (ts, id) order,
-    flag each value against prior history, then update sums."""
+    flag each value against prior history, then update sums. The
+    condition is derived INDEPENDENTLY of the implementation's
+    cross-multiplied integers: exact Fractions straight from the
+    definition |v - mean| > z * sigma (population sigma), so a
+    re-derivation bug in the engine's algebra cannot hide here."""
+    from fractions import Fraction
+
     state: dict = {}
     flags = {}
     for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
@@ -21,9 +27,11 @@ def _reference_flags(rows, z100=300, min_history=5):
         v4 = int(r["value"] * 10000 // 1)
         flagged = False
         if n >= min_history:
-            lhs = (100 * abs(v4 * n - s1)) ** 2
-            rhs = z100**2 * n * (n * s2 - s1 * s1)
-            flagged = lhs > rhs
+            mean = Fraction(s1, n * 10**4)
+            sigma2 = Fraction(s2, n * 10**8) - mean * mean
+            dev = Fraction(v4, 10**4) - mean
+            z = Fraction(z100, 100)
+            flagged = dev * dev > z * z * sigma2
         flags[r["event_id"]] = flagged
         state[r["user_id"]] = (n + 1, s1 + v4, s2 + v4 * v4)
     return flags
