@@ -135,6 +135,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "methodology": "steady_state_second_of_two_runs",
+                # Environment telemetry (round-4 postmortem: a loaded
+                # driver box inflated every frozen query 1.1-2.3x and
+                # cost a round of signal — these fields let a reader
+                # tell machine load from a code regression).
+                "env": {
+                    "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+                    "cpu_count": os.cpu_count(),
+                    "affinity_cpus": len(os.sched_getaffinity(0)),
+                },
             }
         )
     )

@@ -127,10 +127,13 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality floor being the number that tells you whether the
     budget or the corpus is the binding constraint.
 
-    Scale shape: scoring is map-only; the global quality rank is the
-    honest serial step (range-partitioned rank at scale, as
-    corpus_shard_assignment documents), and the budget cutoff is the
-    same running-sum frontier as the interval sweep."""
+    Scale shape: scoring is map-only; the global running token total
+    over (q DESC, doc_id) uses the skew-free two-level bucketed
+    cumsum of ``operators/deskew.bucketed_running_agg`` — the quality
+    score is a tiny-domain leading bucket and doc_id ranges split its
+    ties, so the heaviest sort task holds one (q, id-range) slice,
+    never the corpus (round 5: the mechanized plan lint flagged the
+    previous whole-table running-sum window as base_table)."""
     d = widen(load_table(spark, sf_dir, "documents"))
     w = F.col("w")
     nc = F.length("text")
@@ -158,12 +161,19 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("q"),
     )
-    wrun = Window.orderBy(F.desc("q"), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from kafkastreamer_spark.operators.deskew import (  # noqa: PLC0415
+        bucketed_running_agg,
     )
-    ordered = scored.select(
-        "doc_id", "n_tok", "q", F.sum("n_tok").over(wrun).alias("cum_tok")
-    )
+
+    ordered = bucketed_running_agg(
+        scored,
+        [],
+        [(F.col("q"), True), (F.floor(F.col("doc_id") / 1024).cast("long"), False)],
+        [F.asc("doc_id")],
+        "n_tok",
+        "cum_tok",
+        op="sum",
+    ).select("doc_id", "n_tok", "q", "cum_tok")
     kept = ordered.filter(F.col("cum_tok") <= TOKEN_BUDGET)
     return kept.agg(
         F.count(F.lit(1)).alias("n_selected"),

@@ -150,3 +150,82 @@ def md5_ranked(
         rank_name,
         count_name=count_name,
     )
+
+
+def bucketed_running_agg(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    buckets: Sequence[tuple[Column, bool]],
+    local_order: Sequence[Column],
+    value_col: Column | str,
+    out_name: str,
+    *,
+    op: str = "sum",
+) -> DataFrame:
+    """Exact equivalent of::
+
+        <op>(value) OVER (PARTITION BY part_cols
+                          ORDER BY <bucket keys>, *local_order
+                          ROWS UNBOUNDED PRECEDING .. CURRENT ROW)
+
+    for an associative ``op`` ('sum' or 'max') — the running-aggregate
+    sibling of ``bucketed_row_number``, without the single-task
+    whole-group sort. ``buckets`` is a list of ``(expr, desc)`` pairs
+    that must be an order-consistent PREFIX of the intended sort key
+    (rows equal on all bucket exprs are ordered by ``local_order``);
+    multiple levels let a tiny-domain leading key (quality score) pair
+    with a range bucket on the tie-break (doc_id // W).
+
+    Phase 1 aggregates ``op(value)`` per (group, buckets) map-side;
+    phase 2 turns the tiny per-bucket table into EXCLUSIVE prefix
+    offsets with a window over |groups|x|buckets| rows; phase 3 joins
+    the offsets back (null-safe, AQE-broadcast when small) and adds a
+    per-bucket local running aggregate. ``value_col`` must be
+    non-null (aggregate before calling if it isn't).
+    """
+    part_cols = list(part_cols)
+    aggf = {"sum": F.sum, "max": F.max}[op]
+    bcols = [f"{_BKT}{i}" for i in range(len(buckets))]
+    t = df
+    for name, (expr, _desc) in zip(bcols, buckets):
+        t = t.withColumn(name, expr)
+
+    totals = t.groupBy(*part_cols, *bcols).agg(aggf(value_col).alias(_BC))
+    order = [
+        (F.col(n).desc() if desc else F.col(n).asc())
+        for n, (_e, desc) in zip(bcols, buckets)
+    ]
+    woff = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(_OFF, aggf(_BC).over(woff))  # null in 1st bucket
+
+    join_keys = part_cols + bcols
+    right = offs.select(*join_keys, _OFF)
+    for c in join_keys:
+        right = right.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in join_keys:
+        e = t[c].eqNullSafe(right[f"_r_{c}"])
+        cond = e if cond is None else cond & e
+
+    wloc = (
+        Window.partitionBy(*part_cols, *bcols)
+        .orderBy(*local_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = aggf(value_col).over(wloc)
+    if op == "sum":
+        combined = F.coalesce(F.col(_OFF), F.lit(0)) + local
+    else:  # max
+        combined = F.when(F.col(_OFF).isNull(), local).otherwise(
+            F.greatest(F.col(_OFF), local)
+        )
+    return (
+        t.join(right, on=cond)
+        .drop(*[f"_r_{c}" for c in join_keys])
+        .withColumn(out_name, combined)
+        .drop(_OFF, *bcols)
+    )

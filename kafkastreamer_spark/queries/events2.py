@@ -467,18 +467,27 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     A profile that says p99.9 lateness is 8 minutes justifies a
     10-minute watermark and bounds state size accordingly.
 
-    Scale shape: the running max is an unpartitioned ordered window —
-    acceptable here because lateness profiling is a sampled/windowed
-    diagnostic by nature; the production variant runs per kafka
-    partition (partitionBy on the source split, same plan otherwise),
-    since watermarks advance per-partition anyway."""
+    Scale shape: the running max uses the skew-free bucketed prefix
+    aggregate of ``operators/deskew.bucketed_running_agg`` (event_id
+    range buckets; per-bucket maxima prefix-combined over the tiny
+    bucket table) — bit-identical to the whole-table ordered window
+    the round-5 mechanized plan lint banned; the production variant
+    additionally partitions by the kafka source split, since
+    watermarks advance per-partition anyway."""
+    from kafkastreamer_spark.operators.deskew import (  # noqa: PLC0415
+        bucketed_running_agg,
+    )
+
     ev = _events(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    late = ev.select(
-        (epoch_us(F.max("ts").over(w)) - epoch_us("ts")).alias("late_us")
-    )
+    late = bucketed_running_agg(
+        ev.select("event_id", "ts"),
+        [],
+        [(F.floor(F.col("event_id") / 4096).cast("long"), False)],
+        [F.asc("event_id")],
+        "ts",
+        "max_seen",
+        op="max",
+    ).select((epoch_us("max_seen") - epoch_us("ts")).alias("late_us"))
     bucket = (
         F.when(F.col("late_us") == 0, "0_on_time")
         .when(F.col("late_us") < 60_000_000, "1_lt_1m")
@@ -921,22 +930,40 @@ def events_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     short gaps = sporadic producer loss).
 
     Scale shape: the headline n_missing is a min/max/count scan
-    aggregate — O(1) state, no shuffle; the gap census pays one
-    global sort and at 100 TB runs per partition-key range instead
-    (same plan partitioned by the source split)."""
+    aggregate — O(1) state, no shuffle; the gap census is computed
+    skew-free (round 5): LEAD runs per event_id-range bucket (each
+    sort task holds one 4096-id slice), and the cross-bucket boundary
+    gaps come from a window over the tiny per-bucket (min, max) table
+    — next bucket's min vs this bucket's max. The union of local and
+    boundary gaps is exactly the global consecutive-pair census, so
+    the result is bit-identical to the whole-table LEAD the
+    mechanized plan lint banned."""
     ev = _events(spark, sf_dir)
     bounds = ev.agg(
         F.min("event_id").alias("lo"),
         F.max("event_id").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
-    w = Window.orderBy("event_id")
-    gaps = ev.select(
-        (F.lead("event_id").over(w) - F.col("event_id") - 1).alias("gap_len")
+    ids = ev.select(
+        "event_id", F.floor(F.col("event_id") / 4096).cast("long").alias("_b")
     )
+    wl = Window.partitionBy("_b").orderBy("event_id")
+    local_gaps = ids.select(
+        (F.lead("event_id").over(wl) - F.col("event_id") - 1).alias("gap_len")
+    ).filter(F.col("gap_len").isNotNull())
+    per_bucket = ids.groupBy("_b").agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    )
+    wb = Window.orderBy("_b")
+    boundary_gaps = per_bucket.select(
+        (F.lead("mn").over(wb) - F.col("mx") - 1).alias("gap_len")
+    ).filter(F.col("gap_len").isNotNull())
+    gaps = local_gaps.unionByName(boundary_gaps)
     gap_stats = gaps.agg(
         F.count_if(F.col("gap_len") > 0).alias("n_gaps"),
-        F.coalesce(F.max("gap_len"), F.lit(0)).cast("long").alias("max_gap_len"),
+        F.coalesce(F.max(F.when(F.col("gap_len") > 0, F.col("gap_len"))), F.lit(0))
+        .cast("long")
+        .alias("max_gap_len"),
     )
     return (
         gap_stats.crossJoin(F.broadcast(bounds))

@@ -112,19 +112,31 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbalanced shards become stragglers.  Output is the per-shard
     balance report.
 
-    Scale shape: the global size rank is the one genuinely serial
-    step (a total order); at 100 TB you'd replace row_number with a
-    rangepartitioned rank (df.repartitionByRange + per-partition
-    offset) — semantics identical, and the histogram-building
-    per-shard rollup shape is unchanged.  Documented here as the
-    honest cost of exact LPT balance vs hash sharding."""
+    Scale shape: the global size rank is computed skew-free with the
+    two-phase bucketed cumsum of ``operators/deskew`` (size-range
+    buckets are a monotone prefix of the (n_tok DESC, doc_id) sort
+    key, so the rank is bit-identical to the single-window
+    formulation) — round 5 removed the one-task whole-corpus sort the
+    round-4 audit had carried as prose; the mechanized plan lint now
+    bans that shape outright."""
+    from kafkastreamer_spark.operators.deskew import (  # noqa: PLC0415
+        bucketed_row_number,
+    )
+
     d = widen(load_table(spark, sf_dir, "documents"))
     sized = d.select("doc_id", F.size(tokens("text")).alias("n_tok"))
-    w = Window.orderBy(F.desc("n_tok"), "doc_id")
-    assigned = sized.select(
+    ranked = bucketed_row_number(
+        sized,
+        [],
+        F.floor(F.col("n_tok") / 16).cast("long"),
+        [F.desc("n_tok"), F.asc("doc_id")],
+        "_rn",
+        bucket_desc=True,
+    )
+    assigned = ranked.select(
         "doc_id",
         "n_tok",
-        ((F.row_number().over(w) - 1) % N_SHARDS).cast("long").alias("shard"),
+        ((F.col("_rn") - 1) % N_SHARDS).cast("long").alias("shard"),
     )
     return (
         assigned.groupBy("shard")
@@ -716,9 +728,15 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort over (position, checksum) structs — deterministic
     regardless of partitioning.
 
-    Scale shape: one global size rank (same honest serial step as
-    the shard assigner), one shard-partitioned layout sort, and an
-    8-group rollup; checksums are map-side."""
+    Scale shape: the global size rank uses the skew-free bucketed
+    cumsum of ``operators/deskew`` (bit-identical to the window
+    formulation — round 5 removed the one-task whole-corpus sort);
+    then one shard-partitioned layout sort and an 8-group rollup;
+    checksums are map-side."""
+    from kafkastreamer_spark.operators.deskew import (  # noqa: PLC0415
+        bucketed_row_number,
+    )
+
     d = widen(load_table(spark, sf_dir, "documents"))
     sized = d.select(
         "doc_id",
@@ -726,12 +744,19 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("checksum"),
         F.size(tokens(F.col("text"))).alias("n_tok"),
     )
-    wrank = Window.orderBy(F.desc("n_tok"), "doc_id")
-    assigned = sized.select(
+    ranked = bucketed_row_number(
+        sized,
+        [],
+        F.floor(F.col("n_tok") / 16).cast("long"),
+        [F.desc("n_tok"), F.asc("doc_id")],
+        "_rn",
+        bucket_desc=True,
+    )
+    assigned = ranked.select(
         "doc_id",
         "n_chars",
         "checksum",
-        ((F.row_number().over(wrank) - 1) % N_SHARDS).cast("long").alias("shard"),
+        ((F.col("_rn") - 1) % N_SHARDS).cast("long").alias("shard"),
     )
     wpos = Window.partitionBy("shard").orderBy("doc_id")
     placed = assigned.select(

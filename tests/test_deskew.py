@@ -142,3 +142,80 @@ def test_quality_quantile_plan_partitions_by_length(spark, sf_dir):
     assert not _BAD_LEN_WINDOW.search(plan), (
         "sample_quality_quantile: full-group n_chars sort window still present"
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed_running_agg: exact parity with the single-window formulation
+# ---------------------------------------------------------------------------
+
+
+def test_running_sum_parity_two_level_buckets(spark, sf_dir):
+    """Global running SUM over (q DESC, id ASC) with a tiny-domain
+    leading bucket + range tie-break bucket — the shape
+    corpus_token_budget_select uses — must equal the whole-table
+    ordered window bit for bit."""
+    from pyspark.sql import Window
+
+    from kafkastreamer_spark.operators.deskew import bucketed_running_agg
+    from kafkastreamer_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 5).cast("long").alias("q"),
+        (F.col("o_orderkey") % 97).cast("long").alias("v"),
+    )
+    w = Window.orderBy(F.desc("q"), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in o.select("id", F.sum("v").over(w).alias("cum")).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in bucketed_running_agg(
+            o,
+            [],
+            [(F.col("q"), True), (F.floor(F.col("id") / 64).cast("long"), False)],
+            [F.asc("id")],
+            "v",
+            "cum",
+            op="sum",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_max_parity_and_grouped(spark, sf_dir):
+    """Running MAX per group (and globally) equals the window form —
+    the events_lateness_profile shape."""
+    from pyspark.sql import Window
+
+    from kafkastreamer_spark.operators.deskew import bucketed_running_agg
+    from kafkastreamer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["event_id"]: r["mx"]
+        for r in ev.select(
+            "event_id", F.max("ts").over(w).alias("mx")
+        ).collect()
+    }
+    got = {
+        r["event_id"]: r["mx"]
+        for r in bucketed_running_agg(
+            ev,
+            ["user_id"],
+            [(F.floor(F.col("event_id") / 256).cast("long"), False)],
+            [F.asc("event_id")],
+            "ts",
+            "mx",
+            op="max",
+        ).collect()
+    }
+    assert got == want

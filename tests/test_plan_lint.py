@@ -12,6 +12,13 @@ Two patterns are banned outright:
   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas / UDTF with
   useArrow) — a BatchEvalPython anywhere means someone added a plain
   @udf to a hot path.
+* ``Exchange SinglePartition`` **over a base-table scan** — the
+  one-task whole-table sort/merge that works at sf0.01 and falls over
+  at 100 TB. Every single-partition exchange in every plan is
+  CLASSIFIED (kafkastreamer_spark/plans/audit.py) as scalar_aggregate
+  / post_aggregation / literal_local / base_table, and base_table
+  must be empty — the round-4 verdict's "123 benign 1-part exchanges"
+  prose claim, made executable.
 
 Plans are built (analysis + physical planning), not executed, so the
 whole registry lints in well under a minute.
@@ -21,6 +28,7 @@ from __future__ import annotations
 
 import pytest
 
+from kafkastreamer_spark.plans.audit import classify_single_partition_exchanges
 from kafkastreamer_spark.registry import REGISTRY, _ensure_loaded
 
 _ensure_loaded()
@@ -33,9 +41,15 @@ def _physical(df) -> str:
 
 @pytest.mark.parametrize("name", ALL)
 def test_no_cartesian_or_row_python(spark, sf_dir, name):
-    plan = _physical(REGISTRY[name].fn(spark, sf_dir))
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = _physical(df)
     assert "CartesianProduct" not in plan, f"{name}: non-broadcast all-pairs join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    labels = classify_single_partition_exchanges(df)
+    assert "base_table" not in labels, (
+        f"{name}: Exchange SinglePartition over a base-table scan "
+        f"(one task holds the whole table at scale): {labels}"
+    )
 
 
 def test_bench_headline_queries_all_registered():
@@ -46,3 +60,36 @@ def test_bench_headline_queries_all_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_single_partition_classifier_canary(spark, sf_dir):
+    """The classifier must actually SEE exchanges (a traversal
+    regression — e.g. AQE hiding the tree — would otherwise make the
+    base_table ban vacuously green) and must label a deliberate
+    whole-table one-task window as base_table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafkastreamer_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    bad = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("b"),
+    )
+    assert classify_single_partition_exchanges(bad) == ["base_table"]
+
+    scalar = o.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        o.agg(F.sum("o_orderkey").alias("s"))
+    )
+    assert "scalar_aggregate" in classify_single_partition_exchanges(scalar) or (
+        classify_single_partition_exchanges(scalar) == []
+    )
+
+    daily = o.groupBy("o_orderdate").count()
+    w = Window.orderBy("o_orderdate")
+    series = daily.select("o_orderdate", F.lag("count").over(w).alias("prev"))
+    labels = classify_single_partition_exchanges(series)
+    assert labels and set(labels) <= {"post_aggregation", "scalar_aggregate"}
