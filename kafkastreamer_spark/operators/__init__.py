@@ -6,6 +6,7 @@ Importing this package registers the operator queries."""
 from kafkastreamer_spark.operators import (  # noqa: F401
     corpus,
     dedup,
+    dedup_para,
     dedup_span,
     quality,
     sampling,
