@@ -21,5 +21,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational14,
     relational15,
     relational16,
+    relational17,
 )
 from kafkastreamer_spark import operators  # noqa: F401
