@@ -45,7 +45,8 @@ flat as the corpus scales 1000x.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from kafkastreamer_spark.registry import register
 from kafkastreamer_spark.sql import run_sql
@@ -213,3 +214,519 @@ def sql_text_recursive_bom_closure(spark: SparkSession, sf_dir: str) -> DataFram
     the final per-root aggregate.
     """
     return run_sql(spark, sf_dir, _RECURSIVE_BOM_CLOSURE)
+
+
+# ---------------------------------------------------------------------------
+# Batch 223: time-series similarity search over behavioral series
+# (PAPERS.md: "Time Series Similarity Search for Streaming Data in
+# Distributed Systems", EDBT 2019; "REPOSE: Distributed Top-k
+# Trajectory Similarity Search", ICDE 2021 — the blocking-tree idea
+# appears here as SAX-word blocking).
+#
+# Series model: each user's zero-filled daily event-count vector over
+# the global 30-day domain, kept SPARSE (only active days stored) —
+# zero days contribute nothing to any co-moment, so Pearson over the
+# dense vectors is computed exactly from sparse rows:
+#   r = (nd*Sxy - Sx*Sy) / sqrt((nd*Sxx - Sx^2) * (nd*Syy - Sy^2))
+# with every S* an exact BIGINT and nd the global day count. The only
+# doubles are one division and one sqrt on integer-derived operands,
+# expression-mirrored between engines (same discipline as
+# similarity_topk_bruteforce's cosine and the covar_corr co-moments).
+# ---------------------------------------------------------------------------
+
+from kafkastreamer_spark.queries._util import epoch_us
+from kafkastreamer_spark.tables import load_table
+
+TS_SEED_USERS = 3  # user_id < 3: fixed seed set, SF-invariant
+TS_TOP_K = 5
+TS_PAIR_R_MIN = 0.30  # blocked-pair acceptance threshold
+TS_SEG_DAYS = 10  # SAX segment length (3 segments over the 30-day domain)
+
+# Shared SQL fragments (DuckDB oracle side; epoch_us is native there).
+_SQL_DAILY = """
+    daily AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                          / 86400000000.0) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+"""
+_SQL_DOM = """
+    dom AS (
+        SELECT CAST(count(DISTINCT d) AS BIGINT) AS nd,
+               min(d) AS dmin, max(d) AS dmax
+        FROM daily
+    )
+"""
+_SQL_MOMENTS = """
+    m AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS sx,
+               CAST(sum(c * c) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-user daily count series (only active days stored)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(
+        epoch_us(F.to_date("ts").cast("timestamp")) / 86400000000.0
+    ).cast("long")
+    return ev.groupBy("user_id", d.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def _dom(daily: DataFrame) -> DataFrame:
+    return daily.agg(
+        F.countDistinct("d").cast("long").alias("nd"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+    )
+
+
+def _moments(daily: DataFrame) -> DataFrame:
+    return daily.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+
+
+def _pearson(nd, sxy, sx_a, sxx_a, sx_b, sxx_b):
+    """Expression-mirrored Pearson from exact integer co-moments —
+    num/den order matches the oracle text token for token so the
+    doubles are bit-identical across engines."""
+    num = nd * sxy - sx_a * sx_b
+    dx = nd * sxx_a - sx_a * sx_a
+    dy = nd * sxx_b - sx_b * sx_b
+    return num / F.sqrt((dx * dy).cast("double")), dx, dy
+
+
+@register(
+    "ts_similarity_search_seed",
+    oracle=f"""
+        WITH {_SQL_DAILY}, {_SQL_DOM}, {_SQL_MOMENTS},
+        xy AS (
+            SELECT a.user_id AS seed_id, b.user_id AS neighbor_id,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+            FROM daily a JOIN daily b
+              ON a.d = b.d AND a.user_id < {TS_SEED_USERS}
+             AND b.user_id != a.user_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT seed_id, neighbor_id,
+                   (nd * sxy - ma.sx * mb.sx)
+                   / sqrt(CAST((nd * ma.sxx - ma.sx * ma.sx)
+                               * (nd * mb.sxx - mb.sx * mb.sx) AS DOUBLE)) AS r
+            FROM xy
+            JOIN m ma ON ma.user_id = seed_id
+            JOIN m mb ON mb.user_id = neighbor_id
+            CROSS JOIN dom
+            WHERE (nd * ma.sxx - ma.sx * ma.sx) > 0
+              AND (nd * mb.sxx - mb.sx * mb.sx) > 0
+        ),
+        ranked AS (
+            SELECT seed_id, neighbor_id,
+                   CAST(FLOOR(r * 10000) AS BIGINT) AS r4,
+                   ROW_NUMBER() OVER (PARTITION BY seed_id
+                                      ORDER BY r DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT seed_id, neighbor_id, r4, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {TS_TOP_K}
+        ORDER BY seed_id, rank
+    """,
+    tags=("llm-data", "timeseries", "similarity"),
+)
+def ts_similarity_search_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k time-series similarity search: for each seed user,
+    the TS_TOP_K users whose daily-activity series correlates highest
+    (Pearson over the zero-filled 30-day domain, computed exactly from
+    the sparse rows — zero days drop out of every co-moment).
+
+    The behavioral analog of similarity_topk_bruteforce: seed side is
+    tiny and broadcasts; the Sxy join is keyed on the day column, so
+    candidates are (seed x active-day) — linear in corpus size with a
+    fixed seed set. Constant-series users (zero variance) are excluded
+    in both engines; pairs sharing no active day never materialize a
+    co-moment row on either engine (documented: at ~90% daily activity
+    every real pair shares days).
+    """
+    daily = _daily(spark, sf_dir)
+    dom = _dom(daily)
+    m = _moments(daily)
+    a = daily.filter(F.col("user_id") < TS_SEED_USERS).select(
+        F.col("user_id").alias("seed_id"), "d", F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("user_id").alias("neighbor_id"), "d", F.col("c").alias("cb")
+    )
+    xy = (
+        F.broadcast(a)
+        .join(b, (a.d == b.d) & (F.col("neighbor_id") != F.col("seed_id")))
+        .groupBy("seed_id", "neighbor_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sxy"))
+    )
+    ma = m.select(
+        F.col("user_id").alias("seed_id"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    mb = m.select(
+        F.col("user_id").alias("neighbor_id"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    scored = xy.join(F.broadcast(ma), "seed_id").join(mb, "neighbor_id").join(
+        F.broadcast(dom)
+    )
+    r, dx, dy = _pearson(
+        F.col("nd"), F.col("sxy"), F.col("sx_a"), F.col("sxx_a"),
+        F.col("sx_b"), F.col("sxx_b"),
+    )
+    w = Window.partitionBy("seed_id").orderBy(F.desc("r"), "neighbor_id")
+    return (
+        scored.filter((dx > 0) & (dy > 0))
+        .withColumn("r", r)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TS_TOP_K)
+        .select(
+            "seed_id",
+            "neighbor_id",
+            F.floor(F.col("r") * 10000).cast("long").alias("r4"),
+            "rank",
+        )
+        .orderBy("seed_id", "rank")
+    )
+
+
+TS_MOTIF_W = 7  # motif window length in days
+
+
+@register(
+    "ts_motif_discovery_daily",
+    oracle=f"""
+        WITH {_SQL_DAILY}, {_SQL_DOM},
+        totals AS (
+            SELECT d, CAST(sum(c) AS BIGINT) AS v FROM daily GROUP BY d
+        ),
+        q AS (
+            SELECT d - (dmax - {TS_MOTIF_W - 1}) AS i, v
+            FROM totals CROSS JOIN dom WHERE d >= dmax - {TS_MOTIF_W - 1}
+        ),
+        qm AS (
+            SELECT CAST(sum(v) AS BIGINT) AS sq,
+                   CAST(sum(v * v) AS BIGINT) AS sqq
+            FROM q
+        ),
+        cand AS (
+            SELECT w.d AS s, t.d - w.d AS i, t.v
+            FROM totals w
+            JOIN totals t ON t.d >= w.d AND t.d <= w.d + {TS_MOTIF_W - 1}
+            CROSS JOIN dom
+            WHERE w.d <= dmax - {TS_MOTIF_W}
+        ),
+        cm AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS n7,
+                   CAST(sum(v) AS BIGINT) AS sv,
+                   CAST(sum(v * v) AS BIGINT) AS svv
+            FROM cand GROUP BY s
+        ),
+        vq AS (
+            SELECT c.s, CAST(sum(c.v * q.v) AS BIGINT) AS svq
+            FROM cand c JOIN q ON q.i = c.i GROUP BY c.s
+        ),
+        scored AS (
+            SELECT s,
+                   ({TS_MOTIF_W} * svq - sv * sq)
+                   / sqrt(CAST(({TS_MOTIF_W} * svv - sv * sv)
+                               * ({TS_MOTIF_W} * sqq - sq * sq) AS DOUBLE)) AS r
+            FROM cm JOIN vq USING (s) CROSS JOIN qm
+            WHERE n7 = {TS_MOTIF_W}
+              AND ({TS_MOTIF_W} * svv - sv * sv) > 0
+              AND ({TS_MOTIF_W} * sqq - sq * sq) > 0
+        ),
+        ranked AS (
+            SELECT s, CAST(FLOOR(r * 10000) AS BIGINT) AS r4,
+                   ROW_NUMBER() OVER (ORDER BY r DESC, s) AS rank
+            FROM scored
+        )
+        SELECT CAST(s - dmin AS BIGINT) AS start_off, r4,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked CROSS JOIN dom
+        WHERE rank <= {TS_TOP_K} ORDER BY rank
+    """,
+    tags=("llm-data", "timeseries", "similarity"),
+)
+def ts_motif_discovery_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence similarity search (matrix-profile-lite): which
+    earlier 7-day window of the global daily-activity series best
+    matches the LAST 7 days' shape? Pearson between each candidate
+    window and the trailing-week query window, exact from integer
+    window sums; top-5 starts by correlation.
+
+    The series is the POST-AGGREGATION daily-total domain (30 rows at
+    every SF — day count is volume-invariant), so the window
+    enumeration join and the unpartitioned rank are domain-bounded,
+    never base-table work: at 1000x events the only growing stage is
+    the first map-side-combined groupBy. Query-window overlap with
+    candidates is allowed; only the query window itself is excluded
+    (s <= dmax - 7).
+    """
+    daily = _daily(spark, sf_dir)
+    dom = _dom(daily)
+    totals = daily.groupBy("d").agg(F.sum("c").cast("long").alias("v"))
+    q = (
+        totals.join(F.broadcast(dom))
+        .filter(F.col("d") >= F.col("dmax") - (TS_MOTIF_W - 1))
+        .select((F.col("d") - (F.col("dmax") - (TS_MOTIF_W - 1))).alias("i"), "v")
+    )
+    qm = q.agg(
+        F.sum("v").cast("long").alias("sq"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sqq"),
+    )
+    w_side = totals.select(F.col("d").alias("s"))
+    cand = (
+        w_side.join(
+            totals,
+            (F.col("d") >= F.col("s")) & (F.col("d") <= F.col("s") + (TS_MOTIF_W - 1)),
+        )
+        .join(F.broadcast(dom))
+        .filter(F.col("s") <= F.col("dmax") - TS_MOTIF_W)
+        .select("s", (F.col("d") - F.col("s")).alias("i"), "v")
+    )
+    cm = cand.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n7"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    vq = (
+        cand.join(F.broadcast(q.withColumnRenamed("v", "qv")), "i")
+        .groupBy("s")
+        .agg(F.sum(F.col("v") * F.col("qv")).cast("long").alias("svq"))
+    )
+    W = TS_MOTIF_W
+    scored = (
+        cm.join(vq, "s")
+        .join(F.broadcast(qm))
+        .filter(
+            (F.col("n7") == W)
+            & (F.lit(W) * F.col("svv") - F.col("sv") * F.col("sv") > 0)
+            & (F.lit(W) * F.col("sqq") - F.col("sq") * F.col("sq") > 0)
+        )
+        .withColumn(
+            "r",
+            (F.lit(W) * F.col("svq") - F.col("sv") * F.col("sq"))
+            / F.sqrt(
+                (
+                    (F.lit(W) * F.col("svv") - F.col("sv") * F.col("sv"))
+                    * (F.lit(W) * F.col("sqq") - F.col("sq") * F.col("sq"))
+                ).cast("double")
+            ),
+        )
+    )
+    wnd = Window.orderBy(F.desc("r"), "s")
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= TS_TOP_K)
+        .join(F.broadcast(dom.select("dmin")))
+        .select(
+            (F.col("s") - F.col("dmin")).cast("long").alias("start_off"),
+            F.floor(F.col("r") * 10000).cast("long").alias("r4"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+# SAX-lite symbolization shared by the block inventory and the blocked
+# pair search: 3 ten-day segments, binary alphabet per segment —
+# '1' iff the segment's event sum exceeds the user's per-segment mean,
+# decided by integer cross-multiplication (3*segsum > sx), '_' for a
+# segment with no active days. Everything integer until the final
+# Pearson verify.
+_SQL_WORD = """
+    seg AS (
+        SELECT user_id,
+               CAST(floor((d - dmin) / 10.0) AS BIGINT) AS s,
+               CAST(sum(c) AS BIGINT) AS segsum
+        FROM daily CROSS JOIN dom GROUP BY 1, 2
+    ),
+    segbits AS (
+        SELECT seg.user_id, s,
+               CASE WHEN 3 * segsum > m.sx THEN '1' ELSE '0' END AS b
+        FROM seg JOIN m ON m.user_id = seg.user_id
+    ),
+    word AS (
+        SELECT user_id,
+               concat(coalesce(max(CASE WHEN s = 0 THEN b END), '_'),
+                      coalesce(max(CASE WHEN s = 1 THEN b END), '_'),
+                      coalesce(max(CASE WHEN s = 2 THEN b END), '_')) AS w
+        FROM segbits GROUP BY user_id
+    )
+"""
+
+
+def _word(daily: DataFrame, dom: DataFrame, m: DataFrame) -> DataFrame:
+    seg = (
+        daily.join(F.broadcast(dom.select("dmin")))
+        .groupBy(
+            "user_id",
+            F.floor((F.col("d") - F.col("dmin")) / 10.0).cast("long").alias("s"),
+        )
+        .agg(F.sum("c").cast("long").alias("segsum"))
+    )
+    segbits = seg.join(m, "user_id").select(
+        "user_id",
+        "s",
+        F.when(F.lit(3) * F.col("segsum") > F.col("sx"), "1")
+        .otherwise("0")
+        .alias("b"),
+    )
+    return segbits.groupBy("user_id").agg(
+        F.concat(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("s") == i, F.col("b"))), F.lit("_")
+                )
+                for i in range(3)
+            ]
+        ).alias("w")
+    )
+
+
+@register(
+    "ts_sax_symbolic_blocks",
+    oracle=f"""
+        WITH {_SQL_DAILY}, {_SQL_DOM}, {_SQL_MOMENTS}, {_SQL_WORD}
+        SELECT w AS sax_word, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(word.user_id) AS BIGINT) AS rep_user,
+               CAST(sum(m.sx) AS BIGINT) AS total_events
+        FROM word JOIN m ON m.user_id = word.user_id
+        GROUP BY w ORDER BY w
+    """,
+    tags=("llm-data", "timeseries", "similarity"),
+)
+def ts_sax_symbolic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-lite symbolic indexing of the per-user activity series: the
+    block inventory (word -> population) that makes wholesale series
+    similarity search tractable — REPOSE's reference-point-trie idea
+    collapsed to one shuffle, with the symbol decided by exact integer
+    cross-multiplication instead of z-scored doubles.
+
+    Scale: two keyed aggregates (user x segment, then user) and a
+    word-keyed count; at 1000x users every stage stays key-distributed
+    with map-side combine, and the block alphabet (4^3 fixed words)
+    bounds the output domain.
+    """
+    daily = _daily(spark, sf_dir)
+    dom = _dom(daily)
+    m = _moments(daily)
+    w = _word(daily, dom, m)
+    return (
+        w.join(m, "user_id")
+        .groupBy(F.col("w").alias("sax_word"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").cast("long").alias("rep_user"),
+            F.sum("sx").cast("long").alias("total_events"),
+        )
+        .orderBy("sax_word")
+    )
+
+
+@register(
+    "ts_similarity_blocked_pairs",
+    oracle=f"""
+        WITH {_SQL_DAILY}, {_SQL_DOM}, {_SQL_MOMENTS}, {_SQL_WORD},
+        db AS (
+            SELECT daily.user_id, d, c, w
+            FROM daily JOIN word ON word.user_id = daily.user_id
+        ),
+        xy AS (
+            SELECT a.user_id AS ua, b.user_id AS ub, a.w AS sax_word,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+            FROM db a JOIN db b
+              ON a.d = b.d AND a.w = b.w AND a.user_id < b.user_id
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT ua, ub, sax_word,
+                   (nd * sxy - ma.sx * mb.sx)
+                   / sqrt(CAST((nd * ma.sxx - ma.sx * ma.sx)
+                               * (nd * mb.sxx - mb.sx * mb.sx) AS DOUBLE)) AS r
+            FROM xy
+            JOIN m ma ON ma.user_id = ua
+            JOIN m mb ON mb.user_id = ub
+            CROSS JOIN dom
+            WHERE (nd * ma.sxx - ma.sx * ma.sx) > 0
+              AND (nd * mb.sxx - mb.sx * mb.sx) > 0
+        )
+        SELECT ua, ub, sax_word, CAST(FLOOR(r * 10000) AS BIGINT) AS r4
+        FROM scored WHERE r >= {TS_PAIR_R_MIN}
+        ORDER BY ua, ub
+    """,
+    tags=("llm-data", "timeseries", "similarity"),
+)
+def ts_similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wholesale series-pair similarity search, SAX-blocked: only
+    users sharing a SAX word are compared (the word is IN the join
+    key, so blocking happens in the shuffle hash, not as a filter),
+    then exact Pearson verification keeps pairs with r >= 0.30 — the
+    time-series analog of dedup_minhash_lsh's band-bucket-then-verify
+    shape, trading recall for candidate volume exactly like the LSH
+    family (26% of brute-force pairs >= 0.30 surface at sf0.01; the
+    audit pattern of dedup_lsh_recall_audit applies unchanged if a
+    user needs the curve).
+
+    Scale: candidates are bounded per block; with the activity-shape
+    alphabet fixed, block population grows with users but the join is
+    (day, word)-keyed and the verify is one keyed aggregate — the
+    classic LSH cost model (candidates ~ block density), never
+    all-pairs.
+    """
+    daily = _daily(spark, sf_dir)
+    dom = _dom(daily)
+    m = _moments(daily)
+    w = _word(daily, dom, m)
+    db = daily.join(w, "user_id")
+    a = db.select(
+        F.col("user_id").alias("ua"), "d", F.col("c").alias("ca"), "w"
+    )
+    b = db.select(
+        F.col("user_id").alias("ub"), "d", F.col("c").alias("cb"),
+        F.col("w").alias("wb"),
+    )
+    xy = (
+        a.join(b, (a.d == b.d) & (F.col("w") == F.col("wb")) & (F.col("ua") < F.col("ub")))
+        .groupBy("ua", "ub", F.col("w").alias("sax_word"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sxy"))
+    )
+    ma = m.select(
+        F.col("user_id").alias("ua"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    mb = m.select(
+        F.col("user_id").alias("ub"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    scored = xy.join(ma, "ua").join(mb, "ub").join(F.broadcast(dom))
+    r, dx, dy = _pearson(
+        F.col("nd"), F.col("sxy"), F.col("sx_a"), F.col("sxx_a"),
+        F.col("sx_b"), F.col("sxx_b"),
+    )
+    return (
+        scored.filter((dx > 0) & (dy > 0))
+        .withColumn("r", r)
+        .filter(F.col("r") >= TS_PAIR_R_MIN)
+        .select(
+            "ua", "ub", "sax_word",
+            F.floor(F.col("r") * 10000).cast("long").alias("r4"),
+        )
+        .orderBy("ua", "ub")
+    )

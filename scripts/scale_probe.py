@@ -97,6 +97,25 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # and per-block pair volume bounded.
     "multimodal_image_histogram_pairs": (("documents",), (1, 4, 16)),
     "tokenizer_unigram_seed_vocab": (("documents",), (1, 4, 16)),
+    # Round-6 recursion batch. Orders copy-inflation keeps o_custkey,
+    # so per-customer chain LENGTH grows ~k x 24: the chain probe
+    # measures recursion-depth sensitivity (levels = joins), the
+    # spine probe the opposite regime (depth pinned at 80 months, the
+    # monthly aggregate carries all the volume growth). x4 = ~96
+    # levels, deliberately just under Spark's 100-level ceiling.
+    "sql_text_recursive_customer_chain": (("orders",), (1, 2, 4)),
+    "sql_text_recursive_month_spine": (("orders",), (1, 2, 4)),
+    # Round-6 batch 223 (time-series similarity search). Events
+    # inflation remaps user_id per copy: more USERS over the same
+    # 30-day domain — the production regime. Seed search is linear in
+    # users (fixed seed set and measured flat). Blocked pairs is the
+    # honest quadratic: on noise-like series, pairs above a FIXED
+    # correlation threshold are a constant fraction of all pairs, so
+    # the OUTPUT itself grows ~k² (measured 18.4x wall at 4x) — the
+    # ladder stops at x4 because x16 is ~256x output by construction;
+    # bounded-output search is the seed/top-k entry.
+    "ts_similarity_search_seed": (("events",), (1, 4, 16)),
+    "ts_similarity_blocked_pairs": (("events",), (1, 4)),
 }
 
 
