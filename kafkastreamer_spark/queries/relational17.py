@@ -354,8 +354,20 @@ def ts_similarity_search_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines; pairs sharing no active day never materialize a
     co-moment row on either engine (documented: at ~90% daily activity
     every real pair shares days).
+
+    The final computation is shared with the streaming twin
+    (streaming/ts_similarity.py), which maintains the same (user, day,
+    count) base incrementally via the keyed upsert sink and must
+    reproduce this entry bit-for-bit
+    (tests/test_streaming_ts_similarity.py).
     """
-    daily = _daily(spark, sf_dir)
+    return seed_topk_from_daily(_daily(spark, sf_dir))
+
+
+def seed_topk_from_daily(daily: DataFrame) -> DataFrame:
+    """Seed top-k Pearson from the (user_id, d, c) daily-count base —
+    the pure final computation, shared by the batch entry above and
+    the streaming maintenance twin."""
     dom = _dom(daily)
     m = _moments(daily)
     a = daily.filter(F.col("user_id") < TS_SEED_USERS).select(
@@ -729,4 +741,107 @@ def ts_similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("r") * 10000).cast("long").alias("r4"),
         )
         .orderBy("ua", "ub")
+    )
+
+
+@register(
+    "ts_trajectory_ngram_similarity",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        bigrams AS (
+            SELECT DISTINCT user_id, concat(prev, '>', event_type) AS bg
+            FROM seqs WHERE prev IS NOT NULL
+        ),
+        sizes AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM bigrams GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.user_id AS seed_id, b.user_id AS neighbor_id,
+                   CAST(count(*) AS BIGINT) AS ninter
+            FROM bigrams a JOIN bigrams b
+              ON a.bg = b.bg AND a.user_id < {TS_SEED_USERS}
+             AND b.user_id != a.user_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT seed_id, neighbor_id,
+                   (ninter * 10000) // (sa.n + sb.n - ninter) AS jac4
+            FROM inter
+            JOIN sizes sa ON sa.user_id = seed_id
+            JOIN sizes sb ON sb.user_id = neighbor_id
+        ),
+        ranked AS (
+            SELECT seed_id, neighbor_id, CAST(jac4 AS BIGINT) AS jac4,
+                   ROW_NUMBER() OVER (PARTITION BY seed_id
+                                      ORDER BY jac4 DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT seed_id, neighbor_id, jac4, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {TS_TOP_K}
+        ORDER BY seed_id, rank
+    """,
+    tags=("llm-data", "timeseries", "similarity"),
+)
+def ts_trajectory_ngram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (REPOSE's problem, ICDE 2021, in
+    k-mer form): rank users by ORDER-AWARE similarity of their event
+    paths — Jaccard over distinct event-type bigrams of the (ts,
+    event_id)-ordered per-user sequence — which daily-count
+    correlation (ts_similarity_search_seed) is blind to.
+
+    Fully integer: bigram sets via one LAG window, intersection via
+    the inverted bigram join (seed side broadcast-small), Jaccard as
+    exact fixed-point integer division (positive operands, floor ==
+    truncate in both engines — never a rounded double quotient).
+
+    Scale: the bigram vocabulary is event_type² (fixed domain), so
+    the seed-side join is a broadcast against a linear posting list;
+    per-user sequence work is one key-partitioned window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        ev.select(
+            "user_id",
+            F.concat(
+                F.lag("event_type").over(wseq), F.lit(">"), F.col("event_type")
+            ).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+        .distinct()
+    )
+    sizes = bigrams.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = bigrams.filter(F.col("user_id") < TS_SEED_USERS).select(
+        F.col("user_id").alias("seed_id"), "bg"
+    )
+    b = bigrams.select(F.col("user_id").alias("neighbor_id"), "bg")
+    inter = (
+        F.broadcast(a)
+        .join(b, (a.bg == b.bg) & (F.col("neighbor_id") != F.col("seed_id")))
+        .groupBy("seed_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("ninter"))
+    )
+    sa = sizes.select(F.col("user_id").alias("seed_id"), F.col("n").alias("na"))
+    sb = sizes.select(
+        F.col("user_id").alias("neighbor_id"), F.col("n").alias("nb")
+    )
+    scored = (
+        inter.join(F.broadcast(sa), "seed_id")
+        .join(sb, "neighbor_id")
+        .withColumn(
+            "jac4",
+            F.expr("(ninter * 10000) div (na + nb - ninter)").cast("long"),
+        )
+    )
+    wr = Window.partitionBy("seed_id").orderBy(F.desc("jac4"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= TS_TOP_K)
+        .select("seed_id", "neighbor_id", "jac4", "rank")
+        .orderBy("seed_id", "rank")
     )

@@ -344,6 +344,7 @@ def upsert_parquet_sink(
     n_buckets: int = 64,
     available_now: bool = True,
     post_write_hook=None,
+    output_mode: str | None = None,
 ) -> StreamingQuery:
     """Streaming keyed upsert (Type-1 / last-writer-wins) into a
     hash-bucket-partitioned parquet table — the CDC-apply sink the
@@ -422,6 +423,11 @@ def upsert_parquet_sink(
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
     )
+    if output_mode is not None:
+        # e.g. "update" when the upstream is a running aggregation
+        # (streaming/ts_similarity.py): foreachBatch then receives
+        # only the keys whose value changed in this micro-batch.
+        writer = writer.outputMode(output_mode)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
