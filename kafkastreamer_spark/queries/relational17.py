@@ -845,3 +845,105 @@ def ts_trajectory_ngram_similarity(spark: SparkSession, sf_dir: str) -> DataFram
         .select("seed_id", "neighbor_id", "jac4", "rank")
         .orderBy("seed_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 225: lexicon sentiment at corpus scale (PAPERS.md: "Large
+# Scale Sentiment Analysis on Twitter with Spark", EDBT 2016 — the
+# lexicon-scoring + keyed-rollup shape, here over the documents
+# corpus). The lexicon is a deliberately tiny fixed map over the
+# fixture vocabulary; the machinery (token explode, broadcast lexicon
+# join, integer polarity sums, fixed-point net score) is the real
+# artifact.
+# ---------------------------------------------------------------------------
+
+SENTIMENT_LEXICON = {"fast": 1, "big": 1, "slow": -1, "small": -1}
+
+_SQL_LEXICON_VALUES = ", ".join(
+    f"('{w}', CAST({p} AS BIGINT))" for w, p in sorted(SENTIMENT_LEXICON.items())
+)
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+        WITH lex(w, pol) AS (VALUES {_SQL_LEXICON_VALUES}),
+        toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+        ),
+        hits AS (
+            SELECT t.doc_id, t.source, lex.pol
+            FROM toks t JOIN lex ON lex.w = t.w
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   CAST(sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                   CAST(sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+            FROM hits GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pos) AS BIGINT) AS pos_hits,
+               CAST(sum(neg) AS BIGINT) AS neg_hits,
+               CAST((sum(pos) - sum(neg)) * 10000
+                    // (sum(pos) + sum(neg)) AS BIGINT) AS net4,
+               CAST(sum(CASE WHEN pos > neg THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive_docs,
+               CAST(sum(CASE WHEN neg > pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative_docs
+        FROM per_doc
+        GROUP BY source
+        HAVING (sum(pos) + sum(neg)) > 0
+        ORDER BY source
+    """,
+    tags=("llm-data", "text", "sentiment"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale lexicon sentiment (the EDBT-2016 shape): every
+    token joins a broadcast polarity lexicon; per-doc positive and
+    negative hit counts roll up to a per-source sentiment report with
+    an exact fixed-point net score ((pos-neg)*10000 // (pos+neg),
+    positive denominators so floor == truncate in both engines) and
+    doc-majority polarity counts.
+
+    Scale: the lexicon join is a broadcast hash join against the
+    exploded token stream (map-side, no shuffle); both rollups are
+    keyed aggregates with map-side combine. At 1000x docs the only
+    growth is the linear token scan — the same cost class as
+    text_token_stats.
+    """
+    from kafkastreamer_spark.operators._embed import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        sorted(SENTIMENT_LEXICON.items()), "w string, pol long"
+    )
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    )
+    hits = toks.join(F.broadcast(lex), "w")
+    per_doc = hits.groupBy("doc_id", "source").agg(
+        F.sum(F.when(F.col("pol") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum(F.when(F.col("pol") < 0, 1).otherwise(0)).cast("long").alias("neg"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("pos_hits"),
+            F.sum("neg").cast("long").alias("neg_hits"),
+            F.expr(
+                "CAST((sum(pos) - sum(neg)) * 10000 div (sum(pos) + sum(neg)) AS BIGINT)"
+            ).alias("net4"),
+            F.sum(F.when(F.col("pos") > F.col("neg"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive_docs"),
+            F.sum(F.when(F.col("neg") > F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative_docs"),
+        )
+        .filter(F.col("pos_hits") + F.col("neg_hits") > 0)
+        .orderBy("source")
+    )
