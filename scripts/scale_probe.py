@@ -116,6 +116,11 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # bounded-output search is the seed/top-k entry.
     "ts_similarity_search_seed": (("events",), (1, 4, 16)),
     "ts_similarity_blocked_pairs": (("events",), (1, 4)),
+    # Round-6 batches 224-225: expected-linear shapes (broadcast-
+    # small side + keyed aggregates), probed to confirm.
+    "ts_trajectory_ngram_similarity": (("events",), (1, 4, 16)),
+    "similarity_topk_incremental": (("embeddings",), (1, 4, 16)),
+    "text_sentiment_lexicon": (("documents",), (1, 4, 16)),
 }
 
 
