@@ -280,6 +280,8 @@ def merge_upsert_sink(
     key_col: str = "key",
     delta_col: str = "delta",
     available_now: bool = True,
+    pre_flip_hook=None,
+    post_publish_hook=None,
 ) -> StreamingQuery:
     """Streaming CDC apply: each micro-batch merges its per-key deltas
     into a parquet base table (read-modify-write via the same
@@ -287,30 +289,32 @@ def merge_upsert_sink(
     the foreachBatch upsert pattern that Delta/Iceberg MERGE sinks
     run under the hood.
 
-    Idempotence note: the swap write is atomic-rename-free parquet
-    (test scope); a replayed batch re-applies its deltas, so strict
-    exactly-once needs a batchId high-water mark in the base (one
-    extra column, same technique as exactly_once_parquet_sink) or a
-    transactional table format. At scale the base would be
-    key-bucketed so only buckets with changes rewrite.
+    Crash posture: state is persisted through the crash-atomic
+    versioned store (streaming/statedir.py) — each batch reads the
+    current version and publishes a fresh one behind an atomic pointer
+    flip, so a mid-write crash can never lose or corrupt the totals.
+    Delta sums are NOT idempotent under replay, so the sink also skips
+    a batch whose id the pointer already records
+    (statedir.applied_batch) — exactly-once on the state table. At
+    scale the base would be key-bucketed so only buckets with changes
+    rewrite (upsert_parquet_sink's layout).
     """
-    import shutil
+    from kafkastreamer_spark.streaming import statedir  # noqa: PLC0415
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if statedir.applied_batch(base_dir) == batch_id:
+            return  # replay of an already-published batch
         changes = batch_df.groupBy(key_col).agg(
             F.sum(delta_col).alias("_delta")
         )
-        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
-
-        # Existence probe, not a catch-all: a transient read error must
-        # fail (and retry) the batch rather than reset the totals.
-        if table_exists(spark, base_dir):
-            base = spark.read.parquet(base_dir).select(key_col, "total")
-        else:
+        base = statedir.read_state(spark, base_dir)
+        if base is None:
             base = changes.select(
                 key_col, F.lit(None).cast("long").alias("total")
             ).limit(0)
+        else:
+            base = base.select(key_col, "total")
         merged = (
             base.alias("b")
             .join(changes.alias("c"), key_col, "full_outer")
@@ -322,10 +326,14 @@ def merge_upsert_sink(
                 ).alias("total"),
             )
         )
-        tmp = base_dir + f".tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(base_dir, ignore_errors=True)
-        shutil.move(tmp, base_dir)
+        statedir.publish_state(
+            merged, base_dir, batch_id, pre_flip_hook=pre_flip_hook
+        )
+        # Crash-injection point for the flip-committed-but-checkpoint-
+        # uncommitted window: the replayed batch must be SKIPPED
+        # (applied_batch high-water mark), never re-summed.
+        if post_publish_hook is not None:
+            post_publish_hook(batch_id)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

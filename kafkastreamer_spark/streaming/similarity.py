@@ -5,13 +5,23 @@ arrive, the per-query top-k is updated from (current top-k) union
 (delta scores) only, never by rescanning the corpus.
 
 State is the k x |queries| result table itself — tiny by construction
-— kept in a parquet dir overwritten per micro-batch. Replay after a
-mid-commit crash converges because the update is idempotent: scores
-are deterministic functions of the vectors, the union is deduplicated
-by (query, neighbor) before re-ranking, so re-applying a batch whose
-scores the state already contains re-ranks to the same table
-(the same envelope argument as streaming/core.py's upsert sink, with
-the dedup standing in for last-writer-wins).
+— persisted through the crash-atomic versioned store
+(streaming/statedir.py): each batch reads the current version, writes
+a FRESH version dir, then atomically flips the pointer, so a crash at
+any instant (including mid-write) leaves a complete prior state and
+replay converges. Replay after a crash in the window between pointer
+flip and checkpoint commit also converges because the update is
+idempotent: scores are deterministic functions of the vectors, the
+union is deduplicated by (query, neighbor) before re-ranking, so
+re-applying a batch whose scores the state already contains re-ranks
+to the same table.
+
+Contract: vectors are immutable — a vec_id is never re-emitted with a
+different embedding. The pair-dedup keeps max(c) per
+(query, neighbor), which equals THE one deterministic score under
+immutability; if upstream could mutate a vector in place, the dedup
+must instead version by batch recency (last-writer-wins), like
+streaming/core.py's upsert sink.
 """
 
 from __future__ import annotations
@@ -22,6 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kafkastreamer_spark.operators._embed import cosine
 from kafkastreamer_spark.operators.similarity import TOP_K
+from kafkastreamer_spark.streaming import statedir
 
 
 def maintain_topk(
@@ -30,18 +41,23 @@ def maintain_topk(
     state_dir: str,
     checkpoint: str,
     k: int = TOP_K,
+    pre_flip_hook=None,
 ) -> StreamingQuery:
     """Keep the per-query top-k current as vectors stream in.
 
     ``queries_df`` is the static query set (query_id, qv as double
     array); the stream carries (vec_id, embedding, ...) rows. Per
     micro-batch: score the delta against the broadcast queries, union
-    the current state, dedup by pair, re-rank, keep k, overwrite.
+    the current state, dedup by pair, re-rank, keep k, publish a new
+    state version (atomic pointer flip — see statedir.publish_state;
+    ``pre_flip_hook`` is its crash-injection point, test-only).
 
     Scale: per batch the work is |delta| x |queries| map-side scoring
     plus a k-bounded window over (state + delta) — the corpus is never
     rescanned, exactly the incremental contract the batch entry's
-    oracle proves equal to the full rescan.
+    oracle proves equal to the full rescan. Because the new version is
+    written to a fresh dir, the plan streams executor-side end to end
+    (no driver materialization of the state).
     """
     q = queries_df.select("query_id", "qv")
 
@@ -58,16 +74,12 @@ def maintain_topk(
             F.col("vec_id").alias("neighbor_id"),
             cosine(F.col("qv"), F.col("v")).alias("c"),
         )
-        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
-
-        if table_exists(spark, state_dir):
-            current = spark.read.parquet(state_dir)
-            merged = current.unionByName(scores)
-        else:
-            merged = scores
-        # Dedup by pair (scores are deterministic, so max == the one
-        # value) BEFORE ranking: this is what makes batch replay after
-        # a crash idempotent instead of double-counting a neighbor.
+        current = statedir.read_state(spark, state_dir)
+        merged = scores if current is None else current.unionByName(scores)
+        # Dedup by pair (scores are deterministic and vectors immutable,
+        # so max == the one value) BEFORE ranking: this is what makes
+        # batch replay after a crash idempotent instead of
+        # double-counting a neighbor.
         deduped = merged.groupBy("query_id", "neighbor_id").agg(
             F.max("c").alias("c")
         )
@@ -76,17 +88,11 @@ def maintain_topk(
             deduped.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .drop("_rk")
+            .coalesce(1)  # k x |queries| rows by construction
         )
-        # The state is read from and written to the SAME dir within a
-        # batch; a lazy plan would delete its own input mid-scan. The
-        # result is k x |queries| rows by construction (bounded like
-        # the two documented driver-side bucket-list collects in
-        # streaming/core.py), so materialize it on the driver, then
-        # overwrite.
-        rows = topk.collect()
-        spark.createDataFrame(rows, topk.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        statedir.publish_state(
+            topk, state_dir, batch_id, pre_flip_hook=pre_flip_hook
+        )
 
     return (
         vector_stream.writeStream.foreachBatch(apply_batch)
@@ -100,9 +106,11 @@ def read_topk(spark, state_dir: str, k: int = TOP_K) -> DataFrame:
     """The maintained result, rendered exactly like the batch entries
     (cosine4 fixed point + rank) for parity checks."""
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    state = statedir.read_state(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no published state under {state_dir}")
     return (
-        spark.read.parquet(state_dir)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        state.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

@@ -51,25 +51,28 @@ def cms_merge_sink(
     checkpoint: str,
     key_col: str,
     available_now: bool = True,
+    pre_flip_hook=None,
+    post_publish_hook=None,
 ) -> StreamingQuery:
     """Maintain a persistent Count-Min sketch over a stream: per
     micro-batch, build the batch's cells and add them into the parquet
-    base cell-wise (full-outer join + coalesced sum). Replay caveat
-    matches merge_upsert_sink: a batchId high-water mark (or a
-    transactional format) upgrades at-least-once to exactly-once."""
-    import shutil
+    base cell-wise (full-outer join + coalesced sum). Cell addition is
+    not idempotent under replay, so the sink persists through the
+    crash-atomic versioned store (streaming/statedir.py) and skips a
+    batch whose id the pointer already records — exactly-once on the
+    cell table, crash-safe at any instant including mid-write."""
+    from kafkastreamer_spark.streaming import statedir  # noqa: PLC0415
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if statedir.applied_batch(base_dir) == batch_id:
+            return  # replay of an already-published batch
         batch_cells = cms_cells(batch_df, key_col)
-        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
-
-        # Existence probe, not a catch-all: a transient read error must
-        # fail (and retry) the batch, never zero out the persisted cells.
-        if table_exists(spark, base_dir):
-            base = spark.read.parquet(base_dir).select("d", "bucket", "cell")
-        else:
+        base = statedir.read_state(spark, base_dir)
+        if base is None:
             base = batch_cells.limit(0)
+        else:
+            base = base.select("d", "bucket", "cell")
         merged = (
             base.alias("b")
             .join(batch_cells.alias("c"), ["d", "bucket"], "full_outer")
@@ -82,10 +85,11 @@ def cms_merge_sink(
                 ).alias("cell"),
             )
         )
-        tmp = base_dir + f".tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(base_dir, ignore_errors=True)
-        shutil.move(tmp, base_dir)
+        statedir.publish_state(
+            merged, base_dir, batch_id, pre_flip_hook=pre_flip_hook
+        )
+        if post_publish_hook is not None:
+            post_publish_hook(batch_id)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -326,6 +330,8 @@ def kll_merge_sink(
     checkpoint: str,
     value_col: str,
     available_now: bool = True,
+    pre_flip_hook=None,
+    post_publish_hook=None,
 ) -> StreamingQuery:
     """Maintain a persistent KLL quantile sketch over a stream — the
     quantile companion to ``cms_merge_sink``'s frequency sketch: per
@@ -336,30 +342,31 @@ def kll_merge_sink(
     cells, a KLL sketch's internal state depends on compaction
     randomness — consumers must assert quantiles within the sketch's
     rank-error bound, never bit-equality (the test does exactly
-    that). Replay caveat matches cms_merge_sink: at-least-once unless
-    a batchId high-water mark or transactional store is added."""
-    import shutil
+    that). Sketch folds are not idempotent under replay, so the sink
+    persists through the crash-atomic versioned store
+    (streaming/statedir.py) and skips a batch whose id the pointer
+    already records — exactly-once on the sketch, crash-safe at any
+    instant including mid-write."""
+    from kafkastreamer_spark.streaming import statedir  # noqa: PLC0415
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if statedir.applied_batch(base_dir) == batch_id:
+            return  # replay of an already-published batch
         batch_sk = batch_df.agg(
             F.kll_sketch_agg_double(value_col).alias("sk")
         )
-        # Existence probe instead of a catch-all: a transient read
-        # failure must fail the batch (retried from the checkpoint),
-        # not silently reset the persisted sketch to this batch only.
-        from kafkastreamer_spark.io import table_exists  # noqa: PLC0415
-
-        if table_exists(spark, base_dir):
-            base = spark.read.parquet(base_dir).select("sk")
-            both = base.unionByName(batch_sk)
-            merged = both.agg(F.kll_merge_agg_double("sk").alias("sk"))
-        else:
+        base = statedir.read_state(spark, base_dir)
+        if base is None:
             merged = batch_sk
-        tmp = base_dir + f".tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(base_dir, ignore_errors=True)
-        shutil.move(tmp, base_dir)
+        else:
+            both = base.select("sk").unionByName(batch_sk)
+            merged = both.agg(F.kll_merge_agg_double("sk").alias("sk"))
+        statedir.publish_state(
+            merged, base_dir, batch_id, pre_flip_hook=pre_flip_hook
+        )
+        if post_publish_hook is not None:
+            post_publish_hook(batch_id)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

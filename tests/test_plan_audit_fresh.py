@@ -45,3 +45,16 @@ def test_audit_has_no_banned_classes():
     for name, line in _audit_rows().items():
         assert "BASE" not in line, f"{name}: base_table 1-part exchange in audit"
         assert "ERROR" not in line, f"{name}: audit row errored — regenerate"
+
+
+def test_audit_codegen_column_alive():
+    """VERDICT r6 cosmetic #3: the codegen column silently read 0 for
+    every row because Spark 4.1 renders whole-stage-codegen as `*(n)`
+    span markers (simple mode) / `[codegen id : n]` (formatted), not
+    the literal "WholeStageCodegen". Canary: q1 is a plain
+    scan->agg->sort pipeline that ALWAYS codegens, so its audit row
+    must show a nonzero span count — if the renderer changes again,
+    this fails instead of the metric dying silently."""
+    row = _audit_rows()["q1_pricing_summary"]
+    codegen = int(row.rstrip().rstrip("|").split("|")[-1].strip())
+    assert codegen > 0, f"codegen column dead again: {row!r}"

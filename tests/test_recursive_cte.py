@@ -107,3 +107,38 @@ def test_dialect_pin_recursion_ceiling(spark):
             "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
             "SELECT n + 1 FROM t WHERE n < 150) SELECT count(*) FROM t"
         ).collect()
+
+
+def test_customer_chain_depth_headroom(spark):
+    """ADVICE r6: sql_text_recursive_customer_chain's recursion depth
+    is max orders-per-customer, and Spark's 100-level ceiling has no
+    runtime guard — a fixture (or inflation probe) whose chains exceed
+    it fails the query outright. Pin the invariant at EVERY swept SF:
+    max chain length must keep >=20% headroom below the ceiling, so
+    modest data drift trips this test before it trips the query.
+    (The x4 scale probe already measured ~96 levels — inflation remaps
+    order keys onto FEWER synthetic customers, which is exactly the
+    regime this canary exists for; probes that inflate orders must
+    re-derive depth, see the module docstring's depth-bound table.)
+    """
+    import os
+
+    from kafkastreamer_spark.tables import load_table
+
+    base = os.path.dirname(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = os.path.join(base, sf)
+        if not os.path.isdir(sf_dir):
+            continue
+        orders = load_table(spark, sf_dir, "orders")
+        max_chain = (
+            orders.groupBy("o_custkey")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert max_chain <= 80, (
+            f"{sf}: max orders/customer {max_chain} is within 20% of "
+            "Spark's 100-level recursion ceiling — "
+            "sql_text_recursive_customer_chain will start failing"
+        )

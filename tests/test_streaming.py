@@ -268,8 +268,11 @@ def test_merge_upsert_sink_matches_batch(spark, tdir):
     )
     q.awaitTermination(120)
 
+    from kafkastreamer_spark.streaming import statedir
+
     got = {
-        r["key"]: r["total"] for r in spark.read.parquet(base_dir).collect()
+        r["key"]: r["total"]
+        for r in statedir.read_state(spark, base_dir).collect()
     }
     want = {
         r["key"]: r["total"]

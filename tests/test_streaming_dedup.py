@@ -93,8 +93,11 @@ def test_streaming_cms_sink_matches_batch(spark, sf_dir, tmp_path):
     q = cms_merge_sink(stream, base, str(tmp_path / "ckpt_cms"), "user_id")
     q.awaitTermination(180)
 
+    from kafkastreamer_spark.streaming import statedir
+
     got = {
-        (r.d, r.bucket): r.cell for r in spark.read.parquet(base).collect()
+        (r.d, r.bucket): r.cell
+        for r in statedir.read_state(spark, base).collect()
     }
     assert got == want
 
@@ -264,7 +267,9 @@ def test_streaming_kll_sink_within_rank_error(spark, sf_dir, tmp_path):
     q = kll_merge_sink(stream, base, str(tmp_path / "ckpt_kll"), "value")
     q.awaitTermination(180)
 
-    sk = spark.read.parquet(base)
+    from kafkastreamer_spark.streaming import statedir
+
+    sk = statedir.read_state(spark, base)
     row = sk.select(
         F.kll_sketch_get_n_double("sk").alias("n"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
