@@ -22,5 +22,6 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational15,
     relational16,
     relational17,
+    relational18,
 )
 from kafkastreamer_spark import operators  # noqa: F401

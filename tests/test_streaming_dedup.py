@@ -279,3 +279,49 @@ def test_streaming_kll_sink_within_rank_error(spark, sf_dir, tmp_path):
     for p, v in ((0.5, row["q50"]), (0.95, row["q95"])):
         true_rank = sum(1 for x in vals if x <= v) / len(vals)
         assert abs(true_rank - p) <= 0.03, (p, v, true_rank)
+
+
+def test_streaming_hll_sink_within_error_bound(spark, sf_dir, tmp_path):
+    """An HLL maintained incrementally over a two-batch stream (with a
+    post-flip crash + replay in between) must estimate the true
+    distinct count within the sketch's standard error, and the replay
+    must not inflate it (applied-batch skip + HLL union idempotence)."""
+    from kafkastreamer_spark.streaming import statedir
+    from kafkastreamer_spark.streaming.sketches import hll_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    truth = ev.select("user_id").distinct().count()
+
+    inp = str(tmp_path / "hin")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(inp)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inp)
+
+    base, ckpt = str(tmp_path / "hll_base"), str(tmp_path / "ckpt_hll")
+
+    class Boom(Exception):
+        pass
+
+    def crash_on_1(batch_id):
+        if batch_id == 1:
+            raise Boom("injected")
+
+    import pytest as _pytest
+
+    stream = file_source(spark, inp, ev.schema, max_files_per_trigger=1)
+    q = hll_merge_sink(stream, base, ckpt, "user_id", post_publish_hook=crash_on_1)
+    with _pytest.raises(Exception):  # noqa: PT011
+        q.awaitTermination(180)
+    assert statedir.applied_batch(base) == 1  # flip landed pre-crash
+
+    stream = file_source(spark, inp, ev.schema, max_files_per_trigger=1)
+    q = hll_merge_sink(stream, base, ckpt, "user_id")
+    q.awaitTermination(180)
+
+    est = (
+        statedir.read_state(spark, base)
+        .select(F.hll_sketch_estimate("sk").alias("n"))
+        .collect()[0]["n"]
+    )
+    # lgConfigK=12 default -> relative error ~1.04/sqrt(4096) ~ 1.6%;
+    # assert within 5% for slack
+    assert abs(est - truth) <= max(3, 0.05 * truth)
