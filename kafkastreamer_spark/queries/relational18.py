@@ -49,7 +49,7 @@ from kafkastreamer_spark.operators._embed import (
     tokens,
 )
 from kafkastreamer_spark.registry import register
-from kafkastreamer_spark.tables import load_table
+from kafkastreamer_spark.tables import load_table, widen
 
 _ISO_SCALE = 1000  # unit-vector component quantization (exact in BIGINT)
 _MEMO_N = 8  # n-gram length for the memorization audit
@@ -121,7 +121,7 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower _ISO_SCALE or sum per-shard then combine (the identity is
     associative).
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = widen(load_table(spark, sf_dir, "embeddings")).select(
         F.col("label").cast("long").alias("label"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -184,10 +184,10 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rep AS (
             SELECT s AS ngram,
-                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS rep_doc
             FROM posting GROUP BY s
-            HAVING count(DISTINCT doc_id) >= 2
+            HAVING count(*) >= 2
         )
         SELECT ngram, n_docs, rep_doc FROM rep
         ORDER BY n_docs DESC, ngram LIMIT {_MEMO_TOP}
@@ -214,7 +214,10 @@ def dedup_memorization_ngram_report(
     text_inverted_index_sample pattern) if the full posting count is
     unwanted.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # widen(): the fixture is one parquet file -> one scan partition,
+    # which would serialize the (expensive) 8-gram shingle build on a
+    # single core; on real multi-file storage it is a no-op.
+    d = widen(load_table(spark, sf_dir, "documents"))
     posting = d.select(
         "doc_id",
         F.explode(shingles(tokens("text"), _MEMO_N)).alias("s"),
@@ -222,7 +225,11 @@ def dedup_memorization_ngram_report(
     return (
         posting.groupBy(F.col("s").alias("ngram"))
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            # shingles() is per-doc DISTINCT, so every (doc, ngram)
+            # posting is unique and count(*) == count(DISTINCT doc) —
+            # a plain count map-side-combines; an exact count-distinct
+            # would expand to a two-phase distinct aggregation.
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("rep_doc"),
         )
         .filter(F.col("n_docs") >= 2)
@@ -281,7 +288,7 @@ def sample_epoch_mixture_schedule(
     aggregate, and a broadcast of the 1-row total — the scan
     dominates; everything after it is dimension-sized.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     src = (
         d.select("source", F.size(tokens("text")).cast("long").alias("nt"))
         .groupBy("source")

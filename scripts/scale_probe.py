@@ -115,12 +115,24 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # ladder stops at x4 because x16 is ~256x output by construction;
     # bounded-output search is the seed/top-k entry.
     "ts_similarity_search_seed": (("events",), (1, 4, 16)),
-    "ts_similarity_blocked_pairs": (("events",), (1, 4)),
+    # Round-7 rework: sorted-neighborhood window inside each SAX block
+    # caps candidates and output at n x W — ladder extended back to
+    # x16 (the round-6 all-pairs form was output-quadratic and
+    # stopped at x4; measured then 18.4x at 4x, now 1.24x / 6.8x).
+    "ts_similarity_blocked_pairs": (("events",), (1, 4, 16)),
     # Round-6 batches 224-225: expected-linear shapes (broadcast-
     # small side + keyed aggregates), probed to confirm.
     "ts_trajectory_ngram_similarity": (("events",), (1, 4, 16)),
     "similarity_topk_incremental": (("embeddings",), (1, 4, 16)),
     "text_sentiment_lexicon": (("documents",), (1, 4, 16)),
+    # Round-7 batch 226. Memorization report: copy inflation
+    # multiplies each repeated n-gram's doc frequency by k (every
+    # copy repeats every span) but the aggregate only carries counts,
+    # so cost tracks posting volume — near-linear expected; run with
+    # SCALE_PROBE_DISJOINT=1 for constant repeat density. Isotropy:
+    # one map pass + a labels x 64 aggregate — expected flat.
+    "dedup_memorization_ngram_report": (("documents",), (1, 4, 16)),
+    "embedding_isotropy_audit": (("embeddings",), (1, 4, 16)),
 }
 
 
