@@ -298,3 +298,81 @@ def test_waterfall_matches_capstone_survivors(spark, sf_dir):
              "source_cap", "temperature_mix"]
     counts = [wf[s] for s in order]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_isotropy_identity_matches_bruteforce_pairs(spark, sf_dir):
+    """Oracle-independent truth check for embedding_isotropy_audit:
+    the oracle mirrors the same ||sum q||^2 identity, so a shared
+    formula bug would pass the hash compare. Here the per-label mean
+    pairwise cosine is recomputed by BRUTE-FORCE pair enumeration in
+    exact integer arithmetic on the same quantized vectors, and must
+    equal the one-pass result bit-for-bit."""
+    from kafkastreamer_spark.queries.relational18 import _ISO_SCALE
+
+    got = {
+        r["label"]: (r["n_vecs"], r["mean_cos_fp4"])
+        for r in _run("embedding_isotropy_audit", spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        dot = sum(x * x for x in v)
+        if dot <= 0:
+            continue
+        nrm = dot ** 0.5
+        import math
+
+        q = [math.floor(x / nrm * _ISO_SCALE) for x in v]
+        by_label.setdefault(int(r["label"]), []).append(q)
+    for label, qs in by_label.items():
+        n = len(qs)
+        if n < 2:
+            assert label not in got
+            continue
+        s = 0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    s += sum(a * b for a, b in zip(qs[i], qs[j]))
+        # same truncate-toward-zero quotient as both engines
+        num = 10000 * s
+        den = n * (n - 1) * _ISO_SCALE * _ISO_SCALE
+        want = abs(num) // den * (1 if num >= 0 else -1)
+        assert got[label] == (n, want), f"label {label}"
+
+
+def test_memorization_ngrams_really_repeat(spark, sf_dir):
+    """Every reported n-gram must literally occur (as a whitespace
+    token run) in at least n_docs distinct documents — verified by
+    independent Python tokenization, not the query's own shingling."""
+    rep = _run("dedup_memorization_ngram_report", spark, sf_dir).collect()
+    assert rep and all(r["n_docs"] >= 2 for r in rep)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    import re as _re
+
+    grams_by_doc = []
+    for d in docs:
+        w = _re.split(r"\s+", d["text"].lower())
+        grams_by_doc.append(
+            (d["doc_id"], {" ".join(w[i : i + 8]) for i in range(len(w) - 7)})
+        )
+    for r in rep[:10]:  # spot-check the top 10
+        holders = [doc_id for doc_id, g in grams_by_doc if r["ngram"] in g]
+        assert len(holders) == r["n_docs"], r["ngram"]
+        assert min(holders) == r["rep_doc"]
+
+
+def test_epoch_schedule_allocates_within_budget(spark, sf_dir):
+    """The per-source targets must sum to <= the budget (floor
+    division never over-allocates) and cover >= 99.9% of it, and a
+    source's epoch factor must exceed 1.0 exactly when its target
+    exceeds its availability."""
+    from kafkastreamer_spark.queries.relational18 import _MIX_BUDGET
+
+    rows = _run("sample_epoch_mixture_schedule", spark, sf_dir).collect()
+    total = sum(r["target_tokens"] for r in rows)
+    assert total <= _MIX_BUDGET
+    assert total >= _MIX_BUDGET * 0.999
+    for r in rows:
+        assert (r["epochs_fp4"] > 10000) == (r["target_tokens"] > r["n_tokens"])
