@@ -232,3 +232,34 @@ def test_streaming_source_cap_mid_write_crash(spark, sf_dir, tmp_path):
     ]
     got = [tuple(r) for r in read_source_cap(spark, state).collect()]
     assert got == want
+
+
+def test_evicting_lsh_on_rocksdb_provider(spark, tmp_path):
+    """100 TB posture for the evicting twin: the same within-TTL pair
+    emission runs on the RocksDBStateStoreProvider (the provider the
+    TTL-bounded bucket state would use at scale), with RocksDB
+    artifacts present in the checkpoint."""
+    import glob
+
+    from kafkastreamer_spark.session import ROCKSDB_STATE_CONF
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_file(spark, inp, [(1, _DUP, _t(0))])
+        _write_file(spark, inp, [(2, _DUP, _t(5))])
+        _run_evicting(spark, inp, out, ckpt, ttl_minutes=60)
+        assert (1, 2) in _pairs(spark, out)
+        arts = glob.glob(f"{ckpt}/state/**/*.zip", recursive=True) + glob.glob(
+            f"{ckpt}/state/**/*.changelog", recursive=True
+        ) + glob.glob(f"{ckpt}/state/**/*.sst", recursive=True)
+        assert arts, "no RocksDB artifacts in checkpoint state dir"
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
+        else:
+            spark.conf.unset(key)
