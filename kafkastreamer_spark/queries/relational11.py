@@ -383,7 +383,7 @@ _WILSON = (
     oracle=f"""
         WITH s AS (
             SELECT l_suppkey, COUNT(*) AS n,
-                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
             FROM lineitem GROUP BY l_suppkey
         ),
         w AS (SELECT l_suppkey, n, r, {_WILSON} AS wl FROM s)

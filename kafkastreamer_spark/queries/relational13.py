@@ -1026,9 +1026,10 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS seasonal4
             FROM det WHERE det4 IS NOT NULL GROUP BY dow
         )
-        SELECT strftime(d.day, '%Y-%m-%d') AS day, d.c, d.trend4,
+        SELECT strftime(d.day, '%Y-%m-%d') AS day, d.c,
+               CAST(d.trend4 AS BIGINT) AS trend4,
                s.seasonal4,
-               d.det4 - s.seasonal4 AS remainder4
+               CAST(d.det4 - s.seasonal4 AS BIGINT) AS remainder4
         FROM det d JOIN seas s USING (dow)
         ORDER BY day
     """,

@@ -5135,7 +5135,7 @@ def orders_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS BIGINT) AS n_parts,
                CAST(sum(demand) AS BIGINT) AS total_demand,
                CAST(sum(filled) AS BIGINT) AS total_filled,
-               (10000 * sum(filled)) // sum(demand) AS fill_rate_fp4,
+               CAST((10000 * sum(filled)) // sum(demand) AS BIGINT) AS fill_rate_fp4,
                CAST(count_if(10 * filled >= 8 * demand) AS BIGINT)
                    AS n_parts_above_80
         FROM test

@@ -71,7 +71,7 @@ def _fd_stack_sql() -> str:
                CAST(sum(tot) AS BIGINT) AS n_rows,
                CAST(count(*) AS BIGINT) AS n_det_groups,
                CAST(sum(tot) - sum(kept) AS BIGINT) AS violations,
-               (10000 * sum(kept)) // sum(tot) AS conformance_fp4,
+               CAST((10000 * sum(kept)) // sum(tot) AS BIGINT) AS conformance_fp4,
                CAST(CASE WHEN sum(tot) = sum(kept) THEN 1 ELSE 0 END
                     AS BIGINT) AS holds
         FROM keep GROUP BY fd ORDER BY fd
@@ -683,11 +683,11 @@ def _disc_case(col: str) -> str:
                CAST(sum(CASE WHEN actual_rank <= {_NDCG_K}
                     THEN rel * ({_disc_case("actual_rank")}) ELSE 0 END)
                     AS BIGINT) AS idcg_fp8,
-               (10000 * sum(CASE WHEN pred_rank <= {_NDCG_K}
+               CAST((10000 * sum(CASE WHEN pred_rank <= {_NDCG_K}
                     THEN rel * ({_disc_case("pred_rank")}) ELSE 0 END))
                    // sum(CASE WHEN actual_rank <= {_NDCG_K}
                     THEN rel * ({_disc_case("actual_rank")}) ELSE 0 END)
-                   AS ndcg_fp4
+                   AS BIGINT) AS ndcg_fp4
         FROM scored GROUP BY nation ORDER BY nation
     """,
     tags=("ml-metrics", "ranking", "ndcg"),

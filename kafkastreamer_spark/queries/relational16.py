@@ -197,7 +197,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM b
         ),
         e AS (
-            SELECT (sum(n * gap_fp4)) // sum(n) AS ece_fp4 FROM g
+            SELECT CAST((sum(n * gap_fp4)) // sum(n) AS BIGINT) AS ece_fp4 FROM g
         )
         SELECT bin, n AS n_users, pos AS n_pos,
                pred_fp4, obs_fp4, gap_fp4, e.ece_fp4
@@ -964,13 +964,13 @@ def lineitem_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a AS nation,
                CAST(count(*) AS BIGINT) AS out_edges,
                CAST(count_if(vba IS NOT NULL) AS BIGINT) AS reciprocated,
-               (10000 * count_if(vba IS NOT NULL)) // count(*)
-                   AS reciprocity_fp4,
+               CAST((10000 * count_if(vba IS NOT NULL)) // count(*)
+                   AS BIGINT) AS reciprocity_fp4,
                CAST(sum(least(vab, coalesce(vba, 0))) AS BIGINT)
                    AS matched_flow_fp,
                CAST(sum(vab) AS BIGINT) AS out_flow_fp,
-               (10000 * sum(least(vab, coalesce(vba, 0)))) // sum(vab)
-                   AS weighted_reciprocity_fp4
+               CAST((10000 * sum(least(vab, coalesce(vba, 0)))) // sum(vab)
+                   AS BIGINT) AS weighted_reciprocity_fp4
         FROM paired GROUP BY a ORDER BY nation
     """,
     tags=("graph", "reciprocity", "economics"),
@@ -1091,8 +1091,8 @@ def _prune_pred_sql() -> str:
                     AS BIGINT) AS skipped_rows,
                CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END)
                     AS BIGINT) AS scanned_rows,
-               (10000 * sum(CASE WHEN skipped = 1 THEN n_rows ELSE 0 END))
-                   // sum(n_rows) AS skip_ratio_fp4
+               CAST((10000 * sum(CASE WHEN skipped = 1 THEN n_rows ELSE 0 END))
+                   // sum(n_rows) AS BIGINT) AS skip_ratio_fp4
         FROM audit GROUP BY pred ORDER BY pred
     """,
     tags=("layout", "zone-map", "lakehouse-ops"),
@@ -2000,8 +2000,8 @@ def split_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(sum(in_block) AS BIGINT) AS n_candidate_pairs,
             CAST(sum(is_match) AS BIGINT) AS n_true_matches,
             CAST(sum(is_match * in_block) AS BIGINT) AS n_found_matches,
-            (10000 * (count(*) - sum(in_block))) // count(*)
-                AS reduction_ratio_fp4,
+            CAST((10000 * (count(*) - sum(in_block))) // count(*)
+                AS BIGINT) AS reduction_ratio_fp4,
             CAST(CASE WHEN sum(is_match) = 0 THEN 10000
                       ELSE (10000 * sum(is_match * in_block))
                            // sum(is_match) END
@@ -2275,7 +2275,7 @@ def events_leadlag_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE tp + fp + n_pos > 0
         ),
         cal AS (
-            SELECT (sum(n * gap_fp4)) // sum(n) AS ece_fp4
+            SELECT CAST((sum(n * gap_fp4)) // sum(n) AS BIGINT) AS ece_fp4
             FROM (
                 SELECT CAST(count(*) AS BIGINT) AS n,
                        abs(1000 * least(score, 10)
@@ -2452,8 +2452,8 @@ def _rls_policy_sql() -> str:
                     AS BIGINT) AS n_masked,
                CAST(sum(CASE WHEN visible = 1 THEN bal2 ELSE 0 END)
                     AS BIGINT) AS visible_bal2,
-               (10000 * sum(CASE WHEN visible = 1 THEN n_cust ELSE 0 END))
-                   // sum(n_cust) AS visibility_fp4
+               CAST((10000 * sum(CASE WHEN visible = 1 THEN n_cust ELSE 0 END))
+                   // sum(n_cust) AS BIGINT) AS visibility_fp4
         FROM lab GROUP BY region ORDER BY region
     """,
     tags=("governance", "security", "reporting"),
@@ -2996,7 +2996,7 @@ def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc AS (
             SELECT stratum, n_h,
                    ({_NEYMAN_BUDGET} * weight)
-                       // (SELECT sum(weight) FROM w) AS n_alloc
+                       // (SELECT CAST(sum(weight) AS BIGINT) FROM w) AS n_alloc
             FROM w
         ),
         ranked AS (
