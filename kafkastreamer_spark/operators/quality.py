@@ -417,6 +417,13 @@ def _corpus_prep_stages(spark: SparkSession, sf_dir: str) -> dict:
         "doc_id", "flagged_repetitive"
     )
     d = load_table(spark, sf_dir, "documents")
+    # Round-7 note: swapping this join for the map-only
+    # with_repetition_flag was MEASURED 10x slower here (43 s vs 4 s
+    # at sf0.01 in the driver-sim flow): the flag's O(distinct x n)
+    # per-row counting lambdas cost more than the explode+groupBy's
+    # one exchange at these document lengths. The flag form stays the
+    # right trade only where an aggregation is impossible (stateless
+    # streaming gates) — keep the join here.
     clean = d.join(flags, "doc_id").filter(F.col("flagged_repetitive") == 0)
 
     wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
