@@ -557,49 +557,82 @@ def with_repetition_flag(
     ``repetition_metrics_df``.
 
     The shuffle-based explode+groupBy form scales to arbitrarily long
-    documents; this form is O(distinct·n) per row, the better trade
-    for bounded-length records (≤ a few hundred tokens): zero
-    exchanges, usable as a plain stateless filter in a streaming map
-    stage where an aggregation would force update-mode state. Same
-    integer thresholds, bit-identical flags (parity-tested against
-    the metrics query).
+    documents; this form is per-row O(n log n), zero exchanges,
+    usable as a plain stateless filter in a streaming map stage where
+    an aggregation would force update-mode state. Same integer
+    thresholds, bit-identical flags (parity-tested against the
+    metrics query).
+
+    Round-7 rework: the original counted each distinct gram with a
+    nested filter — O(distinct·n) per row, measured 43 s over 500
+    sf0.01 docs when used in a batch chain. Now each gram array is
+    SORTED once and counts come from one run-length fold over the
+    sorted array (array_sort + a struct-accumulator aggregate): the
+    same counts, two orders cheaper, still whole-stage-codegen
+    expression work.
 
     The gram arrays are materialized as real columns BEFORE the
-    counting lambdas touch them: an expression referenced inside a
+    folds touch them: an expression referenced inside a
     higher-order-function lambda re-evaluates per element, which
-    turns O(n²) into O(n³) with a giant codegen unit (measured ~50x
-    on the fixture) — a column reference is a cheap lookup."""
+    inflates the complexity class with a giant codegen unit (measured
+    ~50x on the fixture) — a column reference is a cheap lookup."""
     staged = (
         df.withColumn("_toks", F.split(text_col, " "))
         .withColumn(
             "_bg",
+            # size guard: sequence(0, -1) DESCENDS, so a 1-token doc
+            # would index _toks[-1] (latent in the original form too,
+            # exposed by the degenerate-doc test)
             F.expr(
-                "transform(sequence(0, size(_toks)-2),"
-                " i -> concat(_toks[i], ' ', _toks[i+1]))"
+                "CASE WHEN size(_toks) >= 2 THEN"
+                " array_sort(transform(sequence(0, size(_toks)-2),"
+                " i -> concat(_toks[i], ' ', _toks[i+1])))"
+                " ELSE array() END"
             ),
         )
         .withColumn(
             "_tg",
             F.expr(
-                "transform(sequence(0, size(_toks)-3),"
-                " i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2]))"
+                "CASE WHEN size(_toks) >= 3 THEN"
+                " array_sort(transform(sequence(0, size(_toks)-3),"
+                " i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2])))"
+                " ELSE array() END"
             ),
         )
     )
 
-    def counts(col_name: str) -> Column:
+    # One pass over a SORTED gram array: carry (prev, run, best, dup)
+    # where `best` is the longest run seen and `dup` the total size of
+    # runs >= 2 — closed at each run boundary and once more at the end.
+    def _run_stats(col_name: str):
         g = F.col(col_name)
-        return F.transform(
-            F.array_distinct(g),
-            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
         )
 
-    top_bigram = F.array_max(counts("_bg"))
-    dup_tri = F.aggregate(
-        counts("_tg"),
-        F.lit(0),
-        lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
-    )
+        def step(acc, x):
+            same = acc["prev"].isNotNull() & (acc["prev"] == x)
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            closed_dup = F.when(
+                ~same & (acc["run"] >= 2), acc["run"]
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                (acc["dup"] + closed_dup).alias("dup"),
+            )
+
+        st = F.aggregate(g, init, step)
+        best = st["best"]
+        dup = st["dup"] + F.when(st["run"] >= 2, st["run"]).otherwise(F.lit(0))
+        return best, dup
+
+    top_bigram, _ = _run_stats("_bg")
+    _, dup_tri = _run_stats("_tg")
     n = F.size("_toks")
     flag = ((10 * top_bigram > n) | (2 * dup_tri > (n - 2))).cast("int")
     return staged.withColumn(flag_col, flag).drop("_toks", "_bg", "_tg")

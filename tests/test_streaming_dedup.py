@@ -325,3 +325,26 @@ def test_streaming_hll_sink_within_error_bound(spark, sf_dir, tmp_path):
     # lgConfigK=12 default -> relative error ~1.04/sqrt(4096) ~ 1.6%;
     # assert within 5% for slack
     assert abs(est - truth) <= max(3, 0.05 * truth)
+
+
+def test_repetition_flag_degenerate_docs(spark):
+    """Round-7 run-length rework edge pin: degenerate docs must not
+    crash (the unguarded sequence(0, size-2) DESCENDED on a 1-token
+    doc and indexed _toks[-1]) and must flag DETERMINISTICALLY. The
+    thresholds themselves flag any sub-10-token doc (10*top_bigram >
+    n holds whenever a bigram exists and n <= 9; n <= 2 makes the
+    trigram clause vacuously true) — pinned here so a threshold
+    change shows up as a semantic diff, not silence."""
+    from kafkastreamer_spark.operators.quality import with_repetition_flag
+
+    d = spark.createDataFrame(
+        [
+            (1, "single"),
+            (2, "two tokens"),
+            (3, "a a a a a a a a a a"),
+            (4, "eleven distinct words all different from each other entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.flag for r in with_repetition_flag(d).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
