@@ -81,14 +81,21 @@ def repetition_metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.explode(
             F.concat(
+                # size guards: sequence(0, -1) DESCENDS and indexes
+                # toks[-1] (ArrayIndexOutOfBounds on a 1-token doc) —
+                # same latent crash fixed in with_repetition_flag
                 F.expr(
-                    "transform(sequence(0, size(toks)-2),"
+                    "CASE WHEN size(toks) >= 2 THEN"
+                    " transform(sequence(0, size(toks)-2),"
                     " i -> struct(2 as g, concat(toks[i], ' ', toks[i+1]) as gram))"
+                    " ELSE array() END"
                 ),
                 F.expr(
-                    "transform(sequence(0, size(toks)-3),"
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(0, size(toks)-3),"
                     " i -> struct(3 as g,"
                     " concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) as gram))"
+                    " ELSE array() END"
                 ),
             )
         ).alias("e"),
