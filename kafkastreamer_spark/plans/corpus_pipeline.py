@@ -1,0 +1,217 @@
+"""Corpus-hygiene topology: the reference's pipeline format driving
+LLM-data stages instead of integer stage functions.
+
+The reference's topology compiler wires stages drawn from a fixed
+whitelist into a linear chain (KafkaParser.py:124,136-138 — adder /
+power / diff / identity over int payloads). `plans/pipeline.py`
+reproduces that contract verbatim; THIS module is the same compiler
+contract over the engine's training-data operators, so a user can
+declare "repetition gate → exact dedup → per-source cap → temperature
+mix" in the reference's own XML/dict shape and get ONE composed
+DataFrame transform — the corpus-prep capstone
+(operators/quality.py `pipeline_corpus_prep`) as a declarative
+topology instead of code.
+
+Stage vocabulary (documents-shaped frames: doc_id, text, lang,
+source, ...):
+
+- ``repetition_gate`` — drop Gopher-repetitive docs via the map-only
+  flag expression (bit-identical to the metrics query, parity-tested)
+  — STATELESS, usable on streams.
+- ``exact_dedup`` — keep the lowest-doc_id copy per md5(text)
+  (batch: rank; streaming: dropDuplicates on the hash — keeps the
+  FIRST arrival, which equals lowest-id when ids arrive in order).
+- ``source_cap`` — at most ``arg`` docs per source by md5(doc_id)
+  order (deskewed rank) — batch-only (needs a per-group rank).
+- ``temperature_mix`` — per-language count^0.5 rebalance with
+  multiplier ``arg`` — batch-only.
+
+Validation mirrors pipeline.py: contiguous stages 0..N, whitelist,
+positive counts, random stream id fallback. ``streaming=True``
+additionally rejects the rank-based stages — the error a user needs
+at COMPILE time, not as a mid-run AnalysisException.
+"""
+
+from __future__ import annotations
+
+import random
+import xml.etree.ElementTree as ET
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafkastreamer_spark.plans.pipeline import TopologyError
+
+
+def _repetition_gate(df: DataFrame, arg: int) -> DataFrame:
+    from kafkastreamer_spark.operators.quality import with_repetition_flag
+
+    return with_repetition_flag(df).filter(F.col("flag") == 0).drop("flag")
+
+
+def _exact_dedup_batch(df: DataFrame, arg: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _exact_dedup_streaming(df: DataFrame, arg: int) -> DataFrame:
+    # first-arrival-wins on the content hash; state is one hash per
+    # distinct document (watermark-bounded in production via
+    # dropDuplicatesWithinWatermark, the engine's documented pattern)
+    return df.withColumn("_h", F.md5("text")).dropDuplicates(["_h"]).drop("_h")
+
+
+def _source_cap(df: DataFrame, arg: int) -> DataFrame:
+    from kafkastreamer_spark.operators.deskew import md5_ranked
+
+    return md5_ranked(df, ["source"], "doc_id", "_crn").filter(
+        F.col("_crn") <= arg
+    ).drop("_crn")
+
+
+def _temperature_mix(df: DataFrame, arg: int) -> DataFrame:
+    from kafkastreamer_spark.operators.deskew import md5_ranked
+
+    ranked = md5_ranked(df, ["lang"], "doc_id", "_lrn", count_name="_lcnt")
+    target = F.least(
+        F.col("_lcnt"),
+        F.floor(F.sqrt(F.col("_lcnt").cast("double")) * arg).cast("long"),
+    )
+    return ranked.filter(F.col("_lrn") <= target).drop("_lrn", "_lcnt")
+
+
+# op -> (batch transform, streaming transform or None, default arg)
+CORPUS_STAGES: dict[str, tuple] = {
+    "repetition_gate": (_repetition_gate, _repetition_gate, 0),
+    "exact_dedup": (_exact_dedup_batch, _exact_dedup_streaming, 0),
+    "source_cap": (_source_cap, None, 15),
+    "temperature_mix": (_temperature_mix, None, 4),
+}
+ALLOWED_CORPUS_OPERATIONS = tuple(CORPUS_STAGES)
+
+
+@dataclass(frozen=True)
+class CorpusStageSpec:
+    stage: int
+    operation: str
+    arg: int = -1  # -1 -> the operation's default
+
+
+@dataclass(frozen=True)
+class CorpusPipelineSpec:
+    stages: tuple[CorpusStageSpec, ...]
+    partitions: int = 1
+    stream_id: str = ""
+
+
+def validate_corpus_spec(
+    spec: CorpusPipelineSpec, streaming: bool = False
+) -> CorpusPipelineSpec:
+    if not spec.stages:
+        raise TopologyError("pipeline has no stages")
+    for st in spec.stages:
+        if st.operation not in CORPUS_STAGES:
+            raise TopologyError(
+                f"operation {st.operation!r} not allowed; expected one of "
+                f"{ALLOWED_CORPUS_OPERATIONS}"
+            )
+        if streaming and CORPUS_STAGES[st.operation][1] is None:
+            raise TopologyError(
+                f"operation {st.operation!r} needs a per-group rank and "
+                "cannot run in streaming mode (batch-only stage)"
+            )
+    if len({st.stage for st in spec.stages}) != len(spec.stages):
+        raise TopologyError("duplicate stage numbers")
+    numbers = sorted(st.stage for st in spec.stages)
+    if numbers != list(range(len(numbers))):
+        missing = sorted(set(range(max(numbers) + 1)) - set(numbers))
+        raise TopologyError(f"missing stage: {missing}")
+    if spec.partitions < 1:
+        raise TopologyError("partitions must be >= 1")
+    stages = tuple(sorted(spec.stages, key=lambda s: s.stage))
+    return CorpusPipelineSpec(
+        stages=stages,
+        partitions=spec.partitions,
+        stream_id=spec.stream_id or str(random.randint(0, 9999)),
+    )
+
+
+def corpus_spec_from_dict(d: dict) -> CorpusPipelineSpec:
+    """{"stream_id": "...", "partitions": 2,
+        "stages": [{"stage": 0, "operation": "repetition_gate"}, ...]}"""
+    try:
+        stages = tuple(
+            CorpusStageSpec(
+                stage=int(s["stage"]),
+                operation=str(s["operation"]),
+                arg=int(s.get("arg", -1)),
+            )
+            for s in d["stages"]
+        )
+    except KeyError as exc:
+        raise TopologyError(f"stage element missing required key: {exc}") from exc
+    return validate_corpus_spec(
+        CorpusPipelineSpec(
+            stages=stages,
+            partitions=int(d.get("partitions", 1)),
+            stream_id=str(d.get("stream_id", "")),
+        )
+    )
+
+
+def parse_corpus_topology_xml(path: str) -> CorpusPipelineSpec:
+    """Reference-format XML (template.xml layout: <Stream id> root,
+    <Streamer><stage>/<operation>[/<arg>]) with the corpus whitelist;
+    infra-only tags tolerated and ignored, like plans/pipeline.py."""
+    root = ET.parse(path).getroot()
+    if root.tag != "Stream":
+        raise TopologyError("root tag must be 'Stream'")
+    part_el = root.find("partition")
+    partitions = int(part_el.get("value", 1)) if part_el is not None else 1
+    stages = []
+    for streamer in root.iter("Streamer"):
+        props = {p.tag: (p.text or "") for p in streamer}
+        if "stage" not in props:
+            raise TopologyError("no stage tag found in 'Streamer' element")
+        if "operation" not in props:
+            raise TopologyError("no operation tag found in 'Streamer' element")
+        stages.append(
+            CorpusStageSpec(
+                stage=int(props["stage"]),
+                operation=props["operation"],
+                arg=int(props.get("arg", -1)),
+            )
+        )
+    return validate_corpus_spec(
+        CorpusPipelineSpec(
+            stages=tuple(stages),
+            partitions=partitions,
+            stream_id=root.get("id", ""),
+        )
+    )
+
+
+def compile_corpus_pipeline(
+    spec: CorpusPipelineSpec, streaming: bool = False
+) -> Callable[[DataFrame], DataFrame]:
+    """Compile into one composed DataFrame transform (batch or
+    streaming). Same contract as plans/pipeline.compile_pipeline:
+    Catalyst plans the whole declared chain as one query."""
+    spec = validate_corpus_spec(spec, streaming=streaming)
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = df
+        for st in spec.stages:
+            batch_fn, stream_fn, default = CORPUS_STAGES[st.operation]
+            fn = stream_fn if streaming else batch_fn
+            out = fn(out, st.arg if st.arg >= 0 else default)
+        return out
+
+    return transform
