@@ -13,7 +13,10 @@ stage-per-query deployment with directory channels (Kafka channels in
 production via --bootstrap); `dag` runs a fan-out/fan-in topology
 JSON (plans/dag.py nodes/sinks format — a shape the reference cannot
 express) through the single-query compiler, one result directory per
-sink.
+sink; `corpus` runs a corpus-hygiene topology
+(plans/corpus_pipeline.py vocabulary: repetition_gate / exact_dedup /
+source_cap / temperature_mix) over a documents parquet dir given via
+--input, writing the surviving documents.
 """
 
 from __future__ import annotations
@@ -31,9 +34,14 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kafkastreamer_spark")
     ap.add_argument("--topology", required=True, help="topology XML (reference format) or JSON")
     ap.add_argument(
-        "--mode", choices=["single", "chained", "dag"], default="single"
+        "--mode", choices=["single", "chained", "dag", "corpus"], default="single"
     )
     ap.add_argument("--records", type=int, default=1000, help="bounded source size")
+    ap.add_argument(
+        "--input",
+        default="",
+        help="documents parquet dir (corpus mode; default: the sf0.001 fixture)",
+    )
     ap.add_argument("--out", default="", help="output directory (default: temp)")
     ap.add_argument("--bootstrap", default="", help="Kafka bootstrap (chained mode)")
     ap.add_argument("--show", type=int, default=10, help="rows to print")
@@ -56,6 +64,17 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.topology) as fh:
                 dag_spec = dag_from_dict(json.load(fh))
             spec = None
+        elif args.mode == "corpus":
+            from kafkastreamer_spark.plans.corpus_pipeline import (
+                corpus_spec_from_dict,
+                parse_corpus_topology_xml,
+            )
+
+            if args.topology.endswith(".json"):
+                with open(args.topology) as fh:
+                    spec = corpus_spec_from_dict(json.load(fh))
+            else:
+                spec = parse_corpus_topology_xml(args.topology)
         elif args.topology.endswith(".json"):
             with open(args.topology) as fh:
                 spec = from_dict(json.load(fh))
@@ -96,6 +115,26 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"stream_id={stream_id} nodes={len(dag_spec.nodes)} "
             f"sinks={len(results)} out={out_dir}"
+        )
+        if _owns_session:
+            spark.stop()
+        return 0
+
+    if args.mode == "corpus":
+        from kafkastreamer_spark.plans.corpus_pipeline import (
+            compile_corpus_pipeline,
+        )
+        from kafkastreamer_spark.tables import widen
+
+        in_dir = args.input or "/root/testdata/sf0.001/documents.parquet"
+        docs = widen(spark.read.parquet(in_dir))
+        survivors = compile_corpus_pipeline(spec)(docs)
+        survivors.write.mode("overwrite").parquet(os.path.join(out_dir, "survivors"))
+        n_in = docs.count()
+        n_out = spark.read.parquet(os.path.join(out_dir, "survivors")).count()
+        print(
+            f"stream_id={spec.stream_id} stages={len(spec.stages)} "
+            f"docs_in={n_in} docs_out={n_out} out={out_dir}"
         )
         if _owns_session:
             spark.stop()

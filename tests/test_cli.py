@@ -58,3 +58,52 @@ def test_malformed_json_exits_2(tmp_path):
     assert main(["--topology", str(xml), "--mode", "dag"]) == 2
 
     assert main(["--topology", str(tmp_path / "absent.json"), "--mode", "dag"]) == 2
+
+
+def test_corpus_mode_end_to_end(spark, sf_dir, tmp_path):
+    """Corpus mode: a reference-format topology over the hygiene
+    vocabulary runs the full chain on a documents dir and writes the
+    survivors — which must equal the compiled chain's own output."""
+    from kafkastreamer_spark.plans.corpus_pipeline import (
+        compile_corpus_pipeline,
+        corpus_spec_from_dict,
+    )
+
+    chain = {
+        "stream_id": "c1",
+        "stages": [
+            {"stage": 0, "operation": "repetition_gate"},
+            {"stage": 1, "operation": "exact_dedup"},
+            {"stage": 2, "operation": "source_cap", "arg": 15},
+            {"stage": 3, "operation": "temperature_mix", "arg": 4},
+        ],
+    }
+    topo = tmp_path / "corpus.json"
+    topo.write_text(json.dumps(chain))
+    out = str(tmp_path / "out")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    rc = main([
+        "--topology", str(topo), "--mode", "corpus",
+        "--input", docs_path, "--out", out,
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "survivors")).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in compile_corpus_pipeline(corpus_spec_from_dict(chain))(
+            spark.read.parquet(docs_path)
+        ).select("doc_id").collect()
+    }
+    assert got == want and got
+
+
+def test_corpus_mode_rejects_int_ops(tmp_path):
+    topo = tmp_path / "bad.json"
+    topo.write_text(json.dumps({
+        "stages": [{"stage": 0, "operation": "adder"}]
+    }))
+    rc = main(["--topology", str(topo), "--mode", "corpus"])
+    assert rc == 2
