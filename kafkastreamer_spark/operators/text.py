@@ -143,6 +143,27 @@ def _sql_lang_score(lang: str) -> str:
     return f"CAST(len(list_filter(w, t -> t IN ({words}))) AS BIGINT)"
 
 
+def lang_score(w, lang: str):
+    """Stopword-hit count for one language over a token array column."""
+    return (
+        F.size(F.filter(w, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+        .cast("long")
+        .alias(f"score_{lang}")
+    )
+
+
+def lang_pred_expr(en, es, de, fr):
+    """Deterministic argmax with preference order en>es>de>fr on ties
+    — shared by the registered query and the corpus-topology langid
+    gate so the two can never drift."""
+    return (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+
+
 @register(
     "text_language_id",
     oracle=f"""
@@ -172,25 +193,15 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = F.col("w")
 
-    def score(lang: str):
-        return (
-            F.size(F.filter(w, lambda t: t.isin(*LANG_STOPWORDS[lang])))
-            .cast("long")
-            .alias(f"score_{lang}")
-        )
-
     scored = d.select("doc_id", "lang", tokens("text").alias("w")).select(
         "doc_id", F.col("lang").alias("lang_true"),
-        score("en"), score("es"), score("de"), score("fr"),
+        lang_score(w, "en"), lang_score(w, "es"),
+        lang_score(w, "de"), lang_score(w, "fr"),
     )
     en, es, de, fr = (F.col(f"score_{x}") for x in ("en", "es", "de", "fr"))
-    pred = (
-        F.when((en >= es) & (en >= de) & (en >= fr), "en")
-        .when((es >= de) & (es >= fr), "es")
-        .when(de >= fr, "de")
-        .otherwise("fr")
-    )
-    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+    return scored.withColumn(
+        "lang_pred", lang_pred_expr(en, es, de, fr)
+    ).orderBy("doc_id")
 
 
 @register(

@@ -68,6 +68,33 @@ def _exact_dedup_streaming(df: DataFrame, arg: int) -> DataFrame:
     return df.withColumn("_h", F.md5("text")).dropDuplicates(["_h"]).drop("_h")
 
 
+def _length_gate(df: DataFrame, arg: int) -> DataFrame:
+    from kafkastreamer_spark.operators._embed import tokens
+
+    return df.filter(F.size(tokens("text")) >= arg)
+
+
+def _langid_gate(df: DataFrame, arg: int) -> DataFrame:
+    # keep docs whose heuristic language prediction agrees with the
+    # declared lang column — the mislabeled-document filter every
+    # multilingual intake runs; shares the registered
+    # text_language_id's exact scoring/tie-break expressions
+    from kafkastreamer_spark.operators._embed import tokens
+    from kafkastreamer_spark.operators.text import lang_pred_expr, lang_score
+
+    w = F.col("_w")
+    staged = df.withColumn("_w", tokens("text")).withColumn(
+        "_pred",
+        lang_pred_expr(
+            lang_score(w, "en"),
+            lang_score(w, "es"),
+            lang_score(w, "de"),
+            lang_score(w, "fr"),
+        ),
+    )
+    return staged.filter(F.col("_pred") == F.col("lang")).drop("_w", "_pred")
+
+
 def _source_cap(df: DataFrame, arg: int) -> DataFrame:
     from kafkastreamer_spark.operators.deskew import md5_ranked
 
@@ -90,6 +117,8 @@ def _temperature_mix(df: DataFrame, arg: int) -> DataFrame:
 # op -> (batch transform, streaming transform or None, default arg)
 CORPUS_STAGES: dict[str, tuple] = {
     "repetition_gate": (_repetition_gate, _repetition_gate, 0),
+    "length_gate": (_length_gate, _length_gate, 20),
+    "langid_gate": (_langid_gate, _langid_gate, 0),
     "exact_dedup": (_exact_dedup_batch, _exact_dedup_streaming, 0),
     "source_cap": (_source_cap, None, 15),
     "temperature_mix": (_temperature_mix, None, 4),

@@ -63,7 +63,8 @@ def test_validation_mirrors_reference_errors():
             streaming=True,
         )
     assert set(ALLOWED_CORPUS_OPERATIONS) == {
-        "repetition_gate", "exact_dedup", "source_cap", "temperature_mix",
+        "repetition_gate", "length_gate", "langid_gate",
+        "exact_dedup", "source_cap", "temperature_mix",
     }
 
 
@@ -144,3 +145,42 @@ def test_streamable_prefix_runs_on_a_stream(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     stream_got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert stream_got == batch_got
+
+
+def test_length_and_langid_gates(spark, sf_dir):
+    """The new stateless gates agree with their reference operators:
+    length_gate keeps exactly the docs with >= arg tokens
+    (text_token_stats ground truth) and langid_gate keeps exactly the
+    diagonal of the registered text_language_id confusion."""
+    from kafkastreamer_spark.registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = corpus_spec_from_dict(
+        {"stages": [{"stage": 0, "operation": "length_gate", "arg": 56}]}
+    )
+    got = {
+        r["doc_id"]
+        for r in compile_corpus_pipeline(spec)(docs).select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in REGISTRY["text_token_stats"].fn(spark, sf_dir)
+        .filter(F.col("n_tokens") >= 56)
+        .collect()
+    }
+    assert got == want and got and len(got) < docs.count()
+
+    spec = corpus_spec_from_dict(
+        {"stages": [{"stage": 0, "operation": "langid_gate"}]}
+    )
+    got = {
+        r["doc_id"]
+        for r in compile_corpus_pipeline(spec)(docs).select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in REGISTRY["text_language_id"].fn(spark, sf_dir)
+        .filter(F.col("lang_pred") == F.col("lang_true"))
+        .collect()
+    }
+    assert got == want and got and len(got) < docs.count()
