@@ -68,6 +68,36 @@ def _exact_dedup_streaming(df: DataFrame, arg: int) -> DataFrame:
     return df.withColumn("_h", F.md5("text")).dropDuplicates(["_h"]).drop("_h")
 
 
+def _gopher_gate(df: DataFrame, arg: int) -> DataFrame:
+    # keep docs passing ALL four Gopher rules (word-count band, mean
+    # word length band, min stopwords, alpha ratio) — the same
+    # integer cross-multiplication thresholds as the registered
+    # quality_gopher_rules (per-source pass_all parity pinned by
+    # test); stateless, streamable. The token array is materialized
+    # before the counting lambdas touch it (the re-evaluation trap
+    # documented on with_repetition_flag).
+    staged = df.withColumn("_gw", F.split(F.lower("text"), r"\s+"))
+    w = F.col("_gw")
+    n_words = F.size(w).cast("long")
+    total_chars = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(
+        F.filter(w, lambda t: t.isin("the", "a", "and", "of", "to"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]"))).cast("long")
+    keep = (
+        n_words.between(50, 100000)
+        & (total_chars >= n_words * 3)
+        & (total_chars <= n_words * 10)
+        & (n_stop >= 2)
+        & (n_alpha * 10 >= n_words * 8)
+    )
+    return staged.filter(keep).drop("_gw")
+
+
 def _length_gate(df: DataFrame, arg: int) -> DataFrame:
     from kafkastreamer_spark.operators._embed import tokens
 
@@ -117,6 +147,7 @@ def _temperature_mix(df: DataFrame, arg: int) -> DataFrame:
 # op -> (batch transform, streaming transform or None, default arg)
 CORPUS_STAGES: dict[str, tuple] = {
     "repetition_gate": (_repetition_gate, _repetition_gate, 0),
+    "gopher_gate": (_gopher_gate, _gopher_gate, 0),
     "length_gate": (_length_gate, _length_gate, 20),
     "langid_gate": (_langid_gate, _langid_gate, 0),
     "exact_dedup": (_exact_dedup_batch, _exact_dedup_streaming, 0),

@@ -63,7 +63,7 @@ def test_validation_mirrors_reference_errors():
             streaming=True,
         )
     assert set(ALLOWED_CORPUS_OPERATIONS) == {
-        "repetition_gate", "length_gate", "langid_gate",
+        "repetition_gate", "gopher_gate", "length_gate", "langid_gate",
         "exact_dedup", "source_cap", "temperature_mix",
     }
 
@@ -184,3 +184,27 @@ def test_length_and_langid_gates(spark, sf_dir):
         .collect()
     }
     assert got == want and got and len(got) < docs.count()
+
+
+def test_gopher_gate_matches_rules_query(spark, sf_dir):
+    """gopher_gate's per-source survivor counts must equal the
+    registered quality_gopher_rules' pass_all column exactly."""
+    from kafkastreamer_spark.registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = corpus_spec_from_dict(
+        {"stages": [{"stage": 0, "operation": "gopher_gate"}]}
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in compile_corpus_pipeline(spec)(docs)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rules = {
+        r["source"]: r["pass_all"]
+        for r in REGISTRY["quality_gopher_rules"].fn(spark, sf_dir).collect()
+    }
+    want = {s_: n for s_, n in rules.items() if n > 0}
+    assert got == want and got
