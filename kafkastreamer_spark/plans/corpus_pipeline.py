@@ -275,3 +275,101 @@ def compile_corpus_pipeline(
         return out
 
     return transform
+
+
+def _register_topology_report() -> None:
+    """Driver-checkable certification of the topology compiler: a
+    registered query that RUNS a compiled declarative chain
+    (gopher_gate -> exact_dedup -> source_cap) and reports per-source
+    survivors, with a DuckDB oracle expressing the same chain in SQL.
+    If the compiler, a stage transform, or the spec plumbing drifts,
+    the driver's hash compare catches it — not just the unit tests."""
+    from kafkastreamer_spark.registry import register
+    from kafkastreamer_spark.tables import load_table, widen
+
+    @register(
+        "pipeline_corpus_topology",
+        oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, text,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, source, text,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+                       AS total_chars,
+                   CAST(len(list_filter(w,
+                        t -> t IN ('the','a','and','of','to'))) AS BIGINT)
+                       AS n_stop,
+                   CAST(len(list_filter(w,
+                        t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+            FROM tok
+        ),
+        keep AS (
+            SELECT doc_id, source, text FROM f
+            WHERE n_words BETWEEN 50 AND 100000
+              AND total_chars >= n_words * 3
+              AND total_chars <= n_words * 10
+              AND n_stop >= 2
+              AND n_alpha * 10 >= n_words * 8
+        ),
+        dedup AS (
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM keep
+            ) WHERE rn = 1
+        ),
+        capped AS (
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS crn
+                FROM dedup
+            ) WHERE crn <= 15
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM capped GROUP BY source ORDER BY source
+        """,
+        tags=("pipeline", "topology", "llm-data"),
+    )
+    def pipeline_corpus_topology(spark, sf_dir):
+        """Per-source survivors of the DECLARATIVE hygiene topology
+        gopher_gate -> exact_dedup -> source_cap(15), executed through
+        the corpus topology compiler (the same path the CLI's corpus
+        mode and the XML surface use) — certifying compiler + stage
+        vocabulary end-to-end against an independent SQL oracle.
+
+        Scale shape: the chain is one composed plan — gopher flags in
+        one codegen pass, dedup rank + deskewed cap rank, counts-only
+        rollup (the capstone's cost class; see pipeline_corpus_prep).
+        """
+        spec = corpus_spec_from_dict(
+            {
+                "stream_id": "cert",
+                "stages": [
+                    {"stage": 0, "operation": "gopher_gate"},
+                    {"stage": 1, "operation": "exact_dedup"},
+                    {"stage": 2, "operation": "source_cap", "arg": 15},
+                ],
+            }
+        )
+        docs = widen(load_table(spark, sf_dir, "documents"))
+        survivors = compile_corpus_pipeline(spec)(docs)
+        return (
+            survivors.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("first_doc"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_topology_report()

@@ -25,3 +25,4 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational18,
 )
 from kafkastreamer_spark import operators  # noqa: F401
+from kafkastreamer_spark.plans import corpus_pipeline  # noqa: F401  (registers pipeline_corpus_topology)
