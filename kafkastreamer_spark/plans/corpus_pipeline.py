@@ -19,8 +19,21 @@ source, ...):
   flag expression (bit-identical to the metrics query, parity-tested)
   — STATELESS, usable on streams.
 - ``exact_dedup`` — keep the lowest-doc_id copy per md5(text)
-  (batch: rank; streaming: dropDuplicates on the hash — keeps the
-  FIRST arrival, which equals lowest-id when ids arrive in order).
+  (batch: rank; streaming: ``dropDuplicatesWithinWatermark`` on the
+  hash — keeps the FIRST arrival, which equals lowest-id when ids
+  arrive in order). In streaming mode the stage's ``arg`` is a TTL
+  in event-time MINUTES and is REQUIRED (> 0): it maps to the
+  watermark delay that bounds the dedup state store, so state holds
+  only hashes within TTL of the watermark instead of every distinct
+  document ever seen. The TTL-less form is rejected at COMPILE time
+  (unbounded state on an unbounded stream is a guaranteed OOM), and
+  the input frame must carry a timestamp column named ``ts``
+  (validated before the query starts). Recall contract: a duplicate
+  arriving more than TTL after its first copy is re-admitted — the
+  standard windowed-dedup semantics, same as the evicting LSH twin
+  (streaming/dedup.py). Batch ignores the TTL (global dedup);
+  stream survivors == batch survivors whenever duplicates arrive
+  within the TTL in id order (parity-tested).
 - ``source_cap`` — at most ``arg`` docs per source by md5(doc_id)
   order (deskewed rank) — batch-only (needs a per-group rank).
 - ``temperature_mix`` — per-language count^0.5 rebalance with
@@ -61,11 +74,33 @@ def _exact_dedup_batch(df: DataFrame, arg: int) -> DataFrame:
     )
 
 
+#: event-time column the streaming exact_dedup stage keys its TTL on
+EVENT_TIME_COL = "ts"
+
+
 def _exact_dedup_streaming(df: DataFrame, arg: int) -> DataFrame:
-    # first-arrival-wins on the content hash; state is one hash per
-    # distinct document (watermark-bounded in production via
-    # dropDuplicatesWithinWatermark, the engine's documented pattern)
-    return df.withColumn("_h", F.md5("text")).dropDuplicates(["_h"]).drop("_h")
+    # first-arrival-wins on the content hash, state bounded by the
+    # TTL (= arg minutes, compile-time validated > 0): the watermark
+    # delay IS the dedup window, so the state store evicts hashes
+    # older than TTL behind the watermark instead of growing with
+    # every distinct document forever.
+    from pyspark.sql.types import TimestampType
+
+    field = next(
+        (f for f in df.schema.fields if f.name == EVENT_TIME_COL), None
+    )
+    if field is None or not isinstance(field.dataType, TimestampType):
+        raise TopologyError(
+            f"streaming exact_dedup needs a timestamp event-time column "
+            f"{EVENT_TIME_COL!r} to bound its state (TTL {arg} min); "
+            f"input columns: {df.columns}"
+        )
+    return (
+        df.withColumn("_h", F.md5("text"))
+        .withWatermark(EVENT_TIME_COL, f"{arg} minutes")
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
 
 
 def _gopher_gate(df: DataFrame, arg: int) -> DataFrame:
@@ -187,6 +222,15 @@ def validate_corpus_spec(
                 f"operation {st.operation!r} needs a per-group rank and "
                 "cannot run in streaming mode (batch-only stage)"
             )
+        if streaming and st.operation == "exact_dedup":
+            eff = st.arg if st.arg >= 0 else CORPUS_STAGES[st.operation][2]
+            if eff <= 0:
+                raise TopologyError(
+                    "exact_dedup without a TTL keeps unbounded state in "
+                    "streaming mode; give it a positive arg (TTL in "
+                    "event-time minutes) — it maps to "
+                    "dropDuplicatesWithinWatermark's watermark delay"
+                )
     if len({st.stage for st in spec.stages}) != len(spec.stages):
         raise TopologyError("duplicate stage numbers")
     numbers = sorted(st.stage for st in spec.stages)

@@ -62,6 +62,20 @@ def test_validation_mirrors_reference_errors():
             CorpusPipelineSpec(stages=(CorpusStageSpec(0, "source_cap"),)),
             streaming=True,
         )
+    # ... and the TTL-less exact_dedup (unbounded state) likewise —
+    # both the default arg and an explicit 0 (VERDICT r7 #1)
+    for arg in (-1, 0):
+        with pytest.raises(TopologyError, match="unbounded state"):
+            validate_corpus_spec(
+                CorpusPipelineSpec(
+                    stages=(CorpusStageSpec(0, "exact_dedup", arg),)
+                ),
+                streaming=True,
+            )
+    # batch mode still accepts the TTL-less form (global dedup)
+    validate_corpus_spec(
+        CorpusPipelineSpec(stages=(CorpusStageSpec(0, "exact_dedup"),))
+    )
     assert set(ALLOWED_CORPUS_OPERATIONS) == {
         "repetition_gate", "gopher_gate", "length_gate", "langid_gate",
         "exact_dedup", "source_cap", "temperature_mix",
@@ -105,17 +119,27 @@ def test_compiled_chain_reproduces_capstone(spark, sf_dir):
 
 
 def test_streamable_prefix_runs_on_a_stream(spark, sf_dir, tmp_path):
-    """The streamable prefix (repetition_gate -> exact_dedup) compiled
-    in streaming mode over a 2-batch stream keeps exactly the batch
-    chain's survivors — first-arrival dedup == lowest-id dedup when
-    batches arrive in id order."""
+    """The streamable prefix (repetition_gate -> exact_dedup with a
+    TTL) compiled in streaming mode over a 2-batch stream keeps
+    exactly the batch chain's survivors — first-arrival dedup ==
+    lowest-id dedup when batches arrive in id order and all
+    duplicates land within the TTL window (the stage's documented
+    batch-parity contract)."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
+        "doc_id", "text", "lang", "source",
+        # synthetic event time: 1 second per doc_id — the whole table
+        # spans well under the TTL below, so windowed == global dedup
+        F.to_timestamp(
+            F.lit("2026-01-01 00:00:00")
+        ).alias("_t0"),
+    ).select(
+        "doc_id", "text", "lang", "source",
+        (F.col("_t0") + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
     )
     spec = corpus_spec_from_dict(
         {"stages": [
             {"stage": 0, "operation": "repetition_gate"},
-            {"stage": 1, "operation": "exact_dedup"},
+            {"stage": 1, "operation": "exact_dedup", "arg": 100000},
         ]}
     )
     batch_got = {
@@ -145,6 +169,100 @@ def test_streamable_prefix_runs_on_a_stream(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     stream_got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert stream_got == batch_got
+
+
+def test_streaming_exact_dedup_requires_event_time(spark, sf_dir):
+    """A TTL'd exact_dedup applied to a stream WITHOUT the ts column
+    fails with a clear TopologyError before the query starts."""
+    from kafkastreamer_spark.streaming.sources import rate_source
+
+    spec = corpus_spec_from_dict(
+        {"stages": [{"stage": 0, "operation": "exact_dedup", "arg": 10}]}
+    )
+    stream = rate_source(spark, rows_per_second=1).select(
+        F.col("value").alias("doc_id"),
+        F.col("value").cast("string").alias("text"),
+    )
+    with pytest.raises(TopologyError, match="event-time"):
+        compile_corpus_pipeline(spec, streaming=True)(stream)
+
+
+def test_streaming_exact_dedup_evicts_state(spark, tmp_path):
+    """The TTL actually bounds state: a duplicate arriving within the
+    TTL is dropped, one arriving after the hash's state was evicted
+    (watermark passed first-arrival + TTL) is RE-ADMITTED — proving
+    eviction happened, per the stage's documented recall contract.
+    Contrast run: with a TTL covering the whole stream, the late
+    duplicate stays deduped."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = datetime(2026, 1, 1)
+
+    def t(minute):
+        return base + timedelta(minutes=minute)
+
+    dup = "identical document body repeated verbatim across arrivals"
+
+    def run(ttl, out, ckpt):
+        spec = corpus_spec_from_dict(
+            {"stages": [{"stage": 0, "operation": "exact_dedup", "arg": ttl}]}
+        )
+        stream = file_source(spark, inp, schema, max_files_per_trigger=1)
+        gated = compile_corpus_pipeline(spec, streaming=True)(stream)
+
+        def wb(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            gated.writeStream.foreachBatch(wb)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    inp = str(tmp_path / "in")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    write([(1, dup, t(0))])     # first copy
+    write([(2, dup, t(5))])     # within TTL(10) -> dropped
+    # two filler batches: the first advances the watermark past
+    # first-copy-ts + TTL, the second lets the end-of-batch eviction
+    # sweep run under that watermark (eviction lags one batch)
+    write([(100, "unrelated filler advancing the watermark", t(120))])
+    write([(101, "more unrelated filler for the eviction sweep", t(125))])
+    write([(3, dup, t(130))])   # far past eviction -> re-admitted
+
+    got = run(10, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert 1 in got and 100 in got and 101 in got
+    assert 2 not in got, "within-TTL duplicate survived"
+    assert 3 in got, "state was not evicted: post-TTL duplicate deduped"
+
+    got_big = run(100000, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    assert got_big == {1, 100, 101}, (
+        f"TTL-covering run should dedup all: {got_big}"
+    )
 
 
 def test_length_and_langid_gates(spark, sf_dir):
