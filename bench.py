@@ -7,10 +7,18 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Queries execute to a noop sink (full pipeline runs, no driver-side
 collect skew). Timings include plan+execute per query; the session is
 warmed once so JVM startup isn't attributed to the first query, and
-each query is reported at steady state (second of two full runs) so
-one-time whole-stage-codegen/JIT per distinct plan — which amortizes
-to zero on a real cluster — doesn't dominate the numbers (the
-"methodology" field in the output records this).
+each query is reported at steady state — the MIN of its warm runs
+(every run after the first), so one-time whole-stage-codegen/JIT per
+distinct plan — which amortizes to zero on a real cluster — doesn't
+dominate the numbers (the "methodology" field records this).
+
+SPARK_GRAFT_BENCH_RUNS=N (default 2) sets total runs per query. The
+default (one warm run, i.e. second-of-two) keeps the per-round driver
+cost unchanged; N=3+ is the de-noising mode for round-over-round
+comparison on a possibly loaded box (VERDICT r7 #4): min-of-warm-runs
+suppresses transient load spikes, and the per-query [min, max] warm
+spread is emitted alongside so a reader can SEE the noise instead of
+guessing from loadavg alone.
 """
 
 from __future__ import annotations
@@ -66,6 +74,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # Loadavg BEFORE the bench generates its own load — the number
+    # that actually answers "was the box idle?" (the end-of-run 1m
+    # loadavg is always ~cpu_count after a 32-core Spark run).
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     _ensure_loaded()
     spark = get_spark(app_name="kafkastreamer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,21 +103,28 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, object] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # Steady-state methodology: each query executes twice and the
-        # SECOND run is reported. The first run pays one-time
-        # whole-stage-codegen + JIT compilation for that plan (measured
-        # 1-6 s per distinct plan on this VM, and the dominant
-        # run-to-run noise source at ±50% per query — see PLANS.md
-        # "Known non-ideal spots"). On a cluster that cost amortizes
-        # over minutes-long stages, so the warm number is the one that
-        # predicts scale behavior. Both runs do identical full work:
-        # caches are cleared between them, so only JVM code-cache state
-        # carries over.
-        elapsed = None
-        for _run in range(2):
+        # Steady-state methodology: each query executes n_runs times
+        # and the MIN of the warm runs (all but the first) is reported.
+        # The first run pays one-time whole-stage-codegen + JIT
+        # compilation for that plan (measured 1-6 s per distinct plan
+        # on this VM, and the dominant run-to-run noise source at ±50%
+        # per query — see PLANS.md "Known non-ideal spots"). On a
+        # cluster that cost amortizes over minutes-long stages, so the
+        # warm number is the one that predicts scale behavior; min (vs
+        # mean) additionally suppresses transient box-load spikes
+        # (VERDICT r7 #4). With the default n_runs=2 the min of one
+        # warm run IS the second-of-two number every prior round
+        # reported — the series stays comparable. All runs do identical
+        # full work: caches are cleared between them, so only JVM
+        # code-cache state carries over.
+        warm: list[float] = []
+        err = None
+        for run in range(n_runs):
             # isolate queries: operator-internal persist() calls
             # otherwise accumulate cached partitions across the run
             spark.catalog.clearCache()
@@ -120,33 +139,41 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
-                elapsed = f"ERROR: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+                err = f"ERROR: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
                 break
-            elapsed = round(time.perf_counter() - t0, 3)
-        timings[name] = elapsed
+            if run > 0:
+                warm.append(round(time.perf_counter() - t0, 3))
+        timings[name] = err if err else round(min(warm), 3)
+        if not err and len(warm) > 1:
+            spread[name] = [round(min(warm), 3), round(max(warm), 3)]
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
-    print(
-        json.dumps(
-            {
+    out = {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "methodology": "steady_state_second_of_two_runs",
+                "methodology": (
+                    "steady_state_second_of_two_runs"
+                    if n_runs == 2
+                    else f"steady_state_min_of_{n_runs - 1}_warm_runs"
+                ),
+                "runs_per_query": n_runs,
                 # Environment telemetry (round-4 postmortem: a loaded
                 # driver box inflated every frozen query 1.1-2.3x and
                 # cost a round of signal — these fields let a reader
                 # tell machine load from a code regression).
                 "env": {
+                    "loadavg_at_start_1m_5m_15m": load_at_start,
                     "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
                     "cpu_count": os.cpu_count(),
                     "affinity_cpus": len(os.sched_getaffinity(0)),
                 },
-            }
-        )
-    )
+    }
+    if spread:
+        out["queries_warm_spread"] = spread
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -567,8 +567,18 @@ def with_repetition_flag(
     documents; this form is per-row O(n log n), zero exchanges,
     usable as a plain stateless filter in a streaming map stage where
     an aggregation would force update-mode state. Same integer
-    thresholds, bit-identical flags (parity-tested against the
-    metrics query).
+    thresholds; flags are bit-identical to the metrics query FOR DOCS
+    WITH >= 2 TOKENS (parity-tested on that domain). The two forms
+    necessarily differ on degenerate docs: the metrics query emits no
+    row at all for sub-2-token docs (the bigram explode drops them),
+    while this flag form emits flag=1 for them — by construction, not
+    by accident: a 1-token doc makes the trigram clause
+    ``2*dup_tri > n-2`` vacuously true (0 > -1), and any doc under 10
+    tokens is flagged by the bigram threshold anyway the moment one
+    bigram exists (10*1 > n for n <= 9). A gate built on this flag
+    therefore DROPS all tiny docs — the conservative choice for a
+    quality filter; pinned in test_repetition_flag_degenerate_docs
+    (ADVICE r7: the old blanket "bit-identical" claim was overstated).
 
     Round-7 rework: the original counted each distinct gram with a
     nested filter — O(distinct·n) per row, measured 43 s over 500

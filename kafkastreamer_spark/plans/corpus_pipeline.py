@@ -16,7 +16,9 @@ Stage vocabulary (documents-shaped frames: doc_id, text, lang,
 source, ...):
 
 - ``repetition_gate`` — drop Gopher-repetitive docs via the map-only
-  flag expression (bit-identical to the metrics query, parity-tested)
+  flag expression (bit-identical to the metrics query for docs with
+  >= 2 tokens, parity-tested; sub-2-token docs are flagged — and thus
+  dropped — by construction, see with_repetition_flag's docstring)
   — STATELESS, usable on streams.
 - ``exact_dedup`` — keep the lowest-doc_id copy per md5(text)
   (batch: rank; streaming: ``dropDuplicatesWithinWatermark`` on the

@@ -32,6 +32,28 @@ Version dirs are ``state_dir/v{batch_id}_{attempt}``; the attempt
 counter guarantees a replayed batch never overwrites the directory the
 pointer currently references while reading from it.
 
+Durability scope: the guarantees above are against PROCESS crashes
+(driver/executor death at any instant). Against OS crash / power loss
+the pointer flip itself is made durable by fsyncing the tmp file and
+the containing directory after the rename, but the parquet payload's
+durability is the filesystem's business (local-FS writes are not
+fsync'd by Spark); on HDFS/object stores the store's commit semantics
+apply.
+
+Concurrent readers: the flip retains the PREVIOUS published version
+dir and GCs only older ones, so a reader (``read_state`` or a lazy
+DataFrame planned over it) that resolved the pointer just before a
+publish can still scan its version — one publish of slack. Readers
+that lag more than one publish behind an active sink must coordinate
+externally.
+
+Checkpoint pairing: a state_dir and its streaming checkpoint live and
+die TOGETHER. The applied-batch high-water mark records only the most
+recent batch id, so re-pointing a fresh checkpoint (batch ids restart
+at 0) at an existing state_dir would silently re-apply deltas on top
+of stale totals in the non-idempotent sinks — ``publish_state`` now
+detects the id regression and raises instead.
+
 Reference parity note: the reference persists its per-key state via a
 Kafka changelog topic (v1/src/main/java/Stream/Streamer.java:323-344),
 whose durability comes from the broker's log append; this is the
@@ -112,9 +134,18 @@ def publish_state(
        (never the dir the pointer references — safe to plan lazily
        over the current state);
     2. flip the pointer: write ``_CURRENT.tmp`` then ``os.rename`` it
-       over ``_CURRENT`` (atomic replace on POSIX);
-    3. GC every other version dir (best-effort; leftovers are retried
-       on the next publish).
+       over ``_CURRENT`` (atomic replace on POSIX), then fsync the
+       state_dir so the rename survives OS crash/power loss;
+    3. GC older version dirs, RETAINING the one the pointer named
+       before this flip — a concurrent reader that resolved the
+       pointer just before the flip can still scan it (best-effort;
+       leftovers are retried on the next publish).
+
+    Raises ``ValueError`` if ``batch_id`` is LOWER than the already
+    applied batch: streaming batch ids only move forward within one
+    checkpoint, so a regression means an existing state_dir was
+    re-paired with a fresh checkpoint — continuing would re-apply
+    deltas on top of stale totals in the non-idempotent sinks.
 
     ``pre_flip_hook(batch_id)``, if given, runs after the version
     write but BEFORE the pointer flip — the failure-injection point
@@ -122,7 +153,16 @@ def publish_state(
     driver death in the widest window the old overwrite-in-place
     design could not survive.
     """
+    applied = applied_batch(state_dir)
+    if applied is not None and batch_id < applied:
+        raise ValueError(
+            f"batch id regression on {state_dir!r}: batch {batch_id} "
+            f"arrived but batch {applied} is already applied — a fresh "
+            "checkpoint was re-paired with an existing state_dir "
+            "(create and delete them together; see module docstring)"
+        )
     os.makedirs(state_dir, exist_ok=True)
+    prev = current_version(state_dir)
     name = _fresh_version_dir(state_dir, batch_id)
     df.write.mode("overwrite").parquet(os.path.join(state_dir, name))
     if pre_flip_hook is not None:
@@ -134,7 +174,15 @@ def publish_state(
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, ptr)  # the atomic commit point
+    try:
+        dir_fd = os.open(state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)  # make the rename durable, not just atomic
+        finally:
+            os.close(dir_fd)
+    except OSError:
+        pass  # platforms that can't fsync a directory keep atomicity only
     for entry in os.listdir(state_dir):
-        if entry in (name, POINTER) or not entry.startswith("v"):
+        if entry in (name, prev, POINTER) or not entry.startswith("v"):
             continue
         shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)

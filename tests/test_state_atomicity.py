@@ -78,8 +78,42 @@ def test_statedir_partial_version_is_invisible(spark, tmp_path):
     assert [tuple(r) for r in statedir.read_state(spark, sd).collect()] == [
         (2, "b")
     ]
-    dirs = [e for e in os.listdir(sd) if e.startswith("v")]
-    assert dirs == ["v1_1"]  # v0_0 and the orphan v1_0 both GC'd
+    dirs = sorted(e for e in os.listdir(sd) if e.startswith("v"))
+    # orphan v1_0 GC'd; v0_0 RETAINED as the previous published
+    # version (ADVICE r7: a reader that resolved the pointer just
+    # before the flip may still be scanning it)
+    assert dirs == ["v0_0", "v1_1"]
+
+
+def test_statedir_retains_previous_version_for_readers(spark, tmp_path):
+    """A lazy DataFrame planned over the current state stays readable
+    across ONE subsequent publish (the pointer's previous version is
+    retained; only older dirs are GC'd)."""
+    sd = str(tmp_path / "state")
+    statedir.publish_state(spark.createDataFrame([(1,)], ["id"]), sd, 0)
+    lazy = statedir.read_state(spark, sd)  # resolves the v0_0 path now
+    statedir.publish_state(spark.createDataFrame([(2,)], ["id"]), sd, 1)
+    assert [r["id"] for r in lazy.collect()] == [1]  # still scannable
+    # two publishes later the v0_0 dir is gone (one publish of slack)
+    statedir.publish_state(spark.createDataFrame([(3,)], ["id"]), sd, 2)
+    dirs = sorted(e for e in os.listdir(sd) if e.startswith("v"))
+    assert dirs == ["v1_0", "v2_0"]
+
+
+def test_statedir_rejects_fresh_checkpoint_on_stale_state(spark, tmp_path):
+    """Re-pairing an existing state_dir with a FRESH checkpoint (batch
+    ids restart at 0) must fail loudly instead of silently re-applying
+    deltas on top of stale totals (ADVICE r7)."""
+    sd = str(tmp_path / "state")
+    statedir.publish_state(spark.createDataFrame([(1,)], ["id"]), sd, 0)
+    statedir.publish_state(spark.createDataFrame([(2,)], ["id"]), sd, 3)
+    # replay of the SAME batch id is legitimate (crash after flip)
+    statedir.publish_state(spark.createDataFrame([(2,)], ["id"]), sd, 3)
+    with pytest.raises(ValueError, match="regression"):
+        statedir.publish_state(spark.createDataFrame([(9,)], ["id"]), sd, 0)
+    # state untouched by the rejected publish
+    assert statedir.applied_batch(sd) == 3
+    assert [r["id"] for r in statedir.read_state(spark, sd).collect()] == [2]
 
 
 def test_statedir_pre_flip_crash_keeps_old_state(spark, tmp_path):
