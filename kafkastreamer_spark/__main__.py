@@ -16,7 +16,14 @@ express) through the single-query compiler, one result directory per
 sink; `corpus` runs a corpus-hygiene topology
 (plans/corpus_pipeline.py vocabulary: repetition_gate / exact_dedup /
 source_cap / temperature_mix) over a documents parquet dir given via
---input, writing the surviving documents.
+--input, writing the surviving documents. `corpus --stream` runs the
+SAME declared topology as a Structured Streaming job instead: the
+input dir becomes a file source (one file per micro-batch), the
+topology is compiled in streaming mode (batch-only stages and the
+TTL-less exact_dedup are rejected at compile time), and survivors
+land through the batchId-idempotent exactly-once parquet sink —
+stream survivors equal the batch run's for the stateless-gate
+vocabulary (tested).
 """
 
 from __future__ import annotations
@@ -43,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
         help="documents parquet dir (corpus mode; default: the sf0.001 fixture)",
     )
     ap.add_argument("--out", default="", help="output directory (default: temp)")
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="corpus mode: run the topology as a streaming job over the "
+        "input dir (one file per micro-batch, exactly-once sink)",
+    )
     ap.add_argument("--bootstrap", default="", help="Kafka bootstrap (chained mode)")
     ap.add_argument("--show", type=int, default=10, help="rows to print")
     args = ap.parse_args(argv)
@@ -127,6 +140,38 @@ def main(argv: list[str] | None = None) -> int:
         from kafkastreamer_spark.tables import widen
 
         in_dir = args.input or "/root/testdata/sf0.001/documents.parquet"
+        if args.stream:
+            from kafkastreamer_spark.streaming.core import (
+                exactly_once_parquet_sink,
+            )
+            from kafkastreamer_spark.streaming.sources import file_source
+
+            schema = spark.read.parquet(in_dir).schema
+            stream = file_source(spark, in_dir, schema, max_files_per_trigger=1)
+            try:
+                survivors = compile_corpus_pipeline(spec, streaming=True)(
+                    stream
+                )
+            except TopologyError as exc:
+                print(f"error: invalid topology: {exc}", file=sys.stderr)
+                if _owns_session:
+                    spark.stop()
+                return 2
+            sink_dir = os.path.join(out_dir, "survivors")
+            q = exactly_once_parquet_sink(
+                survivors, sink_dir, os.path.join(out_dir, "_checkpoint")
+            )
+            q.awaitTermination()
+            n_in = spark.read.parquet(in_dir).count()
+            n_out = spark.read.parquet(sink_dir).count()
+            print(
+                f"stream_id={spec.stream_id} stages={len(spec.stages)} "
+                f"mode=streaming docs_in={n_in} docs_out={n_out} "
+                f"out={out_dir}"
+            )
+            if _owns_session:
+                spark.stop()
+            return 0
         docs = widen(spark.read.parquet(in_dir))
         survivors = compile_corpus_pipeline(spec)(docs)
         survivors.write.mode("overwrite").parquet(os.path.join(out_dir, "survivors"))

@@ -42,7 +42,7 @@ NGRAM_DF_CAP = 64  # shingles in more docs than this are stop-shingles
 MINHASH_PERMS = 12
 MINHASH_BANDS = 4  # 4 bands × 3 rows: s-curve midpoint ≈ 0.63
 COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are near-random; see tests
-SIMHASH_BITS = 64
+SIMHASH_BITS = 128  # round-8 rework: was 64 (see dedup_simhash docstring)
 SIMHASH_MAX_HAMMING = 8
 
 
@@ -337,20 +337,26 @@ _SQL_BIT = f"(({_SQL_HEXVAL} // CAST(pow(2, 3 - b % 4) AS INT)) % 2)"
             SELECT doc_id, list(chunk ORDER BY c) AS chunks
             FROM chunkints GROUP BY doc_id
         ),
+        blkkeys AS (
+            SELECT doc_id, c AS blk,
+                   chunks[CAST(2*c+1 AS INT)] * 65536
+                       + chunks[CAST(2*c+2 AS INT)] AS v
+            FROM sig, (SELECT unnest(range(4)) AS c)
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM chunkints a JOIN chunkints b
-              ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            FROM blkkeys a JOIN blkkeys b
+              ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               CAST(list_sum(list_transform(range(4),
+               CAST(list_sum(list_transform(range(8),
                     i -> bit_count(xor(sa.chunks[CAST(i+1 AS INT)],
                                        sb.chunks[CAST(i+1 AS INT)]))))
                     AS BIGINT) AS hamming
         FROM cand
         JOIN sig sa ON sa.doc_id = doc_a
         JOIN sig sb ON sb.doc_id = doc_b
-        WHERE list_sum(list_transform(range(4),
+        WHERE list_sum(list_transform(range(8),
               i -> bit_count(xor(sa.chunks[CAST(i+1 AS INT)],
                                  sb.chunks[CAST(i+1 AS INT)]))))
               <= {SIMHASH_MAX_HAMMING}
@@ -359,32 +365,55 @@ _SQL_BIT = f"(({_SQL_HEXVAL} // CAST(pow(2, 3 - b % 4) AS INT)) % 2)"
     tags=("llm-data", "dedup", "lsh"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature from md5-derived token bits,
-    16-bit-chunk blocking (any equal chunk → candidate; guarantees
-    recall for hamming ≤ 3 and probabilistically above), hamming ≤ 8
-    verification.
+    """SimHash near-dup: 128-bit signature from md5-derived token
+    bits, 32-bit-block LSH (any of the four 32-bit blocks equal →
+    candidate; pigeonhole guarantees exact recall for hamming ≤ 3,
+    probabilistic above), hamming ≤ 8 verification — the
+    Manku/Jain/Sarma WWW'07 table scheme with table count and key
+    width chosen for corpus scale.
 
-    Scale: signature build is one explode + one groupBy per doc; the
-    chunk join is an equi join on 16-bit keys — collision rate
-    2^-16 per chunk keeps candidates ∝ true near-dups.
+    Round-8 rework, driven by the x64 probe: the original 64-bit/
+    16-bit-chunk form keyed a FIXED 2^16 domain, so block buckets
+    filled with merely-SIMILAR documents (sharing any 16 signature
+    bits) and random collisions grew 4·n²/2^16 — measured 197x wall
+    at 64x data (716 s), a guaranteed scale-killer at 10^8+ docs. A
+    C(8,4)=70-combination variant fixed the collision domain but
+    multiplied every true near-dup pair's candidate rows ~35x
+    (duplicate clusters match every combo) — worse on dup-dense
+    corpora. The final form keeps the table count at FOUR (generation
+    stays ∝ true pairs) and widens the signature instead: 128 simhash
+    bits → four 32-bit block keys, 2^32 collision domain, 65536x
+    fewer spurious bucket mates per table, same ≤ 3 pigeonhole
+    guarantee. Measured x1/x16/x64: docs/SCALING.md round-8 table.
+
+    Scale: signature build is one explode + one groupBy per doc
+    (packed accumulators); candidates verify with 8 xor+popcounts
+    in-join, and CANONICAL-BLOCK emission (keep a pair only in its
+    first equal block, a 3-term when-chain on the in-join keys) makes
+    every pair unique before the distinct — the distinct is a safety
+    net, not a dedup shuffle.
     """
     d = _docs(spark, sf_dir)
     # Signature build as explode + a PACKED-accumulator groupBy, all
     # primitive long arithmetic inside whole-stage codegen. The md5
-    # hex splits into four 4-hex-char (16-bit) chunks via conv();
-    # chunk bit p of c{c} is global simhash bit b = 16c + (15-p) —
+    # hex splits into eight 4-hex-char (16-bit) chunks via conv() —
+    # all 32 hex chars of the md5 feed the 128-bit signature; chunk
+    # bit p of c{c} is global simhash bit b = 16c + (15-p) —
     # identical bit layout to the oracle's per-nibble expansion.
     # Per-bit sign needs only the SET count: s_b = Σ(2·bit−1) =
     # 2·cnt_b − n_toks, so s_b ≥ 0 ⟺ 2·cnt_b ≥ n. Each SUM
     # accumulator packs FOUR 16-bit counts (bits 4j..4j+3 of a chunk
-    # → bytes 0/2/4/6 of one long): 16 packed sums + n = 17 aggregate
-    # buffers. Two rejected forms, both measured on the sf0.1 build:
-    # a per-token 64-element ±1-array zip_with fold (array churn,
-    # 10.2 s) and 64 separate SUM(bit) columns feeding a 64-way
-    # when-chain projection (fused HashAggregate+Project codegen blows
-    # up: ~14 s cold, ~6 s per re-run; the packed form is 1.1 s cold,
-    # 0.6 s warm). 16-bit fields bound per-doc distinct tokens at
+    # → bytes 0/2/4/6 of one long): 32 packed sums + n = 33 aggregate
+    # buffers (the 64-bit ancestor's rejected forms — per-token
+    # ±1-array folds and one-SUM-per-bit — lose by 10x+; see git
+    # history). 16-bit fields bound per-doc distinct tokens at
     # 65535 — beyond any whitespace-tokenized document.
+    n_chunks = SIMHASH_BITS // 16
+    # conv() is the expensive per-token op: parse the 32 hex chars as
+    # FOUR 8-hex (32-bit) values and split each into its two 16-bit
+    # chunks with shifts — half the conv() calls of the naive
+    # chunk-per-conv form (32-bit values stay far inside signed-long
+    # range; a single 16-hex conv would overflow it).
     tok_chunks = (
         d.select("doc_id", tokens("text").alias("w"))
         .select("doc_id", F.explode(F.array_distinct("w")).alias("t"))
@@ -392,10 +421,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             *[
-                F.conv(F.substring("h", 1 + 4 * c, 4), 16, 10)
+                F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10)
                 .cast("long")
-                .alias(f"c{c}")
-                for c in range(4)
+                .alias(f"v{j}")
+                for j in range(n_chunks // 2)
+            ],
+        )
+        .select(
+            "doc_id",
+            *[
+                e
+                for j in range(n_chunks // 2)
+                for e in (
+                    F.shiftright(F.col(f"v{j}"), 16).alias(f"c{2 * j}"),
+                    F.col(f"v{j}")
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{2 * j + 1}"),
+                )
             ],
         )
     )
@@ -416,15 +458,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(_packed(c, q)).alias(f"p_{c}_{q}")
-            for c in range(4)
+            for c in range(n_chunks)
             for q in range(4)
         ],
     )
 
-    # Re-pack sign bits into FOUR 16-bit BIGINT chunks (MSB-first).
-    # The chunk int is both the LSH block key and the verify payload:
-    # hamming = Σ bit_count(xor(chunk_a, chunk_b)) — 4 xor+popcount
-    # ops per candidate pair instead of a 64-element compare.
+    # Re-pack sign bits into EIGHT 16-bit BIGINT chunks (MSB-first).
+    # The chunk ints are the verify payload: hamming = Σ
+    # bit_count(xor(chunk_a, chunk_b)) — 8 xor+popcount ops per
+    # candidate pair instead of a 128-element compare; PAIRS of chunks
+    # concatenate into the four 32-bit LSH block keys.
     def _chunk_int(c: int):
         expr = F.lit(0).cast("long")
         for p in range(16):  # chunk bit position
@@ -435,38 +478,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = expr + F.shiftleft(bit, p)
         return expr
 
+    kcols = [f"k{c}" for c in range(n_chunks)]
     sig = (
         bit_counts.select(
-            "doc_id", *[_chunk_int(c).alias(f"k{c}") for c in range(4)]
+            "doc_id", *[_chunk_int(c).alias(f"k{c}") for c in range(n_chunks)]
         )
-        .persist()  # chunk self-join fans this into two branches
+        .persist()  # block self-join fans this into two branches
     )
-    # stack() fans each doc into its 4 (position, chunk) block keys
-    # while keeping k0..k3 as scalar columns, so hamming unrolls to 4
-    # primitive xor+popcounts — no per-pair array allocation, and a
-    # far smaller codegen unit than the earlier zip_with-over-arrays
-    # (first-run JIT 12.3 s → 6.5 s for the whole query, warm 2.9 s →
-    # 0.9 s, measured at sf0.1).
+    # stack() fans each doc into its 4 (block, 32-bit-key) rows while
+    # keeping k0..k7 as scalar columns, so hamming unrolls to 8
+    # primitive xor+popcounts — no per-pair array allocation. Block c
+    # = k_{2c}*2^16 + k_{2c+1}, matching the oracle's chunk pairing.
+    stack_args = ", ".join(
+        f"{c}, k{2 * c} * 65536 + k{2 * c + 1}" for c in range(4)
+    )
     chunks = sig.select(
         "doc_id",
-        "k0",
-        "k1",
-        "k2",
-        "k3",
-        F.expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3) as (c, chunk)"),
+        *kcols,
+        F.expr(f"stack(4, {stack_args}) as (c, chunk)"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = sum(
         [
             F.bit_count(F.col(f"a.k{c}").bitwiseXOR(F.col(f"b.k{c}"))).cast("long")
-            for c in range(4)
+            for c in range(n_chunks)
         ],
         F.lit(0).cast("long"),
     )
-    # hamming is computed IN the block join and filtered before the
-    # dedup-distinct, so the distinct shuffle only carries true
-    # near-dup pairs (≈0.1% of candidates here), not all 1.6M.
+    # CANONICAL-BLOCK emission: a near-identical pair matches several
+    # of the 4 block tables (a hamming-0 pair matches all 4), and
+    # emitting it from each would multiply the post-join volume on
+    # duplicate-dense corpora. The join keeps a row only in the FIRST
+    # block the pair agrees on (3 long-compares on keys it already
+    # carries), so every pair is unique before the distinct — the
+    # distinct is a safety net, not a dedup shuffle.
+    def _blk_eq(c: int):
+        return (F.col(f"a.k{2 * c}") == F.col(f"b.k{2 * c}")) & (
+            F.col(f"a.k{2 * c + 1}") == F.col(f"b.k{2 * c + 1}")
+        )
+
+    first_blk = (
+        F.when(_blk_eq(0), 0)
+        .when(_blk_eq(1), 1)
+        .when(_blk_eq(2), 2)
+        .otherwise(3)
+    )
     return (
         a.join(
             b,
@@ -474,6 +531,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.c") == first_blk)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from kafkastreamer_spark.__main__ import main
 
 
@@ -98,6 +100,73 @@ def test_corpus_mode_end_to_end(spark, sf_dir, tmp_path):
         ).select("doc_id").collect()
     }
     assert got == want and got
+
+
+def test_corpus_stream_mode_matches_batch(spark, sf_dir, tmp_path):
+    """`--mode corpus --stream` (VERDICT r7 stretch #9): the declared
+    stateless-gate topology runs as a Structured Streaming job over a
+    multi-file input dir through the exactly-once sink, and the
+    streamed survivors equal the batch run's exactly."""
+    from kafkastreamer_spark.plans.corpus_pipeline import (
+        compile_corpus_pipeline,
+        corpus_spec_from_dict,
+    )
+
+    chain = {
+        "stream_id": "cs1",
+        "stages": [
+            {"stage": 0, "operation": "repetition_gate"},
+            {"stage": 1, "operation": "gopher_gate"},
+            {"stage": 2, "operation": "length_gate", "arg": 40},
+        ],
+    }
+    topo = tmp_path / "corpus_stream.json"
+    topo.write_text(json.dumps(chain))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    inp = str(tmp_path / "docs_in")
+    # two files -> two micro-batches
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "--topology", str(topo), "--mode", "corpus",
+        "--stream", "--input", inp, "--out", out,
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "survivors")).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in compile_corpus_pipeline(corpus_spec_from_dict(chain))(
+            docs
+        ).select("doc_id").collect()
+    }
+    assert got == want and got
+
+
+def test_corpus_stream_mode_rejects_batch_only_stage(spark, sf_dir, tmp_path):
+    """Rank-based stages (and the TTL-less exact_dedup) fail the
+    --stream run at COMPILE time with the clean exit-2 path."""
+    for bad_stage in (
+        {"stage": 0, "operation": "source_cap", "arg": 5},
+        {"stage": 0, "operation": "exact_dedup"},
+    ):
+        topo = tmp_path / f"bad_{bad_stage['operation']}.json"
+        topo.write_text(json.dumps({"stages": [bad_stage]}))
+        rc = main([
+            "--topology", str(topo), "--mode", "corpus", "--stream",
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--out", str(tmp_path / f"out_{bad_stage['operation']}"),
+        ])
+        assert rc == 2
 
 
 def test_corpus_mode_rejects_int_ops(tmp_path):
