@@ -175,7 +175,7 @@ def dedup_memorization_span_examples(
             SELECT a.source AS train_source, b.source AS eval_source
             FROM base a CROSS JOIN base b WHERE a.source <> b.source
         )
-        SELECT p.train_source, p.eval_source, b.n_docs,
+        SELECT p.train_source, p.eval_source AS eval_source, b.n_docs,
                COALESCE(f.n_contaminated, 0) AS n_contaminated,
                (10000 * COALESCE(f.n_contaminated, 0)) // b.n_docs
                    AS contam_rate4
@@ -183,7 +183,7 @@ def dedup_memorization_span_examples(
         JOIN base b ON b.source = p.train_source
         LEFT JOIN flagged f
           ON f.source = p.train_source AND f.eval_source = p.eval_source
-        ORDER BY train_source, eval_source
+        ORDER BY p.train_source, p.eval_source
     """,
     tags=("llm-data", "dedup", "decontamination", "audit"),
 )
