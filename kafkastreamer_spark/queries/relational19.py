@@ -591,3 +591,159 @@ def text_ngram_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("novelty4", F.expr("(10000 * n_novel) div n_postings"))
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 228: training-intake economics (packing waste, dedup-rate curve)
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 512  # training sequence length for the waste audit
+
+
+@register(
+    "sample_pack_waste_audit",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, CAST(len({SQL_TOKENS}) AS BIGINT) AS nt
+            FROM documents
+        ),
+        pad AS (
+            SELECT source, nt,
+                   ((nt + {_PACK_LEN} - 1) // {_PACK_LEN}) * {_PACK_LEN}
+                       AS padded
+            FROM tok
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(sum(padded) AS BIGINT) AS padded_tokens,
+               (10000 * (sum(padded) - sum(nt))) // sum(padded)
+                   AS waste4
+        FROM pad GROUP BY source ORDER BY source
+    """,
+    tags=("llm-data", "sampling", "training-data", "audit"),
+)
+def sample_pack_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for doc-isolated training batches: per
+    source, the tokens a {_PACK_LEN}-token sequence layout pads away
+    when each document is chunked to whole sequences (padded =
+    ceil(n/{_PACK_LEN})·{_PACK_LEN}), with the waste share in basis
+    points. This prices what the packing operator
+    (text_pack_sequences) SAVES — the before/after pair every intake
+    pipeline quotes when deciding between doc-isolated and packed
+    batches; sources full of short documents show the worst waste and
+    are the first candidates for packing or concat-with-separator.
+
+    Exact integer arithmetic end to end (ceil-div and basis points via
+    integer ops). Scale: one map pass + a per-source combine —
+    scan-bound, no joins, no windows.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    pad = d.select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("nt"),
+    ).select(
+        "source",
+        "nt",
+        F.expr(
+            f"((nt + {_PACK_LEN - 1}) div {_PACK_LEN}) * {_PACK_LEN}"
+        ).alias("padded"),
+    )
+    return (
+        pad.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.sum("padded").cast("long").alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste4",
+            F.expr(
+                "(10000 * (padded_tokens - total_tokens)) div padded_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_rate_by_decile",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(text) AS hsh FROM documents
+        ),
+        firsts AS (
+            SELECT hsh, CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM h GROUP BY hsh
+        ),
+        docs AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+                   COUNT(*) OVER () AS n
+            FROM h
+        ),
+        dec AS (
+            SELECT doc_id,
+                   CAST((r - 1) * 10 // n + 1 AS BIGINT) AS decile
+            FROM docs
+        )
+        SELECT d.decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE x.doc_id <> f.first_doc)
+                    AS BIGINT) AS n_dup,
+               (10000 * count(*) FILTER (WHERE x.doc_id <> f.first_doc))
+                   // count(*) AS dup_rate4
+        FROM h x
+        JOIN firsts f ON f.hsh = x.hsh
+        JOIN dec d ON d.doc_id = x.doc_id
+        GROUP BY d.decile ORDER BY d.decile
+    """,
+    tags=("llm-data", "dedup", "audit"),
+)
+def dedup_rate_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate over corpus intake order: walk the corpus
+    in doc_id order, split into ten deciles, and report per decile the
+    share of documents that are byte-identical (md5) to an EARLIER
+    document anywhere in the corpus. The doc-level companion of
+    text_ngram_novelty_decile: a rising curve says the crawl is
+    re-fetching what it already has — the trigger for moving exact
+    dedup from batch cleanup into the intake path
+    (dedup_incremental / the corpus topology's exact_dedup stage).
+
+    Determinism: duplicate means doc_id != min(doc_id) of its content
+    hash — pure integers; deciles use the explicit rank formula (not
+    NTILE). Scale: min-per-hash aggregates map-side; the doc rank uses
+    the RANGE deskew bucket (no global single-task sort); one join
+    back on doc_id.
+    """
+    from kafkastreamer_spark.operators.deskew import bucketed_row_number
+
+    d = widen(load_table(spark, sf_dir, "documents"))
+    h = d.select("doc_id", F.md5("text").alias("hsh"))
+    firsts = h.groupBy("hsh").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    docs = bucketed_row_number(
+        h.select("doc_id"),
+        [],
+        (F.col("doc_id") / 1024).cast("long"),
+        [F.col("doc_id").asc()],
+        "_r",
+        count_name="_n",
+    ).select(
+        "doc_id",
+        F.expr("CAST((_r - 1) * 10 div _n + 1 AS BIGINT)").alias("decile"),
+    )
+    return (
+        h.join(firsts, "hsh")
+        .join(docs, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("doc_id") != F.col("first_doc"))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .withColumn("dup_rate4", F.expr("(10000 * n_dup) div n_docs"))
+        .orderBy("decile")
+    )
