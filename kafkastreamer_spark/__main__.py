@@ -23,7 +23,12 @@ topology is compiled in streaming mode (batch-only stages and the
 TTL-less exact_dedup are rejected at compile time), and survivors
 land through the batchId-idempotent exactly-once parquet sink —
 stream survivors equal the batch run's for the stateless-gate
-vocabulary (tested).
+vocabulary (tested). `corpus-dag` runs a FAN-OUT/FAN-IN corpus
+topology JSON (plans/corpus_dag.py: dag.py's nodes/sinks format with
+the corpus stage vocabulary; every source node binds to the --input
+documents dir) — batch by default, `--stream` for the single-query-
+per-sink Structured Streaming deployment with the same compile-time
+rejections (stream==batch survivors tested on a 2-branch DAG).
 """
 
 from __future__ import annotations
@@ -41,7 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kafkastreamer_spark")
     ap.add_argument("--topology", required=True, help="topology XML (reference format) or JSON")
     ap.add_argument(
-        "--mode", choices=["single", "chained", "dag", "corpus"], default="single"
+        "--mode",
+        choices=["single", "chained", "dag", "corpus", "corpus-dag"],
+        default="single",
     )
     ap.add_argument("--records", type=int, default=1000, help="bounded source size")
     ap.add_argument(
@@ -77,6 +84,16 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.topology) as fh:
                 dag_spec = dag_from_dict(json.load(fh))
             spec = None
+        elif args.mode == "corpus-dag":
+            from kafkastreamer_spark.plans.corpus_dag import (
+                corpus_dag_from_dict,
+            )
+
+            with open(args.topology) as fh:
+                dag_spec = corpus_dag_from_dict(
+                    json.load(fh), streaming=args.stream
+                )
+            spec = None
         elif args.mode == "corpus":
             from kafkastreamer_spark.plans.corpus_pipeline import (
                 corpus_spec_from_dict,
@@ -100,7 +117,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: invalid topology: {exc}", file=sys.stderr)
         return 2
 
-    stream_id = (dag_spec.stream_id or "dag") if args.mode == "dag" else spec.stream_id
+    stream_id = (
+        (dag_spec.stream_id or args.mode)
+        if args.mode in ("dag", "corpus-dag")
+        else spec.stream_id
+    )
     from pyspark.sql import SparkSession
 
     # only stop the session if this CLI call created it — embedding
@@ -128,6 +149,69 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"stream_id={stream_id} nodes={len(dag_spec.nodes)} "
             f"sinks={len(results)} out={out_dir}"
+        )
+        if _owns_session:
+            spark.stop()
+        return 0
+
+    if args.mode == "corpus-dag":
+        from kafkastreamer_spark.plans.corpus_dag import compile_corpus_dag
+        from kafkastreamer_spark.plans.dag import SOURCE_OP
+        from kafkastreamer_spark.tables import widen
+
+        in_dir = args.input or "/root/testdata/sf0.001/documents.parquet"
+        src_names = [
+            n.name for n in dag_spec.nodes if n.operation == SOURCE_OP
+        ]
+        if args.stream:
+            from kafkastreamer_spark.streaming.core import (
+                exactly_once_parquet_sink,
+            )
+            from kafkastreamer_spark.streaming.sources import file_source
+
+            schema = spark.read.parquet(in_dir).schema
+            sources = {
+                name: file_source(
+                    spark, in_dir, schema, max_files_per_trigger=1
+                )
+                for name in src_names
+            }
+            results = compile_corpus_dag(dag_spec, streaming=True)(sources)
+            for sink, df in results.items():
+                q = exactly_once_parquet_sink(
+                    df,
+                    os.path.join(out_dir, sink),
+                    os.path.join(out_dir, f"_checkpoint_{sink}"),
+                )
+                q.awaitTermination()
+            n_in = spark.read.parquet(in_dir).count()
+            counts = {
+                sink: spark.read.parquet(os.path.join(out_dir, sink)).count()
+                for sink in results
+            }
+            print(
+                f"stream_id={stream_id} nodes={len(dag_spec.nodes)} "
+                f"mode=streaming docs_in={n_in} "
+                + " ".join(f"{s}={c}" for s, c in counts.items())
+                + f" out={out_dir}"
+            )
+            if _owns_session:
+                spark.stop()
+            return 0
+        docs = widen(spark.read.parquet(in_dir))
+        results = compile_corpus_dag(dag_spec)({n: docs for n in src_names})
+        n_in = docs.count()
+        counts = {}
+        for sink, df in results.items():
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, sink))
+            counts[sink] = spark.read.parquet(
+                os.path.join(out_dir, sink)
+            ).count()
+        print(
+            f"stream_id={stream_id} nodes={len(dag_spec.nodes)} "
+            f"docs_in={n_in} "
+            + " ".join(f"{s}={c}" for s, c in counts.items())
+            + f" out={out_dir}"
         )
         if _owns_session:
             spark.stop()

@@ -68,9 +68,36 @@ class DagSpec:
     stream_id: str = ""
 
 
-def validate_dag(spec: DagSpec) -> DagSpec:
+def _int_stage_check(n: DagNode) -> None:
+    """The int-pipeline vocabulary's per-node op/arity rules."""
+    if n.operation == UNION_OP:
+        if len(n.inputs) < 2:
+            raise TopologyError(
+                f"union node {n.name!r} needs >= 2 inputs, got {len(n.inputs)}"
+            )
+    elif n.operation in ALLOWED_OPERATIONS:
+        if len(n.inputs) != 1:
+            raise TopologyError(
+                f"stage node {n.name!r} ({n.operation}) needs exactly one "
+                f"input, got {len(n.inputs)}"
+            )
+    else:
+        raise TopologyError(
+            f"operation {n.operation!r} not allowed; expected one of "
+            f"{ALLOWED_OPERATIONS + (SOURCE_OP, UNION_OP)}"
+        )
+
+
+def validate_dag(spec: DagSpec, op_check=_int_stage_check) -> DagSpec:
     """Validate shape, arity, reachability, and acyclicity; returns
-    the spec with nodes in a deterministic topological order."""
+    the spec with nodes in a deterministic topological order.
+
+    ``op_check(node)`` supplies the per-vocabulary op/arity rules for
+    every non-source node (raise TopologyError on violation) — the
+    int-stage rules by default; plans/corpus_dag.py passes the corpus
+    vocabulary's. Graph-shape rules (unique names, known inputs,
+    acyclicity, sources/sinks/reachability) are vocabulary-independent
+    and live here once."""
     if not spec.nodes:
         raise TopologyError("dag has no nodes")
     by_name = {}
@@ -85,22 +112,8 @@ def validate_dag(spec: DagSpec) -> DagSpec:
             if n.inputs:
                 raise TopologyError(f"source node {n.name!r} must have no inputs")
             sources.append(n.name)
-        elif n.operation == UNION_OP:
-            if len(n.inputs) < 2:
-                raise TopologyError(
-                    f"union node {n.name!r} needs >= 2 inputs, got {len(n.inputs)}"
-                )
-        elif n.operation in ALLOWED_OPERATIONS:
-            if len(n.inputs) != 1:
-                raise TopologyError(
-                    f"stage node {n.name!r} ({n.operation}) needs exactly one "
-                    f"input, got {len(n.inputs)}"
-                )
         else:
-            raise TopologyError(
-                f"operation {n.operation!r} not allowed; expected one of "
-                f"{ALLOWED_OPERATIONS + (SOURCE_OP, UNION_OP)}"
-            )
+            op_check(n)
         for i in n.inputs:
             if i not in by_name:
                 raise TopologyError(f"node {n.name!r} reads unknown input {i!r}")

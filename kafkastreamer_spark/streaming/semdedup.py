@@ -108,8 +108,16 @@ def _emit_cosine_pairs(
     rows = []
     for i, (vid_b, vec_b) in enumerate(new):
         nb = math.sqrt(_dot(vec_b, vec_b))
+        if nb == 0.0:
+            # batch operator's SQL division yields NULL for a zero-norm
+            # vector and the pair silently drops — match that instead of
+            # raising ZeroDivisionError inside the stateful executor
+            continue
         for vid_a, vec_a in seen + new[:i]:
-            cos = _dot(vec_a, vec_b) / (math.sqrt(_dot(vec_a, vec_a)) * nb)
+            na = math.sqrt(_dot(vec_a, vec_a))
+            if na == 0.0:
+                continue
+            cos = _dot(vec_a, vec_b) / (na * nb)
             if cos >= COSINE_DUP_THRESHOLD:
                 lo, hi = (vid_a, vid_b) if vid_a < vid_b else (vid_b, vid_a)
                 rows.append((lo, hi, math.floor(cos * 10000)))

@@ -185,3 +185,35 @@ def test_semdedup_survives_restart(spark, sf_dir, tmp_path):
     _run_stream(streaming_embedding_cosine_candidates(stream), out, ckpt)
 
     assert _stream_pairs(spark, out) == want
+
+
+def test_semdedup_zero_norm_vector_is_skipped(spark, tmp_path):
+    """Round-9 ADVICE-medium fix: a zero-norm vector must not raise
+    ZeroDivisionError inside the stateful executor — the batch
+    operator's SQL cosine is NULL for it and the pair silently drops,
+    so the stream skips it and keeps emitting the real pair."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),      # zero norm: pairs with it drop
+        (2, [1.0, 2.0, 3.0, 4.0]),
+        (3, [1.0, 2.0, 3.0, 4.0]),      # exact dup of 2: cosine 1.0
+        (4, [0.0, 0.0, 0.0, 0.0]),      # second zero vec: same sign
+        # bucket as 1 by construction, so the executor MUST hit the
+        # zero-norm pair path (the old code raised here)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    inp = str(tmp_path / "in")
+    vecs.coalesce(1).write.mode("append").parquet(inp)
+    stream = file_source(spark, inp, vecs.schema, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    _run_stream(
+        streaming_embedding_cosine_candidates(stream),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine4"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(2, 3, 10000)}
