@@ -24,6 +24,7 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational17,
     relational18,
     relational19,
+    relational20,
 )
 from kafkastreamer_spark import operators  # noqa: F401
 from kafkastreamer_spark.plans import corpus_pipeline  # noqa: F401  (registers pipeline_corpus_topology)

@@ -42,6 +42,11 @@ BASE = "/tmp/scale_probe"
 # SCALE_PROBE_DISJOINT=1: make inflated document copies token-disjoint
 # (constant duplicate density) instead of near-duplicates of the base.
 DISJOINT = os.environ.get("SCALE_PROBE_DISJOINT", "0") == "1"
+# SCALE_PROBE_REMAP_GRAPH=1: also remap l_partkey/l_suppkey per copy so
+# graph probes built on the part-supplier bipartite graph see k disjoint
+# graph copies (edge growth linear in k). Only for probes that never
+# join the non-inflated part/supplier dims (graph_connected_components).
+REMAP_GRAPH = os.environ.get("SCALE_PROBE_REMAP_GRAPH", "0") == "1"
 
 # query -> (tables it scans, inflation ladder)
 PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
@@ -133,6 +138,15 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # one map pass + a labels x 64 aggregate — expected flat.
     "dedup_memorization_ngram_report": (("documents",), (1, 4, 16)),
     "embedding_isotropy_audit": (("embeddings",), (1, 4, 16)),
+    # Round-9 x64 targets (VERDICT r8 #2): the heaviest registered
+    # entries still without an x64 row. training_corpus composes the
+    # quality scorer with Jaccard near-dup clustering (documents only);
+    # connected_components is the fixed-4-round Pregel over the
+    # part-supplier bipartite graph — lineitem inflation remaps ids per
+    # copy, so edges grow linearly and each superstep's join volume
+    # should track the edge list.
+    "pipeline_training_corpus": (("documents",), (1, 4, 16)),
+    "graph_connected_components": (("lineitem",), (1, 2, 4)),
 }
 
 
@@ -184,6 +198,20 @@ def _inflate(spark: SparkSession, sf_dir: str, name: str, k: int, out_dir: str) 
             c = c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
         elif name == "lineitem":
             c = c.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+            if REMAP_GRAPH and i:
+                # Graph probes (connected components) build their node
+                # set from l_partkey/l_suppkey: without a remap the
+                # DISTINCT edge set is invariant under copy inflation
+                # and the probe measures nothing. Offsetting both keys
+                # per copy yields k disjoint copies of the same graph —
+                # edges, nodes, and per-superstep join volume all grow
+                # linearly with k. NOT valid for probes that join the
+                # (non-inflated) part/supplier dims.
+                c = c.withColumn(
+                    "l_partkey", F.col("l_partkey") + F.lit(i * 10_000_000)
+                ).withColumn(
+                    "l_suppkey", F.col("l_suppkey") + F.lit(i * 10_000_000)
+                )
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:

@@ -56,7 +56,13 @@ def _docs_with_ts(spark, sf_dir):
 
 def test_validation_rejects_bad_shapes():
     def spec(nodes, sinks=()):
-        return DagSpec(nodes=tuple(DagNode(**n) for n in nodes), sinks=sinks)
+        # corpus vocabulary: missing ``arg`` means -1 (= stage default),
+        # matching corpus_dag_from_dict — DagNode's dataclass default (1)
+        # belongs to the int-stage vocabulary
+        return DagSpec(
+            nodes=tuple(DagNode(**{"arg": -1, **n}) for n in nodes),
+            sinks=sinks,
+        )
 
     with pytest.raises(TopologyError, match="not allowed"):
         validate_corpus_dag(spec([
