@@ -25,6 +25,7 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational18,
     relational19,
     relational20,
+    relational21,
 )
 from kafkastreamer_spark import operators  # noqa: F401
 from kafkastreamer_spark.plans import corpus_pipeline  # noqa: F401  (registers pipeline_corpus_topology)
