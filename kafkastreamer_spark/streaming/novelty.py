@@ -256,6 +256,7 @@ def maintain_novelty_gate(
             else np.zeros(m_bits // 8, dtype=np.uint8)
         )
         bc = spark.sparkContext.broadcast(bloom0.tobytes())
+        survivors = None
         try:
             staged = _with_shingle_hashes(bdf, n, text_col)
 
@@ -319,8 +320,9 @@ def maintain_novelty_gate(
             statedir.publish_state(
                 state_df, state_dir, batch_id, pre_flip_hook=pre_flip_hook
             )
-            survivors.unpersist()
         finally:
+            if survivors is not None:
+                survivors.unpersist()
             bc.unpersist(blocking=False)
 
     return (
