@@ -28,6 +28,7 @@ from kafkastreamer_spark.queries import (  # noqa: F401
     relational21,
     relational22,
     relational23,
+    relational24,
 )
 from kafkastreamer_spark import operators  # noqa: F401
 from kafkastreamer_spark.plans import corpus_pipeline  # noqa: F401  (registers pipeline_corpus_topology)

@@ -1,0 +1,357 @@
+"""Round-9 batch 233: cohort LTV triangle, funnel attribution-window
+ladder, top-k heavy-hitter churn.
+
+* ``orders_cohort_ltv_curve`` — the classic cohort-LTV triangle:
+  customers cohorted by first-order month, cumulative revenue per
+  months-since-first offset — the revenue companion of
+  events_retention_cohort's count triangle, exact in fixed point.
+* ``events_funnel_window_ladder`` — funnel conversion as a FUNCTION
+  of the attribution window (1h / 6h / 24h): the sensitivity table
+  behind every "conversion rate" number, complementing
+  events_funnel_latency_quartiles (which fixes the pairing and
+  profiles latency; this fixes nothing and profiles the window).
+* ``events_topk_churn`` — day-over-day turnover of the daily top-20
+  heaviest users: how stable the heavy-hitter set is, the ops metric
+  that decides whether per-entity throttles/caches can be sticky.
+
+Reference parity note: the reference engine computes nothing of this
+kind (keyed integer streamer, v1/src/main/java/Stream/Streamer.java);
+these belong to the SURVEY §2 Part-B analytics closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkastreamer_spark.queries._util import SCALE, fixed
+from kafkastreamer_spark.registry import register
+from kafkastreamer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv_curve
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_OFFSET = 11  # first 12 columns of the triangle
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ),
+        rev AS (
+            SELECT f.cohort_month,
+                   (CAST(date_part('year', o.o_orderdate) AS BIGINT) * 12
+                    + CAST(date_part('month', o.o_orderdate) AS BIGINT))
+                   - (CAST(date_part('year', f.cohort_month) AS BIGINT) * 12
+                      + CAST(date_part('month', f.cohort_month) AS BIGINT))
+                       AS offset_m,
+                   CAST(FLOOR(o.o_totalprice * {SCALE}) AS BIGINT) AS rev4
+            FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        ),
+        cells AS (
+            SELECT cohort_month, offset_m,
+                   CAST(sum(rev4) AS BIGINT) AS rev4,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM rev WHERE offset_m <= {_LTV_MAX_OFFSET}
+            GROUP BY cohort_month, offset_m
+        ),
+        sizes AS (
+            SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM firsts GROUP BY cohort_month
+        )
+        SELECT strftime(c.cohort_month, '%Y-%m') AS cohort,
+               c.offset_m, s.cohort_size, c.n_orders,
+               CAST(sum(c.rev4) OVER (
+                    PARTITION BY c.cohort_month ORDER BY c.offset_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_rev4,
+               CAST(sum(c.rev4) OVER (
+                    PARTITION BY c.cohort_month ORDER BY c.offset_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) // s.cohort_size AS BIGINT) AS cum_ltv4_per_customer
+        FROM cells c JOIN sizes s ON s.cohort_month = c.cohort_month
+        ORDER BY cohort, offset_m
+    """,
+    tags=("orders", "cohort", "analytics"),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohort by their
+    first-order month; each (cohort, months-since-first) cell carries
+    order count and the cohort's CUMULATIVE revenue (fixed-point) and
+    per-customer LTV — offsets 0..{_LTV_MAX_OFFSET}. Reading down a
+    column compares cohort quality at equal age, the curve every
+    acquisition-spend decision reads; the revenue companion of
+    events_retention_cohort.
+
+    Scale shape: first-order months are one groupBy over orders; the
+    cohort join keys on o_custkey (hash-partitioned both sides); cells
+    partial-aggregate map-side to a calendar-bounded triangle
+    (|months| x {_LTV_MAX_OFFSET + 1} rows) BEFORE the cumulative
+    window, which therefore sorts only the tiny triangle — the
+    calendar-bounded-series discipline of events_ewma_halflife.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    mnum = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("long")
+    rev = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        mnum.alias("offset_m"),
+        fixed("o_totalprice").alias("rev4"),
+    )
+    cells = (
+        rev.filter(F.col("offset_m") <= _LTV_MAX_OFFSET)
+        .groupBy("cohort_month", "offset_m")
+        .agg(
+            F.sum("rev4").cast("long").alias("rev4"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = cells.join(sizes, "cohort_month").withColumn(
+        "cum_rev4", F.sum("rev4").over(w).cast("long")
+    )
+    return joined.select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        "offset_m",
+        "cohort_size",
+        "n_orders",
+        "cum_rev4",
+        F.expr("cum_rev4 div cohort_size").cast("long").alias(
+            "cum_ltv4_per_customer"
+        ),
+    ).orderBy("cohort", "offset_m")
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_window_ladder
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOWS_S = (3600, 21600, 86400)  # 1h / 6h / 24h
+_FUNNEL_A = "view"
+_FUNNEL_B = "purchase"
+
+
+@register(
+    "events_funnel_window_ladder",
+    oracle=f"""
+        WITH a AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = '{_FUNNEL_A}'
+        ),
+        b AS (
+            SELECT user_id, ts FROM events
+            WHERE event_type = '{_FUNNEL_B}'
+        ),
+        ws AS (SELECT unnest([{", ".join(str(w) for w in _FUNNEL_WINDOWS_S)}])
+                   AS w_s),
+        conv AS (
+            SELECT ws.w_s, a.event_id,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM b
+                       WHERE b.user_id = a.user_id
+                         AND b.ts > a.ts
+                         AND epoch_us(b.ts) - epoch_us(a.ts)
+                             <= CAST(ws.w_s AS BIGINT) * 1000000
+                   ) THEN 1 ELSE 0 END AS converted
+            FROM a CROSS JOIN ws
+        )
+        SELECT CAST(w_s AS BIGINT) AS window_s,
+               CAST(count(*) AS BIGINT) AS n_entries,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               CAST((sum(converted) * 10000) // count(*) AS BIGINT)
+                   AS conversion4
+        FROM conv GROUP BY w_s ORDER BY window_s
+    """,
+    tags=("events", "funnel", "attribution"),
+)
+def events_funnel_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion ({_FUNNEL_A} -> {_FUNNEL_B}) as a function
+    of the attribution window: for each window in 1h / 6h / 24h, the
+    share of entry events followed by a conversion from the same user
+    within the window. The ladder IS the sensitivity analysis every
+    reported conversion rate needs — a rate that doubles between 1h
+    and 24h is measuring user patience, not funnel quality.
+    Complements events_funnel_latency_quartiles (fixed pairing,
+    latency profile) and events_purchase_attribution (credit
+    assignment).
+
+    Scale shape: entries and conversions shuffle once on user_id; the
+    per-user sorted merge evaluates all {len(_FUNNEL_WINDOWS_S)}
+    windows from ONE next-conversion lookup per entry (min over
+    later same-user conversions via a user-partitioned sort-merge
+    join + min aggregate, never a per-window re-join); the ladder
+    explode happens on the bounded per-entry result. Global rollup is
+    count-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == _FUNNEL_A).select(
+        "event_id", "user_id", F.col("ts").alias("ts_a")
+    )
+    b = ev.filter(F.col("event_type") == _FUNNEL_B).select(
+        "user_id", F.col("ts").alias("ts_b")
+    )
+    # one pass: the NEXT conversion after each entry (min later ts_b
+    # per entry); every window in the ladder then reads off the same
+    # per-entry latency — no per-window joins
+    nxt = (
+        a.join(b, "user_id", "left")
+        .filter(F.col("ts_b").isNull() | (F.col("ts_b") > F.col("ts_a")))
+        .groupBy("event_id", "ts_a")
+        .agg(F.min("ts_b").alias("next_b"))
+    )
+    # left-join survivors above lose entries whose ONLY b rows are
+    # <= ts_a (filter drops all matches) — restore them via the
+    # original entry set
+    base = a.select("event_id").join(
+        nxt.select("event_id", "ts_a", "next_b"), "event_id", "left"
+    )
+    lat_us = F.unix_micros("next_b") - F.unix_micros("ts_a")
+    ladder = base.select(
+        "event_id",
+        lat_us.alias("lat_us"),
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in _FUNNEL_WINDOWS_S])
+        ).alias("w_s"),
+    )
+    conv = ladder.select(
+        "w_s",
+        F.when(
+            F.col("lat_us").isNotNull()
+            & (F.col("lat_us") <= F.col("w_s") * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return (
+        conv.groupBy(F.col("w_s").cast("long").alias("window_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.expr("(sum(converted) * 10000) div count(*)")
+            .cast("long")
+            .alias("conversion4"),
+        )
+        .orderBy("window_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_topk_churn
+# ---------------------------------------------------------------------------
+
+_CHURN_K = 20
+
+
+@register(
+    "events_topk_churn",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, user_id,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT day, user_id,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY c DESC, user_id) AS rnk
+            FROM daily
+        ),
+        topk AS (SELECT day, user_id FROM ranked WHERE rnk <= {_CHURN_K}),
+        days AS (SELECT DISTINCT day FROM topk),
+        pairs AS (
+            SELECT d.day,
+                   lag(d.day) OVER (ORDER BY d.day) AS prev_day
+            FROM days d
+        ),
+        overlap AS (
+            SELECT p.day, p.prev_day,
+                   CAST((SELECT count(*) FROM topk t1
+                         JOIN topk t2 ON t2.user_id = t1.user_id
+                         WHERE t1.day = p.day AND t2.day = p.prev_day)
+                        AS BIGINT) AS n_common
+            FROM pairs p WHERE p.prev_day IS NOT NULL
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_common,
+               CAST({_CHURN_K} - n_common AS BIGINT) AS n_new,
+               CAST((n_common * 10000) // {_CHURN_K} AS BIGINT)
+                   AS stability4
+        FROM overlap ORDER BY day
+    """,
+    tags=("events", "heavy-hitters", "ops"),
+)
+def events_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day churn of the daily top-{_CHURN_K} heaviest users:
+    per day, how many of the top-{_CHURN_K} were also in yesterday's
+    set, the turnover, and the stability ratio. Sticky heavy hitters
+    justify per-entity caches/throttles with long TTLs; a set that
+    churns daily does not — the ops decision this table answers,
+    complementing events_sliding_topk_trending (which tracks WHAT is
+    trending, not how stable the top set is).
+
+    Scale shape: daily per-user counts partial-aggregate map-side;
+    the per-day top-k is a day-partitioned rank over those partials
+    (bounded by users x days, never raw events); consecutive-day
+    overlap is a self-join of the tiny (days x {_CHURN_K})-row top-k
+    relation on user_id with a one-day shift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("day").orderBy(F.desc("c"), "user_id")
+    topk = (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CHURN_K)
+        .select("day", "user_id")
+        .persist()  # both sides of the shift join
+    )
+    days = topk.select("day").distinct()
+    pairs = days.withColumn(
+        "prev_day", F.lag("day").over(Window.orderBy("day"))
+    ).filter(F.col("prev_day").isNotNull())
+    t1 = topk.alias("t1")
+    t2 = topk.select(
+        F.col("day").alias("pday"), F.col("user_id").alias("puser")
+    )
+    common = (
+        pairs.join(t1, pairs.day == F.col("t1.day"))
+        .join(
+            t2,
+            (F.col("pday") == F.col("prev_day"))
+            & (F.col("puser") == F.col("t1.user_id")),
+        )
+        .groupBy(pairs.day.alias("cday"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = pairs.join(
+        common, pairs.day == F.col("cday"), "left"
+    ).select(
+        F.date_format(pairs.day, "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+    )
+    return out.select(
+        "day",
+        "n_common",
+        (F.lit(_CHURN_K) - F.col("n_common")).cast("long").alias("n_new"),
+        F.expr(f"(n_common * 10000) div {_CHURN_K}")
+        .cast("long")
+        .alias("stability4"),
+    ).orderBy("day")
