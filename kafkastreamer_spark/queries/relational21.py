@@ -99,10 +99,15 @@ def graph_bfs_distance_histogram(
     Scale shape: one equi-join + one min-aggregation per round — the
     Pregel superstep, same as connected components: the edge list is
     the big side and keeps its src hash-partitioning across all
-    rounds; only the bounded (node, dist) relation reshuffles. The
-    UNION ALL carry-forward means no outer join appears in the loop;
-    the single LEFT join (unreached accounting) happens once at the
-    end against the node set.
+    rounds; only the bounded (node, dist) relation reshuffles.
+    Weight-0 self-loops fold the distance carry-forward into the min
+    (graph.py's self-loop discipline adapted to weighted relaxation),
+    so each round references the frontier exactly ONCE — linear
+    lineage, no per-round persist needed, no outer join in the loop.
+    The r9 UNION-ALL carry-forward referenced the frontier twice per
+    round, replicating each round's subplan 2^k-fold (16.6 s at
+    sf0.01); this form is the fix. The single LEFT join (unreached
+    accounting) happens once at the end against the node set.
     """
     li = load_table(spark, sf_dir, "lineitem")
     half = li.select(
@@ -111,20 +116,34 @@ def graph_bfs_distance_histogram(
     ).distinct()
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    )
+    nodes_raw = edges.select(F.col("src").alias("node")).distinct()
+    edges_w = (
+        edges.select("src", "dst", F.lit(1).alias("w"))
+        .unionByName(
+            nodes_raw.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).alias("w"),
+            )
+        )
+        # hash-partition by the (never-changing) join key before the
+        # persist: every round's join reuses this layout, and the
+        # cached relation is session-width partitions instead of the
+        # union's 3x width (cached plans bypass AQE coalescing)
+        .repartition(F.col("src"))
+        .persist()
+    )
+    nodes = edges_w.filter(F.col("w") == 0).select(F.col("src").alias("node"))
     dist = nodes.filter(
         (F.col("node") % 2 == 0)
         & (F.expr(f"(node div 2) % {_BFS_SEED_MOD}") == 0)
     ).select("node", F.lit(0).alias("d"))
     for _ in range(_BFS_ROUNDS):
         dist = (
-            dist.unionByName(
-                edges.join(dist, edges.src == dist.node)
-                .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
-            )
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
+            edges_w.join(dist, edges_w.src == dist.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("d"))
         )
     reach = nodes.join(dist, "node", "left").select(
         "node", F.coalesce("d", F.lit(-1)).alias("dist")

@@ -61,9 +61,9 @@ from kafkastreamer_spark.tables import load_table, widen
         )
         SELECT event_type, n AS n_days, s,
                CAST(CASE WHEN n < 2 THEN 0 ELSE
-                    (s * 10000 - ((s * 10000) % (n * (n - 1) / 2)
-                        + (n * (n - 1) / 2)) % (n * (n - 1) / 2))
-                    / (n * (n - 1) / 2) END AS BIGINT) AS tau4
+                    (s * 10000 - ((s * 10000) % (n * (n - 1) // 2)
+                        + (n * (n - 1) // 2)) % (n * (n - 1) // 2))
+                    // (n * (n - 1) // 2) END AS BIGINT) AS tau4
         FROM s2 ORDER BY event_type
     """,
     tags=("events", "time-series", "statistics"),

@@ -288,19 +288,26 @@ _CHURN_K = 20
                          WHERE t1.day = p.day AND t2.day = p.prev_day)
                         AS BIGINT) AS n_common
             FROM pairs p WHERE p.prev_day IS NOT NULL
+        ),
+        ksz AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS k_sz
+            FROM topk GROUP BY day
         )
-        SELECT strftime(day, '%Y-%m-%d') AS day, n_common,
-               CAST({_CHURN_K} - n_common AS BIGINT) AS n_new,
-               CAST((n_common * 10000) // {_CHURN_K} AS BIGINT)
+        SELECT strftime(o.day, '%Y-%m-%d') AS day, n_common,
+               CAST(k.k_sz - n_common AS BIGINT) AS n_new,
+               CAST((n_common * 10000) // k.k_sz AS BIGINT)
                    AS stability4
-        FROM overlap ORDER BY day
+        FROM overlap o JOIN ksz k ON k.day = o.day ORDER BY day
     """,
     tags=("events", "heavy-hitters", "ops"),
 )
 def events_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day churn of the daily top-{_CHURN_K} heaviest users:
     per day, how many of the top-{_CHURN_K} were also in yesterday's
-    set, the turnover, and the stability ratio. Sticky heavy hitters
+    set, the turnover, and the stability ratio — n_new and the
+    stability denominator use the day's ACTUAL top-k set size (< K on
+    days with fewer than K active users), not the nominal K, so thin
+    days are not overstated as churn. Sticky heavy hitters
     justify per-entity caches/throttles with long TTLs; a set that
     churns daily does not — the ops decision this table answers,
     complementing events_sliding_topk_trending (which tracks WHAT is
@@ -341,17 +348,21 @@ def events_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(pairs.day.alias("cday"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    out = pairs.join(
-        common, pairs.day == F.col("cday"), "left"
-    ).select(
-        F.date_format(pairs.day, "yyyy-MM-dd").alias("day"),
-        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+    ksz = topk.groupBy(F.col("day").alias("kday")).agg(
+        F.count(F.lit(1)).cast("long").alias("k_sz")
+    )
+    out = (
+        pairs.join(common, pairs.day == F.col("cday"), "left")
+        .join(ksz, pairs.day == F.col("kday"))
+        .select(
+            F.date_format(pairs.day, "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            "k_sz",
+        )
     )
     return out.select(
         "day",
         "n_common",
-        (F.lit(_CHURN_K) - F.col("n_common")).cast("long").alias("n_new"),
-        F.expr(f"(n_common * 10000) div {_CHURN_K}")
-        .cast("long")
-        .alias("stability4"),
+        (F.col("k_sz") - F.col("n_common")).cast("long").alias("n_new"),
+        F.expr("(n_common * 10000) div k_sz").cast("long").alias("stability4"),
     ).orderBy("day")

@@ -47,6 +47,12 @@ DISJOINT = os.environ.get("SCALE_PROBE_DISJOINT", "0") == "1"
 # graph copies (edge growth linear in k). Only for probes that never
 # join the non-inflated part/supplier dims (graph_connected_components).
 REMAP_GRAPH = os.environ.get("SCALE_PROBE_REMAP_GRAPH", "0") == "1"
+# Probes verified safe under the l_partkey/l_suppkey remap: they build
+# their node set from lineitem alone and never join the (non-inflated)
+# part/supplier dims. Any other lineitem-scanning probe running under
+# REMAP_GRAPH=1 would silently dangle its dim joins, so main() fails
+# fast instead of producing a meaningless ladder reading.
+REMAP_SAFE_PROBES = frozenset({"graph_connected_components"})
 
 # query -> (tables it scans, inflation ladder)
 PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
@@ -232,6 +238,20 @@ def main() -> None:
         ladder = tuple(int(x) for x in ladder_env.split(","))
         for name, (tables, _) in list(PROBES.items()):
             PROBES[name] = (tables, ladder)
+    if REMAP_GRAPH:
+        unsafe = sorted(
+            name
+            for name, (tables, _) in PROBES.items()
+            if "lineitem" in tables and name not in REMAP_SAFE_PROBES
+        )
+        if unsafe:
+            raise SystemExit(
+                "SCALE_PROBE_REMAP_GRAPH=1 remaps l_partkey/l_suppkey in the "
+                "inflated lineitem, which dangles part/supplier dim joins; "
+                f"these active probes are not remap-safe: {unsafe}. "
+                "Restrict the invocation to REMAP_SAFE_PROBES "
+                f"({sorted(REMAP_SAFE_PROBES)}) or unset the flag."
+            )
     _ensure_loaded()
     spark = get_spark(app_name="kafkastreamer-spark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
