@@ -148,6 +148,42 @@ _FUNNEL_A = "view"
 _FUNNEL_B = "purchase"
 
 
+def funnel_ladder_from_latencies(lat: DataFrame) -> DataFrame:
+    """Shared tail of the funnel ladder: from per-entry next-conversion
+    latencies ``(event_id, lat_us nullable)`` to the per-window
+    conversion table. Used by the batch query AND the streaming twin's
+    parity test (streaming/funnel.py) so the two forms share one
+    aggregation, the events_wau_sliding discipline."""
+    ladder = lat.select(
+        "event_id",
+        "lat_us",
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in _FUNNEL_WINDOWS_S])
+        ).alias("w_s"),
+    )
+    conv = ladder.select(
+        "w_s",
+        F.when(
+            F.col("lat_us").isNotNull()
+            & (F.col("lat_us") <= F.col("w_s") * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return (
+        conv.groupBy(F.col("w_s").cast("long").alias("window_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.expr("(sum(converted) * 10000) div count(*)")
+            .cast("long")
+            .alias("conversion4"),
+        )
+        .orderBy("window_s")
+    )
+
+
 @register(
     "events_funnel_window_ladder",
     oracle=f"""
@@ -223,33 +259,8 @@ def events_funnel_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.select("event_id", "ts_a", "next_b"), "event_id", "left"
     )
     lat_us = F.unix_micros("next_b") - F.unix_micros("ts_a")
-    ladder = base.select(
-        "event_id",
-        lat_us.alias("lat_us"),
-        F.explode(
-            F.array(*[F.lit(w).cast("long") for w in _FUNNEL_WINDOWS_S])
-        ).alias("w_s"),
-    )
-    conv = ladder.select(
-        "w_s",
-        F.when(
-            F.col("lat_us").isNotNull()
-            & (F.col("lat_us") <= F.col("w_s") * 1_000_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("converted"),
-    )
-    return (
-        conv.groupBy(F.col("w_s").cast("long").alias("window_s"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_entries"),
-            F.sum("converted").cast("long").alias("n_converted"),
-            F.expr("(sum(converted) * 10000) div count(*)")
-            .cast("long")
-            .alias("conversion4"),
-        )
-        .orderBy("window_s")
+    return funnel_ladder_from_latencies(
+        base.select("event_id", lat_us.alias("lat_us"))
     )
 
 
@@ -323,6 +334,15 @@ def events_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "user_id"
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return churn_from_daily(daily)
+
+
+def churn_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared tail of the top-k churn table: from per-(day, user)
+    activity counts ``(day date, user_id, c)`` to the day-over-day
+    overlap report. Used by the batch query AND the streaming twin's
+    parity test (streaming/topk_churn.py), the
+    funnel_ladder_from_latencies discipline."""
     w = Window.partitionBy("day").orderBy(F.desc("c"), "user_id")
     topk = (
         daily.withColumn("rnk", F.row_number().over(w))
