@@ -170,8 +170,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     posting = posting0.join(F.broadcast(stop), "s", "left_anti").persist()
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = posting.alias("a")
-    b = posting.alias("b")
+    # the posting self-join sides scale with the corpus: pin a shuffle
+    # plan (the x256-probe broadcast-underestimate fix, see
+    # dedup_minhash_lsh's band-join note)
+    a = posting.hint("merge").alias("a")
+    b = posting.hint("merge").alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -179,8 +182,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = sizes.hint("merge").alias("sa")
+    sb = sizes.hint("merge").alias("sb")
     jacc = F.col("n_common").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
@@ -266,8 +269,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sig") != "")  # docs with no shingles
         .persist()  # self-joined below
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Corpus-sized sides must never be planned as broadcasts: after
+    # projecting away the wide text column, Catalyst's width-ratio
+    # size estimate is ~100x under the true size, so the static
+    # planner happily broadcasts the whole band table (found by the
+    # x256 probe: a 1 GiB driver collect at 1.28M docs; fatal at
+    # 100 TB). The merge hint pins a sort-merge plan (skew-safe: SMJ
+    # spills where a shuffle-hash build would OOM on a hot band);
+    # measured price at sf0.1 is ~1.7 s warm on this query — the
+    # documented cost of the scale fix, like the r8 simhash rework.
+    a = bands.hint("merge").alias("a")
+    b = bands.hint("merge").alias("b")
     candidates = (
         a.join(
             b,
@@ -279,8 +291,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    pa = posting.alias("pa")
-    pb = posting.alias("pb")
+    # same reasoning as the band join: posting (doc x shingle) and
+    # sizes (one row per doc) both scale with the corpus
+    pa = posting.hint("merge").alias("pa")
+    pb = posting.hint("merge").alias("pb")
     verified = (
         candidates.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
         .join(
@@ -290,8 +304,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = sizes.hint("merge").alias("sa")
+    sb = sizes.hint("merge").alias("sb")
     jacc = F.col("n_common").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
@@ -916,8 +930,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = sizes.hint("merge").alias("sa")
+    sb = sizes.hint("merge").alias("sb")
     return (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
@@ -1382,7 +1396,8 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sig") != "")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # corpus-sized self-join sides: pin shuffle (see dedup_minhash_lsh)
+    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,

@@ -767,7 +767,11 @@ def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.expr("substring(text, i, 1)")).alias("p"),
     )
     tot = px.groupBy("doc_id").agg(F.sum("p").cast("long").alias("s"))
-    bits = px.join(tot, "doc_id").select(
+    # tot / chunks / sig are all one-or-four rows PER DOC — corpus-
+    # sized sides whose post-projection size estimates undershoot the
+    # broadcast threshold at scale (x256-probe finding, see
+    # dedup_minhash_lsh): pin sort-merge plans.
+    bits = px.join(tot.hint("merge"), "doc_id").select(
         "doc_id",
         F.expr("pos div 16").alias("c"),
         F.when(
@@ -786,7 +790,7 @@ def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["chunk"],
         ).alias("ch")
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = chunks.hint("merge").alias("a"), chunks.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -797,8 +801,12 @@ def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("ch").alias("cha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("ch").alias("chb"))
+    sa = sig.hint("merge").select(
+        F.col("doc_id").alias("doc_a"), F.col("ch").alias("cha")
+    )
+    sb = sig.hint("merge").select(
+        F.col("doc_id").alias("doc_b"), F.col("ch").alias("chb")
+    )
     hamming = F.aggregate(
         F.zip_with(
             "cha", "chb", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
