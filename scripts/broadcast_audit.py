@@ -105,6 +105,8 @@ def _flag_subtree(sub: list[str]) -> str | None:
     facts = [t for t in FACT_TABLES if re.search(rf"\b{t}\b", text)]
     if not facts:
         return None
+    if re.search(r"GlobalLimit|TakeOrderedAndProject", text):
+        return None  # limit/top-k bounds the build side by construction
     aggs = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", text) + re.findall(
         r"SortAggregate\(key=\[([^\]]*)\]", text
     ) + re.findall(r"ObjectHashAggregate\(keys=\[([^\]]*)\]", text)
