@@ -153,6 +153,15 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # should track the edge list.
     "pipeline_training_corpus": (("documents",), (1, 4, 16)),
     "graph_connected_components": (("lineitem",), (1, 2, 4)),
+    # Round-10: the fourth query fixed by the broadcast-underestimate
+    # sweep. Ladder capped at x16, and NEITHER inflation mode is a
+    # volume control here: the signature reads the first 64 BYTES of
+    # text, which both copy suffixing and word-suffix disjoint
+    # perturbation leave near-intact — every copy stays within the
+    # hamming-10 accept band, so the OUTPUT is genuinely quadratic in
+    # k (measured x16 disjoint: 369x pairs / 73x wall — the run is
+    # emitted-volume-bound, docs/SCALING.md round-10 ahash note).
+    "multimodal_image_ahash_pairs": (("documents",), (1, 4, 16)),
 }
 
 
