@@ -162,6 +162,12 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # k (measured x16 disjoint: 369x pairs / 73x wall — the run is
     # emitted-volume-bound, docs/SCALING.md round-10 ahash note).
     "multimodal_image_ahash_pairs": (("documents",), (1, 4, 16)),
+    # Round-10: the recall/precision audit composes the ngram truth
+    # and the minhash candidate pipelines (both broadcast-fixed this
+    # round) plus two pair-set joins — expected to track the sum of
+    # its parts; disjoint mode is the volume control as for both
+    # parents.
+    "dedup_lsh_recall_audit": (("documents",), (1, 4, 16)),
 }
 
 
