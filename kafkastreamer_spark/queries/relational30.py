@@ -107,9 +107,7 @@ def ml_gains_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy(
-            (((F.col("rn") - 1) * 10) / F.col("n"))
-            .cast("long")
-            .alias("decile"),
+            F.expr("((rn - 1) * 10) div n").alias("decile"),
             "n",
             "pos",
         )
@@ -311,7 +309,6 @@ def layout_clustering_depth_advisor(
     """
     li = widen(load_table(spark, sf_dir, "lineitem"))
     total = li.agg(F.count(F.lit(1)).cast("long").alias("total"))
-    rpf = F.expr(f"(total + {_LAYOUT_FILES - 1}) div {_LAYOUT_FILES}")
     parts = []
     for col in _LAYOUT_CANDIDATES:
         per_key = li.groupBy(F.col(col).alias("key")).agg(
@@ -325,10 +322,12 @@ def layout_clustering_depth_advisor(
             .crossJoin(F.broadcast(total))
             .select(
                 F.lit(col).alias("sort_col"),
-                (
-                    F.expr("(start + c - 1)") / rpf
-                ).cast("long").alias("_hi"),
-                (F.col("start") / rpf).cast("long").alias("_lo"),
+                F.expr(
+                    f"(start + c - 1) div ((total + {_LAYOUT_FILES - 1}) div {_LAYOUT_FILES})"
+                ).alias("_hi"),
+                F.expr(
+                    f"start div ((total + {_LAYOUT_FILES - 1}) div {_LAYOUT_FILES})"
+                ).alias("_lo"),
             )
             .select(
                 "sort_col",

@@ -64,8 +64,8 @@ _BURN_WINDOWS = sorted({w for r in _BURN_RULES for w in (r[1], r[2])})
                          THEN 1 ELSE 0 END AS BIGINT) AS fired
         FROM (VALUES {", ".join(f"('{r[0]}', {r[1]}, {r[2]}, CAST({r[3]} * 100 AS BIGINT))" for r in _BURN_RULES)})
              AS r(rule, long_s, short_s, thr4)
-        JOIN b bl ON bl.w_s = r.long_s
-        JOIN b bs ON bs.w_s = r.short_s
+        LEFT JOIN b bl ON bl.w_s = r.long_s
+        LEFT JOIN b bs ON bs.w_s = r.short_s
         ORDER BY rule
     """,
     tags=("events", "sre", "ops", "alerting"),
@@ -132,10 +132,15 @@ def events_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "short_s",
             "long_burn4",
             "short_burn4",
-            (
+            # when(...)/otherwise(0) (not a bare boolean cast) so an
+            # empty window's NULL burn yields fired=0 exactly like the
+            # oracle's CASE — NULL-burn rows must agree cross-engine
+            F.when(
                 (F.col("long_burn4") >= F.col("thr4"))
-                & (F.col("short_burn4") >= F.col("thr4"))
+                & (F.col("short_burn4") >= F.col("thr4")),
+                F.lit(1),
             )
+            .otherwise(F.lit(0))
             .cast("long")
             .alias("fired"),
         )

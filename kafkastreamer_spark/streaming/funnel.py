@@ -106,7 +106,10 @@ def streaming_funnel_latencies(
         keep_ids: list[int] = []
         keep_ts: list[int] = []
         for eid, ta in zip(pids, pts):
-            if ta + horizon_us <= wm_us:
+            # strict <: a conversion at exactly ta + horizon (lat ==
+            # max window, which counts) is not yet late while
+            # wm == its timestamp — finalizing at <= could miss it
+            if ta + horizon_us < wm_us:
                 later = [b - ta for b in bts if b > ta]
                 lat = min(later) if later else None
                 done.append((eid, lat if lat is not None and lat <= horizon_us else None))
