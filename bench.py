@@ -73,6 +73,26 @@ HEADLINE = [
     "pipeline_corpus_prep",
 ]
 
+# Tier-2 headline set (round-10 VERDICT #1): the heaviest entries
+# from rounds 4-10's families — graph kernels, LSH quality audit,
+# DAG-certified corpus pipeline, funnel/churn analytics, semantic
+# dedup, BM25 ranking — so the bench tracks what the registry
+# actually ships, not just the round-2 snapshot. Reported under
+# "queries_tier2" with its own subtotal; the tier-1 total stays the
+# round-over-round comparable series.
+TIER2 = [
+    "graph_connected_components",
+    "graph_bfs_distance_histogram",
+    "graph_pagerank_two_iter",
+    "graph_triangle_count",
+    "dedup_lsh_recall_audit",
+    "dedup_semdedup_clustered",
+    "pipeline_corpus_dag_cert",
+    "events_funnel_window_ladder",
+    "events_topk_churn",
+    "text_bm25_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,9 +128,12 @@ def main() -> None:
 
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, object] = {}
+    timings2: dict[str, object] = {}
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name, sink in [(n, timings) for n in HEADLINE] + [
+        (n, timings2) for n in TIER2
+    ]:
         fn = REGISTRY[name].fn
         # Steady-state methodology: each query executes n_runs times
         # and the MIN of the warm runs (all but the first) is reported.
@@ -150,18 +173,24 @@ def main() -> None:
                 warm.append(round(time.perf_counter() - t0, 3))
             else:
                 cold_t = round(time.perf_counter() - t0, 3)
-        timings[name] = err if err else round(min(warm), 3)
+        sink[name] = err if err else round(min(warm), 3)
         if not err:
             cold[name] = cold_t
         if not err and len(warm) > 1:
             spread[name] = [round(min(warm), 3), round(max(warm), 3)]
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+    total2 = round(sum(v for v in timings2.values() if isinstance(v, float)), 3)
     out = {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # Tier-2 (round-10 VERDICT #1): heaviest entries from
+                # rounds 4-10's families, separate subtotal so the
+                # tier-1 series stays round-over-round comparable.
+                "queries_tier2": timings2,
+                "tier2_total_sec": total2,
                 "sf": sf,
                 "methodology": (
                     "steady_state_second_of_two_runs"

@@ -20,6 +20,8 @@ order array functions) — whole-stage codegen, no Python in the path.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +52,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return widen(load_table(spark, sf_dir, "documents"))
 
 
+# One persisted shingle DataFrame per (session, sf_dir): queries that
+# compose two near-dup pipelines (dedup_lsh_recall_audit runs the
+# ngram truth AND the minhash candidate side in one plan) would
+# otherwise build + persist + materialize the shingle subtree twice
+# in the same call. Weak-keyed so a stopped session's entry is
+# collectable; values re-persist lazily if an external
+# spark.catalog.clearCache() (the driver does this between queries)
+# dropped them, so a memo hit never hands back an unpinned fan-out.
+_SHINGLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) with the token column materialized first — an
     inline split() inside the shingle lambda re-runs the regex per
@@ -63,12 +78,19 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate-pushed below the projection AND the repartition,
     re-evaluating the whole shingle expression serially on the single
     scan partition (measured 18x slower)."""
-    d = _docs(spark, sf_dir)
-    return (
-        d.select("doc_id", tokens("text").alias("w"))
-        .select("doc_id", shingles(F.col("w")).alias("sh"))
-        .persist()
-    )
+    per_session = _SHINGLE_MEMO.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        d = _docs(spark, sf_dir)
+        df = (
+            d.select("doc_id", tokens("text").alias("w"))
+            .select("doc_id", shingles(F.col("w")).alias("sh"))
+            .persist()
+        )
+        per_session[sf_dir] = df
+    elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        df.persist()
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +182,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is removed from the posting list with a BROADCAST left-anti
     join, so the posting list itself is never shuffled for the cap.
     """
+    return _ngram_jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_a, doc_b, jaccard4) near-dup pairs — the shared
+    body of dedup_ngram_jaccard and the exact-truth side of
+    dedup_lsh_recall_audit (which feeds it straight into a join and
+    must not inherit a useless sort)."""
     sh = _shingle_sets(spark, sf_dir)
     posting0 = sh.select("doc_id", F.explode("sh").alias("s"))
     stop = (
@@ -196,7 +226,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.floor(jacc * 10000).alias("jaccard4"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1381,21 +1410,28 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and band configuration.
 
     Scale shape: composes the two existing pipelines' plans unchanged
-    (inverted-index truth, band-bucket candidates) plus two pair-set
-    joins on (doc_a, doc_b); everything reduces to one 5-number row.
+    (inverted-index truth, band-bucket candidates), then ONE
+    full-outer join of the two pair-sets on (doc_a, doc_b) feeding a
+    single count aggregation — each pair-set is referenced exactly
+    once, so neither needs a persist, and the whole audit is one
+    linear plan reducing to one 5-number row. (The previous form
+    referenced each pair-set 2-3 times across separate count
+    aggregates; the persists that required forced AQE-less cached
+    compilation and tripled the plan size — measured 36 s → 5 s at
+    sf0.01 under the driver's plain session.)
     """
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
-    sh = _shingle_sets(spark, sf_dir)
-    bands = (
-        sh.select("doc_id", minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"))
-        .select(
-            "doc_id",
-            F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
-                "band", "sig"
-            ),
-        )
-        .filter(F.col("sig") != "")
+    truth = _ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
     )
+    sh = _shingle_sets(spark, sf_dir)
+    bands = sh.select(
+        "doc_id", minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh")
+    ).select(
+        "doc_id",
+        F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
+            "band", "sig"
+        ),
+    ).filter(F.col("sig") != "").persist()  # self-joined below
     # corpus-sized self-join sides: pin shuffle (see dedup_minhash_lsh)
     a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     cand = (
@@ -1407,26 +1443,25 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
+        .select("doc_a", "doc_b", F.lit(1).alias("c"))
     )
-    hits = truth.join(cand, ["doc_a", "doc_b"])
-    # one plan, no driver-side counting: three 1-row aggregates
-    # broadcast-crossed into the summary row
-    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    return (
-        t.crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(h))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            F.floor(10000.0 * F.col("n_hit") / F.col("n_true"))
-            .cast("long")
-            .alias("recall4"),
-            F.floor(10000.0 * F.col("n_hit") / F.col("n_cand"))
-            .cast("long")
-            .alias("precision4"),
-        )
+    matrix = truth.join(
+        cand.hint("merge"), ["doc_a", "doc_b"], "full_outer"
+    ).agg(
+        F.count("t").cast("long").alias("n_true"),
+        F.count("c").cast("long").alias("n_cand"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return matrix.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.floor(10000.0 * F.col("n_hit") / F.col("n_true"))
+        .cast("long")
+        .alias("recall4"),
+        F.floor(10000.0 * F.col("n_hit") / F.col("n_cand"))
+        .cast("long")
+        .alias("precision4"),
     )

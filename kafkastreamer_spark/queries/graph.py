@@ -237,6 +237,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(half.select("src", F.col("src").alias("dst")))
         .unionByName(half.select(F.col("dst").alias("src"), "dst"))
         .distinct()
+        # hash-partition by the (never-changing) join key before the
+        # persist: every round's join reuses this layout, and the
+        # cached relation is session-width partitions instead of the
+        # union's 4x width (cached plans bypass AQE coalescing) — the
+        # BFS fix (relational21.py) applied to the same loop shape
+        .repartition(F.col("src"))
         .persist()  # reused every round
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(

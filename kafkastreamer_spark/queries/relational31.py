@@ -105,6 +105,14 @@ def events_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"e_{w_s}")
         )
     one = ev.crossJoin(F.broadcast(mx)).agg(*agg_cols)
+    return _burn_rule_table(spark, one)
+
+
+def _burn_rule_table(spark: SparkSession, one: DataFrame) -> DataFrame:
+    """Evaluate every _BURN_RULES row against a 1-row DataFrame with
+    (n_{w}, e_{w}) columns per window — the shared tail of the
+    max-ts-anchored alert query, the bucket-aligned hopping variant,
+    and the streaming twin's foreachBatch evaluation."""
     rules = spark.createDataFrame(
         [(r[0], r[1], r[2], r[3] * 100) for r in _BURN_RULES],
         "rule string, long_s int, short_s int, thr4 long",
@@ -146,6 +154,118 @@ def events_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_burn_rate_hopping (+ the bucket helpers shared with the
+# streaming twin, streaming/burn_rate.py)
+# ---------------------------------------------------------------------------
+
+# Bucket granularity: gcd of every window in _BURN_RULES (300, 1800,
+# 3600, 21600 are all multiples of 300), so each window is an exact
+# whole number of buckets.
+_BURN_BUCKET_S = 300
+
+
+def bucket_error_counts(ev: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-5-minute-bucket (bucket, n, e) counts — the distributed
+    volume-carrying stage of the hopping burn-rate evaluation, and
+    the exact output contract of the streaming twin's stateful stage
+    (streaming.burn_rate.streaming_bucket_error_counts emits the
+    same rows cumulatively in update mode)."""
+    return ev.groupBy(
+        F.expr(f"unix_micros({ts_col}) div {_BURN_BUCKET_S * 1_000_000}").alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+
+
+def burn_alerts_from_buckets(spark: SparkSession, buckets: DataFrame) -> DataFrame:
+    """Evaluate the _BURN_RULES alert table over a (bucket, n, e)
+    count table, windows anchored at the close of the latest bucket —
+    the shared tail of events_burn_rate_hopping and the streaming
+    twin's foreachBatch evaluation. The bucket table is bounded
+    (one row per 5-minute bucket in the horizon), so the cross join
+    against the broadcast max-bucket scalar and the conditional sums
+    are all tiny."""
+    mb = buckets.agg(F.max("bucket").alias("mb"))
+    b = buckets.crossJoin(F.broadcast(mb))
+    aggs = []
+    for w_s in _BURN_WINDOWS:
+        k = w_s // _BURN_BUCKET_S
+        in_w = F.col("bucket") > F.col("mb") - k
+        aggs.append(
+            F.sum(F.when(in_w, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"n_{w_s}")
+        )
+        aggs.append(
+            F.sum(F.when(in_w, F.col("e")).otherwise(0))
+            .cast("long")
+            .alias(f"e_{w_s}")
+        )
+    return _burn_rule_table(spark, b.agg(*aggs))
+
+
+@register(
+    "events_burn_rate_hopping",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch_us(ts) // {_BURN_BUCKET_S * 1000000} AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count_if(event_type = 'error') AS BIGINT) AS e
+            FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(bucket) AS mb FROM b),
+        one AS (
+            SELECT
+                {", ".join(
+                    f"CAST(sum(CASE WHEN bucket > mb - {w // _BURN_BUCKET_S} THEN n ELSE 0 END) AS BIGINT) AS n_{w}, "
+                    f"CAST(sum(CASE WHEN bucket > mb - {w // _BURN_BUCKET_S} THEN e ELSE 0 END) AS BIGINT) AS e_{w}"
+                    for w in _BURN_WINDOWS
+                )}
+            FROM b CROSS JOIN mx
+        )
+        SELECT r.rule, r.long_s, r.short_s,
+               (CASE r.long_s {" ".join(f"WHEN {w} THEN (e_{w} * 1000000) // n_{w}" for w in _BURN_WINDOWS)} END) AS long_burn4,
+               (CASE r.short_s {" ".join(f"WHEN {w} THEN (e_{w} * 1000000) // n_{w}" for w in _BURN_WINDOWS)} END) AS short_burn4,
+               CAST(CASE WHEN
+                   (CASE r.long_s {" ".join(f"WHEN {w} THEN (e_{w} * 1000000) // n_{w}" for w in _BURN_WINDOWS)} END) >= r.thr4
+                   AND
+                   (CASE r.short_s {" ".join(f"WHEN {w} THEN (e_{w} * 1000000) // n_{w}" for w in _BURN_WINDOWS)} END) >= r.thr4
+                   THEN 1 ELSE 0 END AS BIGINT) AS fired
+        FROM (VALUES {", ".join(f"('{r[0]}', {r[1]}, {r[2]}, CAST({r[3]} * 100 AS BIGINT))" for r in _BURN_RULES)})
+             AS r(rule, long_s, short_s, thr4)
+        CROSS JOIN one
+        ORDER BY rule
+    """,
+    tags=("events", "sre", "ops", "alerting", "streaming-twin"),
+)
+def events_burn_rate_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-aligned (hopping) variant of events_burn_rate_alerts:
+    events aggregate once into 5-minute buckets, and every rule
+    window — an exact whole number of buckets — is evaluated at the
+    close of the latest bucket, the way production SRE burn alerts
+    evaluate on the scrape/rollup grid rather than per-event.
+
+    This is the batch contract of the streaming twin
+    (streaming/burn_rate.py): its stateful stage emits exactly
+    bucket_error_counts' rows cumulatively, and its alert evaluation
+    IS burn_alerts_from_buckets — so twin parity is structural, not
+    coincidental.
+
+    Scale shape: ONE map-side-combining aggregation collapses the
+    event stream to one row per 5-minute bucket (bounded by the time
+    horizon, not the event volume); everything after operates on that
+    bounded table.
+    """
+    ev = widen(load_table(spark, sf_dir, "events"))
+    return burn_alerts_from_buckets(spark, bucket_error_counts(ev))
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Apply AQE inside cached (persisted) plan compilation too — the
+    # default pins every shuffle under a .persist() to the raw
+    # shuffle-partition count and pins downstream joins to that width
+    # (see tables.load_table, which also sets this for driver-built
+    # sessions).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Deterministic timestamp semantics for oracle parity.
     "spark.sql.session.timeZone": "UTC",
     # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS)
