@@ -91,6 +91,7 @@ def main() -> int:
     print(f"== {len(qs)} queries, {len(oracles)} oracle-checked")
     failures = []
     n_done = 0
+    peak_storage: list = [0, ""]  # [bytes, query-name]
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
             continue
@@ -107,9 +108,30 @@ def main() -> int:
         # Persisted DataFrames leak across queries in a 300+-query
         # single-session sweep (each query's caches are never
         # unpersisted by the query function — its returned plan may
-        # still reference them); without this, driver heap pressure
-        # eventually kills an unrelated broadcast build mid-sweep
-        # (observed at ~260 queries at sf0.1).
+        # still reference them; unpersist-at-return is impossible by
+        # construction since the DataFrame is lazy and the caller
+        # collects it AFTER the function exits); without this, driver
+        # heap pressure eventually kills an unrelated broadcast build
+        # mid-sweep (observed at ~260 queries at sf0.1).
+        # Peak-storage telemetry (round-10 VERDICT #5): sample cached
+        # bytes BEFORE the clear, so the end-of-run line reports the
+        # worst single-query cache footprint the sweep ever held.
+        try:
+            it = (
+                spark._jsparkSession.sparkContext()
+                .statusStore()
+                .rddList(False)
+                .iterator()
+            )
+            used = 0
+            while it.hasNext():
+                r = it.next()
+                used += r.memoryUsed() + r.diskUsed()
+            if used > peak_storage[0]:
+                peak_storage[0] = used
+                peak_storage[1] = name
+        except Exception:  # noqa: BLE001 - telemetry only
+            pass
         spark.catalog.clearCache()
         # Broadcast relations are only reclaimed by the ContextCleaner
         # after BOTH the py4j proxies are collected Python-side AND a
@@ -149,6 +171,10 @@ def main() -> int:
             s, d = multiset(cols, rows), multiset(dcols, drows)
             diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
             print(f"      first diffs: {diffs}")
+    print(
+        f"== peak per-query cache: {peak_storage[0] / 1024 / 1024:.1f} MiB "
+        f"(during {peak_storage[1]!r})"
+    )
     print(f"== done: {len(failures)} failures {failures}")
     spark.stop()
     return 1 if failures else 0
