@@ -712,6 +712,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # convergence check: min-label propagation strictly DECREASES
+    # Σlabel every round until the fixpoint, so an unchanged sum IS
+    # convergence — one cheap aggregate on the just-checkpointed
+    # labels instead of the old label-vs-label join + count (same
+    # round count, one fewer join job per round)
+    prev_sum = None
     for _ in range(max_iter):
         msgs = und.join(labels, und.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
@@ -719,16 +725,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         new_labels = (
             labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
