@@ -106,9 +106,19 @@ def streaming_funnel_latencies(
         keep_ids: list[int] = []
         keep_ts: list[int] = []
         for eid, ta in zip(pids, pts):
-            # strict <: a conversion at exactly ta + horizon (lat ==
-            # max window, which counts) is not yet late while
-            # wm == its timestamp — finalizing at <= could miss it
+            # strict <: the conservative spelling for the boundary
+            # conversion at exactly ta + horizon (lat == max window,
+            # which counts). Measured semantics (round 11,
+            # tests/test_streaming_funnel.py boundary test): Spark's
+            # late filter keeps ts > wm_late strictly, where wm_late
+            # LAGS this eviction watermark by one batch (it reflects
+            # data through batch N-2) — so the boundary conversion is
+            # only deliverable while wm_late is still below it, in
+            # which window it lands in the same invocation as any
+            # finalize and is attributed; afterwards it drops cleanly
+            # at the filter. Strict < guarantees the entry outlives
+            # every batch in which its boundary conversion could
+            # still arrive, independent of that engine detail.
             if ta + horizon_us < wm_us:
                 later = [b - ta for b in bts if b > ta]
                 lat = min(later) if later else None

@@ -168,6 +168,13 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # its parts; disjoint mode is the volume control as for both
     # parents.
     "dedup_lsh_recall_audit": (("documents",), (1, 4, 16)),
+    # Round-11: the holdout-leakage audit composes the ngram truth
+    # pipeline with two split-map joins; the novelty curve's
+    # posting-owner join is corpus-sized on BOTH sides (merge-hinted).
+    # Disjoint mode is the volume control for both (copy mode inflates
+    # the near-dup pair count / kills novelty by construction).
+    "sample_holdout_leakage_audit": (("documents",), (1, 4, 16)),
+    "text_ngram_novelty_curve": (("documents",), (1, 4, 16)),
 }
 
 

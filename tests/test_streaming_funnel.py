@@ -160,6 +160,43 @@ def test_funnel_twin_min_conversion_and_null_paths(spark, tmp_path):
     assert got == {1: 50 * 60 * 1_000_000, 2: None, 3: None}
 
 
+def test_funnel_twin_boundary_conversion_at_exact_horizon(spark, tmp_path):
+    """Round-11 ADVICE closure pin, with the semantics established
+    empirically en route (see streaming/funnel.py's finalize comment):
+    Spark keeps TWO watermarks per micro-batch — the late-event filter
+    uses the PREVIOUS batch's watermark (keeping ts > wm strictly),
+    while getCurrentWatermarkMs()/event-time timers use the current
+    eviction watermark. Consequences for a conversion at EXACTLY
+    entry + horizon (lat == max window, which counts):
+
+    1. Arriving in the same batch that advances the watermark to the
+       horizon, it IS attributed (delivered under the previous
+       watermark; bts updates before the finalize check runs).
+    2. Arriving any batch later, the late filter has already dropped
+       it (late wm >= its timestamp) — a clean drop, never a
+       mis-finalized entry, because delivery dies strictly before the
+       strict-< finalization can close the entry without it.
+    """
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    # Case 1: boundary conversion rides the wm-advancing batch
+    _write_file(spark, inp, [(1, 1, "view", _t(0))])
+    _write_file(spark, inp, [(2, 1, "purchase", _t(60))])
+    # Case 2: u2's boundary conversion arrives after the LATE
+    # watermark (which lags the eviction watermark by one batch, i.e.
+    # reflects data through batch N-2) has reached its timestamp ->
+    # dropped by the late filter, entry finalizes NULL
+    _write_file(spark, inp, [(3, 2, "view", _t(60))])
+    _write_file(spark, inp, [(4, -1, "purchase", _t(120))])
+    _write_file(spark, inp, [(5, -1, "purchase", _t(120))])  # late-wm spacer
+    _write_file(spark, inp, [(6, 2, "purchase", _t(120))])  # late: dropped
+    # flush sentinels
+    _write_file(spark, inp, [(7, -1, "purchase", _t(60 * 24 * 2))])
+    _write_file(spark, inp, [(8, -1, "purchase", _t(60 * 24 * 2 + 1))])
+    _run(spark, inp, out, str(tmp_path / "ckpt"), max_window_s=3600)
+    # keys are ENTRY event ids
+    assert _emitted(spark, out) == {1: 3600 * 1_000_000, 3: None}
+
+
 def test_funnel_twin_survives_restart(spark, tmp_path):
     inp, out = str(tmp_path / "in"), str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
