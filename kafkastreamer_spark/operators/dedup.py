@@ -60,9 +60,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collectable; values re-persist lazily if an external
 # spark.catalog.clearCache() (the driver does this between queries)
 # dropped them, so a memo hit never hands back an unpinned fan-out.
+#
+# ASSUMPTION — fixtures are immutable for the life of a session: the
+# memoized plan snapshots the parquet file listing of sf_dir at first
+# call, so rewriting/regenerating fixtures at the SAME path within a
+# live session would silently serve stale shingles (or fail on
+# deleted files). That matches the driver contract (testdata is
+# generated once, read-only); a caller that does rewrite a fixture
+# dir must call invalidate_shingle_memo(spark, sf_dir) first.
+# Distinct sf_dir paths are independent entries — no cross-sf_dir
+# sharing (pinned by tests/test_shingle_memo.py).
 _SHINGLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def invalidate_shingle_memo(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop the memoized shingle plan for ``sf_dir`` (or all dirs when
+    None) so the next call re-lists and re-reads the parquet files —
+    the escape hatch for callers that rewrite a fixture dir in-place
+    (see the immutable-fixtures assumption on _SHINGLE_MEMO)."""
+    per_session = _SHINGLE_MEMO.get(spark)
+    if not per_session:
+        return
+    stale = [sf_dir] if sf_dir is not None else list(per_session)
+    for key in stale:
+        df = per_session.pop(key, None)
+        if df is not None:
+            df.unpersist()
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,8 +741,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # Σlabel every round until the fixpoint, so an unchanged sum IS
     # convergence — one cheap aggregate on the just-checkpointed
     # labels instead of the old label-vs-label join + count (same
-    # round count, one fewer join job per round)
-    prev_sum = None
+    # round count, one fewer join job per round). Seeding prev_sum
+    # with the initial Σid (vs None) lets an already-converged
+    # labeling — every node its own component — exit after ONE
+    # propagation round instead of two. Σlabel overflow is
+    # theoretical for these id domains (doc ids < 2^31, n < 2^31 ⇒
+    # Σ < 2^62 fits a long) and left as this comment.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         msgs = und.join(labels, und.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
@@ -1432,7 +1462,12 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
             "band", "sig"
         ),
-    ).filter(F.col("sig") != "").persist()  # self-joined below
+    ).filter(F.col("sig") != "").persist()
+    # ^ self-joined below. Like _SHINGLE_MEMO's entries, this persist
+    # relies on the caller's clearCache-per-query protocol (the driver
+    # does it between queries; bench.py clears before EVERY run) for
+    # release — a long-lived session invoking this repeatedly without
+    # clearing would accumulate one cached copy per invocation.
     # corpus-sized self-join sides: pin shuffle (see dedup_minhash_lsh)
     a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     cand = (

@@ -331,7 +331,7 @@ def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup_boilerplate_shell
+# dedup_boilerplate_edges
 # ---------------------------------------------------------------------------
 
 

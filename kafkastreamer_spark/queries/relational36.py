@@ -14,7 +14,8 @@ column statistics.
   that a deterministic deleted-subject list would erase.
 * ``join_allen_relations`` — Allen-style interval relations between
   consecutive order intervals per customer (precedes / meets /
-  overlaps / finished-by / contains / starts / equals ladder).
+  overlaps / finished-by / contains / starts / started_by / equals
+  ladder).
 * ``stats_column_profile`` — ANALYZE-style ndv / null / min / max
   profile of lineitem's integer key columns.
 * ``events_value_iqr_outliers`` — Tukey-fence outlier counts per
