@@ -1,14 +1,17 @@
-"""Streaming twin of events_burn_rate_hopping (round-10 VERDICT #6):
-stateful per-5-minute-bucket running (n, e) counts feeding the shared
-burn_alerts_from_buckets alert evaluation.
+"""Streaming twin of events_burn_rate_hopping (round-10 VERDICT #6;
+round-12: volume stage lifted to the BUILT-IN windowed streaming
+aggregation — no Python in the hot path): per-5-minute-bucket running
+(n, e) counts feeding the shared burn_alerts_from_buckets evaluation.
 
 1. Fixture parity: max-emitted (n, e) per bucket ->
    burn_alerts_from_buckets EQUALS the registered batch query when
-   events arrive in time order within the TTL.
-2. Eviction: a bucket past the TTL horizon is dropped by the
-   event-time timer (verified via the state-store reader); a later
-   recurrence is late past the watermark and cleanly drops —
-   resurrection/undercount is impossible by construction.
+   events arrive in time order within the watermark.
+2. Eviction: a bucket whose window end the watermark has passed is
+   dropped from the aggregation state (verified via the state-store
+   reader); a later recurrence is late past the watermark and cleanly
+   drops — late-filter and eviction are the SAME horizon in the
+   built-in operator, so resurrection/undercount is impossible by
+   construction.
 3. Checkpoint restart: counts continue across a stop/start.
 """
 
@@ -60,11 +63,11 @@ def _write_file(spark, inp, rows):
     ).parquet(inp)
 
 
-def _run(spark, inp, out, ckpt, ttl_s):
+def _run(spark, inp, out, ckpt):
     stream = file_source(
         spark, inp, EV_SCHEMA, max_files_per_trigger=1
     ).withWatermark("ts", "0 seconds")
-    counts = streaming_bucket_error_counts(stream, ttl_s=ttl_s)
+    counts = streaming_bucket_error_counts(stream)
 
     def wb(bdf, bid):
         bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
@@ -118,8 +121,8 @@ def test_burn_twin_matches_batch(spark, sf_dir, tmp_path):
         )
 
     out = str(tmp_path / "out")
-    # TTL far beyond the fixture's span: nothing evicts
-    _run(spark, inp, out, str(tmp_path / "ckpt"), ttl_s=10_000 * 86400)
+    # time-ordered feed: every row is on-time, nothing is dropped
+    _run(spark, inp, out, str(tmp_path / "ckpt"))
     em = _emissions(spark, out)
     assert em, "stateful counts emitted nothing"
 
@@ -142,19 +145,19 @@ def test_burn_twin_evicts_and_late_rows_drop(spark, tmp_path):
     inp, out = str(tmp_path / "in"), str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     # bucket-0: an error and an ok event; then the watermark jumps
-    # ~7 days (TTL = 1 h) so bucket-0's timer fires and evicts it; a
-    # bucket-0 event arriving after that is LATE past the watermark
-    # and is dropped by the stateful exec before the function sees
-    # it — the eviction horizon (bucket end + TTL) always exceeds the
-    # lateness horizon, so post-eviction resurrection cannot happen
-    # (module docstring contract: late drop, never a re-count).
+    # ~7 days so bucket-0's window closes and its aggregation state
+    # is evicted; a bucket-0 event arriving after that is LATE past
+    # the watermark and is dropped by the same exec — eviction and
+    # the late filter are one horizon in the built-in operator, so
+    # post-eviction resurrection cannot happen (module docstring
+    # contract: late drop, never a re-count).
     _write_file(
         spark, inp, [(1, "error", _t(0, 0)), (2, "view", _t(0, 30))]
     )
     _write_file(spark, inp, [(3, "view", _t(7 * 1440))])
     _write_file(spark, inp, [(4, "view", _t(7 * 1440, 30))])
     _write_file(spark, inp, [(5, "error", _t(1, 0))])  # late beyond horizon
-    _run(spark, inp, out, ckpt, ttl_s=3600)
+    _run(spark, inp, out, ckpt)
     em = _emissions(spark, out)
     b0 = sorted((n, e) for b, n, e in em if b == B0)
     assert b0 == [(2, 1)]  # the late recurrence emitted nothing
@@ -162,7 +165,13 @@ def test_burn_twin_evicts_and_late_rows_drop(spark, tmp_path):
     # the evicted bucket is gone from the state store; the fresh
     # bucket (7 days on, inside its horizon) is the positive control
     state = spark.read.format("statestore").load(ckpt)
-    keys = {r["key"]["bucket"] for r in state.collect()}
+    # built-in windowed agg keys state by the window struct
+    keys = {
+        int(r["key"]["window"]["start"].replace(
+            tzinfo=__import__("datetime").timezone.utc
+        ).timestamp()) // 300
+        for r in state.collect()
+    }
     assert B0 not in keys
     assert B0 + (7 * 1440 * 60) // 300 in keys
 
@@ -171,9 +180,9 @@ def test_burn_twin_survives_restart(spark, tmp_path):
     inp, out = str(tmp_path / "in"), str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     _write_file(spark, inp, [(1, "error", _t(0, 0)), (2, "view", _t(0, 30))])
-    _run(spark, inp, out, ckpt, ttl_s=10_000 * 86400)
+    _run(spark, inp, out, ckpt)
     # restart with the same checkpoint: the count continues from (2,1)
     _write_file(spark, inp, [(3, "error", _t(1, 0))])
-    _run(spark, inp, out, ckpt, ttl_s=10_000 * 86400)
+    _run(spark, inp, out, ckpt)
     em = _emissions(spark, out)
     assert [(n, e) for b, n, e in em if b == B0] == [(2, 1), (3, 2)]
