@@ -47,6 +47,12 @@ DISJOINT = os.environ.get("SCALE_PROBE_DISJOINT", "0") == "1"
 # graph copies (edge growth linear in k). Only for probes that never
 # join the non-inflated part/supplier dims (graph_connected_components).
 REMAP_GRAPH = os.environ.get("SCALE_PROBE_REMAP_GRAPH", "0") == "1"
+# SCALE_PROBE_SPILL=1: enable the Spark UI and print a per-stage
+# spill/shuffle report (memoryBytesSpilled, diskBytesSpilled, peak
+# execution memory) for every rung — the instrument for attributing a
+# superlinear single-box rung to memory pressure vs plan pathology
+# (VERDICT r11 #1: measure, don't argue).
+SPILL = os.environ.get("SCALE_PROBE_SPILL", "0") == "1"
 # Probes verified safe under the l_partkey/l_suppkey remap: they build
 # their node set from lineitem alone and never join the (non-inflated)
 # part/supplier dims. Any other lineitem-scanning probe running under
@@ -247,6 +253,54 @@ def _inflate(spark: SparkSession, sf_dir: str, name: str, k: int, out_dir: str) 
     out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
+def _max_stage_id(spark: SparkSession) -> int:
+    """Highest stage id the app has seen so far (REST), so a rung's
+    report can exclude earlier rungs' stages. -1 if none/unavailable."""
+    try:
+        return max([-1] + [st.get("stageId", -1) for st in _rest_stages(spark)])
+    except Exception:  # noqa: BLE001
+        return -1
+
+
+def _rest_stages(spark: SparkSession) -> list[dict]:
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as r:
+        return json.load(r)
+
+
+def _stage_spill(spark: SparkSession, stage_floor: int) -> list[dict]:
+    """Per-stage spill/shuffle metrics for stages newer than
+    stage_floor, via the UI REST API (requires spark.ui.enabled)."""
+    stages = _rest_stages(spark)
+    out = []
+    for st in stages:
+        if st.get("stageId", -1) <= stage_floor:
+            continue
+        if st.get("status") not in ("COMPLETE", "ACTIVE"):
+            continue
+        out.append(
+            {
+                "stage": st["stageId"],
+                "name": st.get("name", "")[:60],
+                "tasks": st.get("numCompleteTasks"),
+                "run_ms": st.get("executorRunTime"),
+                "mem_spill_mb": round(st.get("memoryBytesSpilled", 0) / 1e6, 1),
+                "disk_spill_mb": round(st.get("diskBytesSpilled", 0) / 1e6, 1),
+                "shuffle_write_mb": round(
+                    st.get("shuffleWriteBytes", 0) / 1e6, 1
+                ),
+                "peak_exec_mem_mb": round(
+                    st.get("peakExecutionMemory", 0) / 1e6, 1
+                ),
+            }
+        )
+    out.sort(key=lambda x: -(x["mem_spill_mb"] + x["disk_spill_mb"]))
+    return out[:12]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     if len(sys.argv) > 2:  # restrict to named queries while iterating
@@ -275,7 +329,10 @@ def main() -> None:
                 f"({sorted(REMAP_SAFE_PROBES)}) or unset the flag."
             )
     _ensure_loaded()
-    spark = get_spark(app_name="kafkastreamer-spark-scale-probe")
+    spark = get_spark(
+        app_name="kafkastreamer-spark-scale-probe",
+        extra_conf={"spark.ui.enabled": "true"} if SPILL else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     needed: dict[tuple[str, int], None] = {}
@@ -306,14 +363,25 @@ def main() -> None:
             d = os.path.join(BASE, f"k{k}")
             fn = REGISTRY[name].fn
             elapsed = float("nan")
+            stage_floor = _max_stage_id(spark) if SPILL else -1
             for _run in range(2):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
+                if SPILL and _run:
+                    stage_floor = _max_stage_id(spark)  # report run 2 only
                 t0 = time.perf_counter()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
             results[name][k] = elapsed
             print(json.dumps({"query": name, "k": k, "sec": elapsed}), flush=True)
+            if SPILL:
+                print(
+                    json.dumps(
+                        {"spill_report": {"query": name, "k": k,
+                                          "stages": _stage_spill(spark, stage_floor)}}
+                    ),
+                    flush=True,
+                )
 
     summary = {}
     for name, by_k in results.items():
