@@ -223,7 +223,19 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > NGRAM_DF_CAP)
         .select("s")
     )
-    posting = posting0.join(F.broadcast(stop), "s", "left_anti").persist()
+    # repartition by the self-join key BEFORE the persist: the cached
+    # relation then already satisfies the SMJ's distribution on BOTH
+    # sides (cached-plan partitioning is AQE-visible since the r11
+    # conf), so the self-join sorts without re-exchanging — one
+    # exchange of the posting volume instead of two, measured ~0.7 s
+    # at sf0.01 under a plain 200-partition driver session and
+    # strictly fewer full-relation shuffles at any scale. No explicit
+    # partition count: AQE remains free to size it.
+    posting = (
+        posting0.join(F.broadcast(stop), "s", "left_anti")
+        .repartition("s")
+        .persist()
+    )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # the posting self-join sides scale with the corpus: pin a shuffle
     # plan (the x256-probe broadcast-underestimate fix, see
