@@ -181,6 +181,12 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # the near-dup pair count / kills novelty by construction).
     "sample_holdout_leakage_audit": (("documents",), (1, 4, 16)),
     "text_ngram_novelty_curve": (("documents",), (1, 4, 16)),
+    # Round-12: the shingle-df family (coverage estimators, df-cap
+    # audit, capture-recapture) shares one posting-grouped derivation;
+    # probe the estimator entry as the family representative. Copy
+    # mode inflates duplicate density (f1/f2 collapse by design);
+    # disjoint is the volume control.
+    "corpus_coverage_estimators": (("documents",), (1, 4, 16)),
 }
 
 
