@@ -187,6 +187,12 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # mode inflates duplicate density (f1/f2 collapse by design);
     # disjoint is the volume control.
     "corpus_coverage_estimators": (("documents",), (1, 4, 16)),
+    # Round-12 batch 249: the signature-health audit is a pure map
+    # fold (one md5 per distinct token, 128-wide accumulator) plus a
+    # (doc x bit) partial-sum shuffle aggregating to 128 rows — both
+    # inflation modes are volume controls (the bit-bias OUTPUT shifts
+    # with vocabulary, but the COST is row-linear either way).
+    "dedup_simhash_bit_balance": (("documents",), (1, 4, 16)),
 }
 
 
