@@ -259,9 +259,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w)
+    # exact microsecond gap — the oracle's INTERVAL comparison is exact,
+    # so a second-truncated gap could diverge for true gaps in (1800, 1801)s
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_id",
@@ -424,9 +427,12 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize, pivot first-times per step, compare."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w)
+    # exact microsecond gap — the oracle's INTERVAL comparison is exact,
+    # so a second-truncated gap could diverge for true gaps in (1800, 1801)s
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_id",

@@ -196,7 +196,7 @@ _N_FOLDS = 5
 )
 def ml_auc_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney AUC of the shared click-propensity model per
-    md5-assigned fold ({_N_FOLDS} folds on user_id), with the
+    md5-assigned fold (_N_FOLDS=5 folds on user_id), with the
     cross-fold range — the "one lucky split?" stability check
     complementing ml_auc_bootstrap_ci (which resamples ONE split).
     AUC per fold is the tie-averaged rank-sum form: doubled average
@@ -207,7 +207,7 @@ def ml_auc_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy(user_id) fact pass, then all windows run
     over the tiny (fold × distinct-score) relation; 1-row spread
-    broadcast back onto ≤{_N_FOLDS} rows.
+    broadcast back onto ≤5 (_N_FOLDS) rows.
     """
     pu = _per_user(spark, sf_dir)
     folded = pu.select(
@@ -428,7 +428,7 @@ _SEASON = 12  # months
 def orders_forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASE backtest of the seasonal-naive monthly revenue forecast:
     over every month where both benchmarks are defined, the ratio of
-    the seasonal-naive (lag-{_SEASON}) absolute error sum to the
+    the seasonal-naive (lag-12, _SEASON months) absolute error sum to the
     naive (lag-1) one — the scale-free accuracy number (Hyndman's
     MASE, denominator folded over the same eval months so the ratio
     is a single floor division) that says whether last-year-same-

@@ -100,7 +100,7 @@ _PRE_DAYS = 15
 )
 def events_cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-adjusted A/B uplift: pre-period activity (event count in
-    the first {_PRE_DAYS} days, anchored at the corpus min timestamp)
+    the first _PRE_DAYS=15 days, anchored at the corpus min timestamp)
     is the covariate X; post-period spend (whole currency units of
     ``value``) the outcome Y; theta = pooled Sxy/Sxx; adjusted uplift
     = raw − theta·(mean_a(X) − mean_b(X)). Because arms come from the
@@ -363,16 +363,22 @@ def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataF
     a per-session min/max aggregate, a ≤5-row band rollup with a
     broadcast total.
     """
-    from kafkastreamer_spark.queries._util import epoch_s, epoch_us
+    from kafkastreamer_spark.queries._util import epoch_us
 
     ev = widen(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w)
+    # exact microsecond gap (same idiom as events_session_path_topk in
+    # relational37) — the oracle's `ts - LAG(ts) > INTERVAL 30 MINUTE`
+    # is exact interval arithmetic, so a second-truncated epoch_s gap
+    # could split sessions differently for true gaps in (1800, 1801)s
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     sessions = flagged.withColumn(
         "session_id",
@@ -446,7 +452,7 @@ _BIAS_CASE = """
 )
 def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature health: per-bit set-rate over the document
-    population ({_SH_BITS}-bit signatures, same md5-derived token
+    population (128-bit (_SH_BITS) signatures, same md5-derived token
     bits and s >= 0 sign rule as dedup_simhash), rolled into
     deviation-from-50% bands. Balanced bits carry one bit of
     discrimination each; a population of heavily biased bits means
@@ -460,9 +466,9 @@ def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-doc bit sums fold map-side over the token-hash
     array (one md5 per distinct token, no row explosion in Spark —
-    the {_SH_BITS}-wide accumulator is an F.aggregate over
+    the 128-wide (_SH_BITS) accumulator is an F.aggregate over
     materialized digests); the only shuffled relation is (doc × bit)
-    partial sums aggregating to {_SH_BITS} rows, banded to ≤5.
+    partial sums aggregating to 128 (_SH_BITS) rows, banded to ≤5.
     """
     d = widen(load_table(spark, sf_dir, "documents"))
     toks = d.select(

@@ -360,7 +360,7 @@ _N_ABINS = 10
 def ml_ece_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-mass (adaptive-bin) expected calibration error: users
     sorted by score (desc, user_id tie-break — a total order, so
-    NTILE is deterministic cross-engine) split into {_N_ABINS}
+    NTILE is deterministic cross-engine) split into _N_ABINS=10
     equal-population bins; per bin the mean predicted probability
     (mean of min(score,10)/10, floored at fp4) vs observed rate, and
     the n-weighted ECE. Fixed-width bins (ml_calibration_bins) starve
@@ -369,7 +369,7 @@ def ml_ece_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates binning artifact from real miscalibration.
 
     Scale shape: the one global window runs over one row per user
-    (the derived small relation), then a {_N_ABINS}-row rollup with a
+    (the derived small relation), then a 10-row (_N_ABINS) rollup with a
     broadcast 1-row ECE.
     """
     pu = _per_user(spark, sf_dir)
