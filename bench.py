@@ -91,6 +91,13 @@ TIER2 = [
     "events_funnel_window_ladder",
     "events_topk_churn",
     "text_bm25_topk",
+    # Round-13 additions (VERDICT r12 #3): the two slowest
+    # driver-scale entries, both just restructured (posting-list
+    # repartition-before-persist) — benched so the plans most likely
+    # to regress get a round-over-round series. Comparison base:
+    # r12 driver-session sf0.01 numbers in docs/BENCH_METHODOLOGY.md.
+    "pipeline_training_corpus",
+    "dedup_cluster_representatives",
 ]
 
 
