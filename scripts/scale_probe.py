@@ -193,6 +193,12 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # inflation modes are volume controls (the bit-bias OUTPUT shifts
     # with vocabulary, but the COST is row-linear either way).
     "dedup_simhash_bit_balance": (("documents",), (1, 4, 16)),
+    # Round-13 (VERDICT r12 #4): one measured representative for the
+    # batch-247/248 ML-evaluation families, whose scale posture was
+    # previously argued by shape analogy only. Heaviest member: one
+    # groupBy(user_id) fact pass, then windows over the tiny
+    # (fold × distinct-score) relation — expected ~row-linear.
+    "ml_auc_fold_stability": (("events",), (1, 4, 16)),
 }
 
 
