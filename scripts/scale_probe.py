@@ -199,6 +199,16 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # groupBy(user_id) fact pass, then windows over the tiny
     # (fold × distinct-score) relation — expected ~row-linear.
     "ml_auc_fold_stability": (("events",), (1, 4, 16)),
+    # Round-13 batches 251-254: heaviest new entries per family.
+    # Band occupancy shares dedup_minhash_lsh's signature map stage
+    # but has NO pair join — expect the table cost only (linear).
+    "dedup_lsh_band_occupancy": (("documents",), (1, 4, 16)),
+    # Burrows delta: token explode + vocabulary-sized groupBy; the
+    # pairwise tail is bounded by the source count (fixed domain).
+    "text_burrows_delta": (("documents",), (1, 4, 16)),
+    # Per-seed BFS (5 seeds, 3 rounds): state is seeds × nodes; the
+    # per-round join is edge-linear.
+    "graph_harmonic_centrality_seeds": (("lineitem",), (1, 2, 4)),
 }
 
 
