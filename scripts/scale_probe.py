@@ -209,6 +209,10 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # Per-seed BFS (5 seeds, 3 rounds): state is seeds × nodes; the
     # per-round join is edge-linear.
     "graph_harmonic_centrality_seeds": (("lineitem",), (1, 2, 4)),
+    # Wedge counting is Σ deg² over the near-dup graph — quadratic in
+    # clique size under COPY inflation (which multiplies duplicate
+    # density); disjoint mode is the volume control.
+    "dedup_pair_transitivity_audit": (("documents",), (1, 4, 16)),
 }
 
 
