@@ -213,6 +213,8 @@ PROBES: dict[str, tuple[tuple[str, ...], tuple[int, ...]]] = {
     # clique size under COPY inflation (which multiplies duplicate
     # density); disjoint mode is the volume control.
     "dedup_pair_transitivity_audit": (("documents",), (1, 4, 16)),
+    # Truth-pair pipeline + three pair-bounded re-scoring joins.
+    "dedup_shingle_size_sensitivity": (("documents",), (1, 4, 16)),
 }
 
 
