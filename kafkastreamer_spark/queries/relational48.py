@@ -149,7 +149,11 @@ def dedup_cdc_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("e"),
         (F.coalesce(F.lag("i").over(ws), F.lit(0)) + 1).alias("s"),
     )
-    chunks = spans.join(blobs.select("doc_id", "text"), "doc_id").select(
+    # the rejoin's both sides are corpus-sized: under width-ratio
+    # underestimation Catalyst would broadcast the full documents
+    # relation (caught by the K=16 broadcast gate) — pin a sort-merge
+    # plan (same discipline as the LSH band join)
+    chunks = spans.join(blobs.select("doc_id", "text").hint("merge"), "doc_id").select(
         "doc_id",
         (F.col("e") - F.col("s") + 1).alias("chunk_len"),
         F.md5(

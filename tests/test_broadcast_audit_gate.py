@@ -77,6 +77,8 @@ ALLOWLIST = {
     "graph_bipartite_projection",
     "graph_link_prediction_jaccard",
     "nation_copeland_ranking",
+    # round-13: same nation-graph class (3*tri/wedges on <=25 nodes)
+    "graph_global_transitivity",
 }
 
 
