@@ -17,7 +17,7 @@ from kafkastreamer_spark.operators.dedup import (
     _cluster_oracle,
     dedup_cluster_representatives,
 )
-from kafkastreamer_spark.operators.text import text_quality_score
+from kafkastreamer_spark.operators.text import quality_scores_unsorted
 from kafkastreamer_spark.operators._embed import tokens
 from kafkastreamer_spark.registry import REGISTRY, register
 from kafkastreamer_spark.tables import load_table, widen
@@ -62,8 +62,19 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs, connected-components consolidation) into one
     output — the engine's operators are DataFrames, so composition is
     just more plan."""
-    quality = text_quality_score(spark, sf_dir).select(
-        "doc_id", "lang", "quality_score"
+    # persist() is a deliberate pushdown barrier, not a reuse cache:
+    # without it Catalyst pushes the quality_score >= 70 filter below
+    # the widen() repartition, inlining the whole scoring expression
+    # (3x split(lower(text)), regexp_replace, aggregate/transform)
+    # into a Filter that runs at raw-scan parallelism (ONE task on the
+    # single-file fixture) and then RE-computes every feature in the
+    # projections above — measured 26 s of task time on 5,000 docs at
+    # sf0.1 (r13 SQL-node profile). Behind the barrier the score is
+    # computed once, after the scan has been parallelized.
+    quality = (
+        quality_scores_unsorted(spark, sf_dir)
+        .select("doc_id", "lang", "quality_score")
+        .persist()
     )
     reps = dedup_cluster_representatives(spark, sf_dir)
     keep = quality.filter(F.col("quality_score") >= MIN_QUALITY)

@@ -737,9 +737,26 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """
     # materialize the edge list once — every iteration (and the
     # convergence check) joins against it; without this the entire
-    # upstream candidate pipeline re-executes per round
+    # upstream candidate pipeline re-executes per round.
+    # Symmetrize with ONE explode instead of union(edges, edges.swap):
+    # the union referenced the (unpersisted) input twice, so the whole
+    # upstream candidate pipeline — for dedup_cluster_representatives
+    # the full n-gram Jaccard posting self-join — executed twice
+    # inside this checkpoint's job, the two branches racing the cache
+    # (r13 stage profile: every heavy stage appeared as a duplicated
+    # pair). The explode keeps a single reference: upstream runs once.
     und = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -811,7 +828,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     Oracle: recursive-CTE transitive closure over the same pairs
     (exact — both sides compute min-id-in-component).
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # _ngram_jaccard_pairs, not dedup_ngram_jaccard: the registered
+    # query ends in an orderBy that is pure overhead here (a range
+    # exchange + sort feeding a distinct — CC is order-insensitive).
+    pairs = _ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = connected_components(edges)
     return (

@@ -109,6 +109,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length band + punctuation ratio +
     average token length, combined into a 0-100 score (the standard
     pretraining-corpus filter shape)."""
+    return quality_scores_unsorted(spark, sf_dir).orderBy("doc_id")
+
+
+def quality_scores_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Body of text_quality_score without the presentation sort — for
+    composition into downstream plans (pipeline_training_corpus feeds
+    it into a join+filter and must not inherit a useless range
+    exchange)."""
     d = _docs(spark, sf_dir)
     w = F.col("w")
     nc = F.length("text")
@@ -135,7 +143,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("punct_pct4") < 500, 30).otherwise(0)
         + F.when(F.col("avg_token_len4").between(30000, 80000), 30).otherwise(0)
     )
-    return feat.withColumn("quality_score", score).orderBy("doc_id")
+    return feat.withColumn("quality_score", score)
 
 
 def _sql_lang_score(lang: str) -> str:
