@@ -230,12 +230,26 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
+    # single-reference symmetrize + self-loops: the old 4-way union
+    # referenced the (unpersisted) half subtree four times, so the
+    # lineitem scan + distinct ran four times inside the edge-build
+    # job (r13 plan audit: four scan+Exchange+HashAggregate branches).
+    # One explode keeps one subtree, feeding the SAME trailing
+    # distinct the union already needed (dedup.py connected_components
+    # got the identical fix).
+    s, d = F.col("src"), F.col("dst")
     edges = (
-        half.unionByName(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(s, d),
+                    F.struct(d.alias("src"), s.alias("dst")),
+                    F.struct(s, s.alias("dst")),
+                    F.struct(d.alias("src"), d.alias("dst")),
+                )
+            ).alias("e")
         )
-        .unionByName(half.select("src", F.col("src").alias("dst")))
-        .unionByName(half.select(F.col("dst").alias("src"), "dst"))
+        .select("e.src", "e.dst")
         .distinct()
         # hash-partition by the (never-changing) join key before the
         # persist: every round's join reuses this layout, and the

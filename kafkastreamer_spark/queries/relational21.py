@@ -110,10 +110,16 @@ def graph_bfs_distance_histogram(
     accounting) happens once at the end against the node set.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # persisted because the plan below references it four times (both
+    # union directions, plus both again via nodes_raw): unpersisted,
+    # the lineitem scan + distinct subtree executed 4x inside the
+    # edges_w materialization job (r13 plan audit). All four readers
+    # sit in one job, so the cached RDD is a single stage — computed
+    # once, no cross-job race.
     half = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).distinct()
+    ).distinct().persist()
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
