@@ -324,6 +324,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     # Per-row signature build (minhash_array): a pure map stage — the
     # classic explode×perms + groupBy(doc,p) shuffle is gone entirely.
+    # Same discipline: partition by the band join key at persist so
+    # neither self-join side re-exchanges the band table.
     bands = (
         sh.select("doc_id", minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"))
         .select(
@@ -333,6 +335,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("sig") != "")  # docs with no shingles
+        .repartition("band", "sig")
         .persist()  # self-joined below
     )
     # Corpus-sized sides must never be planned as broadcasts: after
