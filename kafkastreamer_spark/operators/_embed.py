@@ -36,6 +36,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def hyperplane_bucket(n_planes: int, v: Column | str = "v") -> Column:
+    """Sign-bucket string over ``n_planes`` md5-derived random
+    hyperplanes, computed per row (r13, guide §2.4): one nested
+    transform over p = 0..n_planes-1 folding dot(plane_p, v). The
+    previous idiom — crossJoin with a plane table + groupBy(vec_id, v)
+    reassembling signs with array_sort(collect_list(...)) — exchanged
+    an n_planes×-exploded copy of every vector and hashed the full
+    64-double array as a group key; this form has zero exchanges and
+    produces bit-identical buckets (same md5 plane derivation, same
+    sign expression, same p order)."""
+    vc = v if isinstance(v, Column) else F.col(v)
+
+    def _proj(p: Column) -> Column:
+        plane_vec = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.instr(
+                F.lit(HEX),
+                F.substring(
+                    F.md5(F.concat(F.lit("plane"), p, F.lit("_"), i)), 1, 1
+                ),
+            ).cast("double")
+            - 8.5,
+        )
+        return F.aggregate(
+            F.zip_with(plane_vec, vc, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(_proj(p.cast("int")) >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+
+
 def tokens(text_col) -> Column:
     """Whitespace tokenization of lowercased text (parity with DuckDB
     string_split_regex(lower(text), '\\s+'))."""

@@ -30,6 +30,7 @@ from kafkastreamer_spark.operators._embed import (
     SQL_TOKENS,
     band_sigs,
     cosine,
+    hyperplane_bucket,
     minhash_array,
     shingles,
     sql_minhash_ctes,
@@ -676,34 +677,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = widen(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
-    # dot(plane_p, v): build the md5-derived plane vector per row and
-    # fold zip_with(plane, v) — no 64× row explosion.
-    plane_vec = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda i: F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.concat(F.lit("plane"), F.col("p"), F.lit("_"), i)), 1, 1),
-        ).cast("double")
-        - 8.5,
-    )
-    proj = F.aggregate(
-        F.zip_with(plane_vec, F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    buckets = (
-        e.crossJoin(F.broadcast(planes))
-        .select("vec_id", "v", "p", F.when(proj >= 0, "1").otherwise("0").alias("s"))
-        .groupBy("vec_id", "v")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("p", "s"))), lambda x: x["s"]),
-                "",
-            ).alias("bucket")
-        )
-        .persist()  # self-joined below
-    )
+    # r13 (guide §2.4): per-row sign bucket — the previous
+    # crossJoin-with-the-plane-table + groupBy(vec_id, v) exchanged
+    # an 8×-exploded copy of every vector and hashed the FULL
+    # 64-double array as a group key just to reassemble the signs.
+    # See _embed.hyperplane_bucket for the bit-identity argument.
+    buckets = e.select(
+        "vec_id", "v", hyperplane_bucket(_N_PLANES).alias("bucket")
+    ).persist()
+    # ^ self-joined below
     a = buckets.alias("a")
     b = buckets.alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
@@ -1513,7 +1495,11 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
             "band", "sig"
         ),
-    ).filter(F.col("sig") != "").persist()
+    ).filter(F.col("sig") != "").repartition("band", "sig").persist()
+    # ^ repartitioned by the self-join key before the persist so the
+    # cached relation satisfies both SMJ sides' distribution — the
+    # same two-elided-exchanges discipline as dedup_minhash_lsh's
+    # band table (r13) and the r12 posting list.
     # ^ self-joined below. Like _SHINGLE_MEMO's entries, this persist
     # relies on the caller's clearCache-per-query protocol (the driver
     # does it between queries; bench.py clears before EVERY run) for

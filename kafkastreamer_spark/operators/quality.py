@@ -438,7 +438,21 @@ def _corpus_prep_stages(spark: SparkSession, sf_dir: str) -> dict:
         clean.withColumn("rn", F.row_number().over(wdup)).filter(F.col("rn") == 1)
     )
 
-    capped = md5_ranked(deduped, ["source"], "doc_id", "crn").filter(
+    # Recompute barrier (r13, guide §2.4/§5): the two md5_ranked
+    # stages below each reference their input TWICE (counts side +
+    # join side) with different projections under the exchanges, so
+    # exchange reuse cannot fire and the whole grams -> flags-join ->
+    # dedup-window lineage executed up to 4x per action (stage
+    # profile: the 16 s-CPU gram aggregation ran as two separate
+    # 32-task stages). One persist of the deduped survivors — with
+    # `text` projected away first, since nothing above the dedup
+    # window reads it — runs the heavy lineage once and caches only
+    # the narrow audit columns. Same persist-inside-the-timed-plan
+    # protocol as the posting-list persist (bench.py and driver_sim
+    # clearCache between queries).
+    deduped_slim = deduped.select("doc_id", "lang", "source", "n_chars").persist()
+
+    capped = md5_ranked(deduped_slim, ["source"], "doc_id", "crn").filter(
         F.col("crn") <= SOURCE_CAP
     )
 
@@ -452,7 +466,7 @@ def _corpus_prep_stages(spark: SparkSession, sf_dir: str) -> dict:
     return {
         "input": d,
         "repetition_filter": clean,
-        "exact_dedup": deduped,
+        "exact_dedup": deduped_slim,
         "source_cap": capped,
         "temperature_mix": mixed,
         "mixed": mixed,

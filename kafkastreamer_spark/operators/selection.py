@@ -218,31 +218,39 @@ def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncent = max(1, int(math.floor(math.sqrt(float(n)))))
     step = max(1, n // ncent)
     ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
-    cp = (
+    # r13 (guide §2.4): the previous form crossJoined every vector
+    # with the broadcast centroid table and took the argmax with a
+    # groupBy(vec_id) — re-shuffling every (v, nv) payload through an
+    # exchange just to pick a centroid id. The argmax is a pure
+    # per-row function of the broadcast centroids, so fold it
+    # map-side: collapse the centroids to ONE broadcast row holding
+    # an array of (cent_id, cv, ncv) structs and take
+    # array_max(transform(...)) per vector — zero exchanges, the
+    # literal "map-side argmax over broadcast centroids" this
+    # docstring always promised. array_max uses the same struct
+    # ordering as the old max(struct) aggregate (cc desc, then
+    # -cent_id), so assignments are bit-identical.
+    cents = (
         ep.filter(F.col("vec_id") % step == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
             F.col("nv").alias("ncv"),
         )
-        .persist()
+        .agg(F.collect_list(F.struct("cent_id", "cv", "ncv")).alias("cents"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(F.col("v"), c["cv"]) / (F.col("nv") * c["ncv"])).alias("cc"),
+                (-c["cent_id"]).alias("nc"),
+            ),
+        )
     )
     return (
-        ep.crossJoin(F.broadcast(cp))
-        .select(
-            "vec_id",
-            "v",
-            "nv",
-            "cent_id",
-            (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("cc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("cc"), (-F.col("cent_id")).alias("nc"))).alias("m"),
-            F.first("v").alias("v"),
-            F.first("nv").alias("nv"),
-        )
-        .select("vec_id", "v", "nv", (-F.col("m.nc")).alias("cent_id"))
+        ep.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nv", (-best["nc"]).alias("cent_id"))
         .persist()  # self-joined by every caller
     )
 

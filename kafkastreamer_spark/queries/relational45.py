@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from kafkastreamer_spark.operators._embed import (
     SQL_TOKENS,
     band_sigs,
+    hyperplane_bucket,
     minhash_array,
     sql_minhash_ctes,
     sql_shingles,
@@ -281,37 +282,12 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = widen(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
-    plane_vec = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda i: F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(
-                F.md5(F.concat(F.lit("plane"), F.col("p"), F.lit("_"), i)), 1, 1
-            ),
-        ).cast("double")
-        - 8.5,
-    )
-    proj = F.aggregate(
-        F.zip_with(plane_vec, F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    buckets = (
-        e.crossJoin(F.broadcast(planes))
-        .select("vec_id", "v", "p", F.when(proj >= 0, "1").otherwise("0").alias("s"))
-        .groupBy("vec_id", "v")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "s"))),
-                    lambda x: x["s"],
-                ),
-                "",
-            ).alias("bucket")
-        )
-        .persist()  # both self-join sides share it
-    )
+    # r13: per-row sign bucket (see _embed.hyperplane_bucket) — the
+    # plane-table crossJoin + groupBy(vec_id, v) it replaces
+    # exchanged an 8×-exploded copy of every vector.
+    buckets = e.select(
+        "vec_id", "v", hyperplane_bucket(_N_PLANES).alias("bucket")
+    ).persist()  # both self-join sides share it
     a = buckets.alias("a")
     b = buckets.alias("b")
     dot = F.aggregate(
