@@ -328,15 +328,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    # the oriented edge list is bounded by C(25,2) rows (25 nations),
+    # so every wedge-close side broadcasts — no shuffle/sort anywhere
     tri = (
-        und.join(e2, und.b == e2.b2)
-        .join(e3, (und.a == e3.a3) & (e2.c == e3.c3))
+        und.join(F.broadcast(e2), und.b == e2.b2)
+        .join(F.broadcast(e3), (und.a == e3.a3) & (e2.c == e3.c3))
         .select("a", "b", "c")
     )
     pernode = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    # broadcast the bounded right side (≤ 3·C(25,3) ints): a broadcast
+    # hint on the PRESERVED left side of a left join cannot become a
+    # BroadcastHashJoin and was silently degrading to sort-merge
     return (
-        F.broadcast(nation)
-        .join(pernode, pernode.node == nation.n_nationkey, "left")
+        nation.join(F.broadcast(pernode), pernode.node == nation.n_nationkey, "left")
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("node").alias("n_triangles"))
         .orderBy("nation")
