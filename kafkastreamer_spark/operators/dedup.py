@@ -218,12 +218,25 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not inherit a useless sort)."""
     sh = _shingle_sets(spark, sf_dir)
     posting0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    # collapse the stop-shingle list (bounded: high-df shingles are few
+    # by construction) to ONE broadcast array row, so the df cap and
+    # the per-doc capped size are both applied to the shingle ARRAY
+    # before the explode — filter() keeps intra-doc duplicates exactly
+    # like the old row-level anti-join did (array_except would not)
     stop = (
         posting0.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("s")
+        .agg(F.collect_list("s").alias("stops"))
     )
+    capped = sh.crossJoin(F.broadcast(stop)).select(
+        "doc_id",
+        F.filter("sh", lambda x: ~F.array_contains(F.col("stops"), x)).alias("shc"),
+    )
+    # carrying n (the per-doc capped size) on every posting row costs
+    # one extra int in the posting shuffle but deletes the sizes
+    # aggregate AND both sort-merge size joins below — the pair table
+    # is exchanged once (its groupBy) instead of three times.
     # repartition by the self-join key BEFORE the persist: the cached
     # relation then already satisfies the SMJ's distribution on BOTH
     # sides (cached-plan partitioning is AQE-visible since the r11
@@ -233,11 +246,10 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strictly fewer full-relation shuffles at any scale. No explicit
     # partition count: AQE remains free to size it.
     posting = (
-        posting0.join(F.broadcast(stop), "s", "left_anti")
+        capped.select("doc_id", F.size("shc").alias("n"), F.explode("shc").alias("s"))
         .repartition("s")
         .persist()
     )
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # the posting self-join sides scale with the corpus: pin a shuffle
     # plan (the x256-probe broadcast-underestimate fix, see
     # dedup_minhash_lsh's band-join note)
@@ -246,19 +258,18 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.hint("merge").alias("sa")
-    sb = sizes.hint("merge").alias("sb")
     jacc = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jacc >= JACCARD_THRESHOLD)
+        common.filter(jacc >= JACCARD_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
