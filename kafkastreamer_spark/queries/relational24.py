@@ -326,9 +326,10 @@ def events_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: daily per-user counts partial-aggregate map-side;
     the per-day top-k is a day-partitioned rank over those partials
-    (bounded by users x days, never raw events); consecutive-day
-    overlap is a self-join of the tiny (days x {_CHURN_K})-row top-k
-    relation on user_id with a one-day shift.
+    (bounded by users x days, never raw events); each day's set then
+    collapses to one ≤{_CHURN_K}-element array row and the
+    consecutive-day overlap is a single lag window + array_intersect
+    over the days-count-sized relation — no self-join.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -343,46 +344,42 @@ def churn_from_daily(daily: DataFrame) -> DataFrame:
     overlap report. Used by the batch query AND the streaming twin's
     parity test (streaming/topk_churn.py), the
     funnel_ladder_from_latencies discipline."""
+    # r13 (guide §2.4): the previous form persisted the top-k set and
+    # referenced it FOUR times (days-distinct, both sides of the shift
+    # join, and the k_sz aggregate) — three joins and ~17 exchanges to
+    # compare consecutive days' sets. Collapse each day's top-k to ONE
+    # row (collect_set of its ≤K user ids — already day-partitioned by
+    # the rank window, so the groupBy adds no exchange) and take the
+    # previous day's set with a single lag window; the overlap is then
+    # size(array_intersect(...)) per row. Identical output: user_id is
+    # unique within a day's top-k, so the intersect size equals the old
+    # shift-join match count, size(users) is the old k_sz, and days
+    # with zero overlap yield 0 directly (the old left-join coalesce).
     w = Window.partitionBy("day").orderBy(F.desc("c"), "user_id")
-    topk = (
+    day_sets = (
         daily.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _CHURN_K)
-        .select("day", "user_id")
-        .persist()  # both sides of the shift join
+        .groupBy("day")
+        .agg(F.collect_set("user_id").alias("users"))
     )
-    days = topk.select("day").distinct()
-    pairs = days.withColumn(
-        "prev_day", F.lag("day").over(Window.orderBy("day"))
-    ).filter(F.col("prev_day").isNotNull())
-    t1 = topk.alias("t1")
-    t2 = topk.select(
-        F.col("day").alias("pday"), F.col("user_id").alias("puser")
-    )
-    common = (
-        pairs.join(t1, pairs.day == F.col("t1.day"))
-        .join(
-            t2,
-            (F.col("pday") == F.col("prev_day"))
-            & (F.col("puser") == F.col("t1.user_id")),
-        )
-        .groupBy(pairs.day.alias("cday"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    ksz = topk.groupBy(F.col("day").alias("kday")).agg(
-        F.count(F.lit(1)).cast("long").alias("k_sz")
-    )
-    out = (
-        pairs.join(common, pairs.day == F.col("cday"), "left")
-        .join(ksz, pairs.day == F.col("kday"))
-        .select(
-            F.date_format(pairs.day, "yyyy-MM-dd").alias("day"),
-            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
-            "k_sz",
-        )
-    )
-    return out.select(
+    shifted = day_sets.select(
         "day",
-        "n_common",
-        (F.col("k_sz") - F.col("n_common")).cast("long").alias("n_new"),
-        F.expr("(n_common * 10000) div k_sz").cast("long").alias("stability4"),
-    ).orderBy("day")
+        "users",
+        F.lag("users").over(Window.orderBy("day")).alias("prev_users"),
+    ).filter(F.col("prev_users").isNotNull())
+    return (
+        shifted.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.size(F.array_intersect("users", "prev_users"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("users").cast("long").alias("k_sz"),
+        )
+        .select(
+            "day",
+            "n_common",
+            (F.col("k_sz") - F.col("n_common")).cast("long").alias("n_new"),
+            F.expr("(n_common * 10000) div k_sz").cast("long").alias("stability4"),
+        )
+        .orderBy("day")
+    )

@@ -120,7 +120,7 @@ def test_twin_tails_no_unclassified_corpus_broadcasts(spark, sf_dir):
             if reasons:
                 offenders[name] = reasons
     finally:
-        # churn_from_daily persists its top-k relation internally
+        # defensive: clear any per-tail cached relations
         spark.catalog.clearCache()
     assert not offenders, (
         "corpus-scale broadcast builds in twin batch tails outside the "
