@@ -565,19 +565,21 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard product-analytics rollup (rows (cohort_wk, offset_wk)
     render as the retention triangle).
 
-    Scale shape: the first-seen side is one aggregate row per user —
-    far smaller than the event log, so it broadcasts (verified in the
-    plan at test scale); past the broadcast threshold the join
-    hash-partitions on user_id, co-partitioned with the aggregation's
-    own shuffle. The final (cohort_wk, offset_wk) aggregation is over
-    a bounded key space. All date math is integer day arithmetic —
-    engine-portable."""
+    Scale shape (r13, guide §2.4): first-seen is min(day) OVER the
+    user partition of the SAME shuffled pass — the old form scanned
+    events twice (once to aggregate first_seen, once for the join
+    probe side) and built a users-sized broadcast from a full-scan
+    aggregate; the window form is one events scan, one user_id
+    exchange, no join at any scale. The final (cohort_wk, offset_wk)
+    aggregation is over a bounded key space. All date math is integer
+    day arithmetic — engine-portable."""
     ev = _events(spark, sf_dir).select(
         "user_id", F.to_date("ts").alias("day")
     )
-    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.join(first_seen, "user_id")
+        ev.withColumn(
+            "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+        )
         .groupBy(
             F.floor(F.datediff("cohort_day", F.lit("2024-01-01").cast("date")) / 7)
             .cast("long")

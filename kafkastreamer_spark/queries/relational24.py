@@ -228,40 +228,46 @@ def events_funnel_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     latency profile) and events_purchase_attribution (credit
     assignment).
 
-    Scale shape: entries and conversions shuffle once on user_id; the
-    per-user sorted merge evaluates all {len(_FUNNEL_WINDOWS_S)}
-    windows from ONE next-conversion lookup per entry (min over
-    later same-user conversions via a user-partitioned sort-merge
-    join + min aggregate, never a per-window re-join); the ladder
-    explode happens on the bounded per-entry result. Global rollup is
-    count-only.
+    Scale shape: entries and conversions shuffle ONCE on user_id as a
+    single tagged pass; all {len(_FUNNEL_WINDOWS_S)} windows read off
+    one next-conversion latency per entry, computed as a running min
+    over the strictly-later window frame (never a per-user pair join,
+    never a per-window re-join); the ladder explode happens on the
+    bounded per-entry result. Global rollup is count-only.
     """
+    # r13 (guide §2.4/§3.4): the previous form left-joined entries to
+    # conversions on user_id (per-user pair blowup: every view × every
+    # purchase of that user), aggregated the pairs back down, then
+    # joined AGAIN to restore entries whose only matches were filtered
+    # out. The next-conversion-after-each-entry lookup is a windowed
+    # running min over ONE tagged pass: union both event types, sort
+    # per user by microsecond timestamp, and take min(purchase ts)
+    # over the strictly-later frame RANGE (1 FOLLOWING, UNBOUNDED
+    # FOLLOWING) — integer micros make "strictly greater" exactly
+    # "≥ cur+1", matching the oracle's b.ts > a.ts. One events scan
+    # and one user_id exchange; no join, no restore pass, no pair
+    # explosion at any scale.
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == _FUNNEL_A).select(
-        "event_id", "user_id", F.col("ts").alias("ts_a")
+    tagged = ev.filter(
+        F.col("event_type").isin(_FUNNEL_A, _FUNNEL_B)
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == _FUNNEL_B).alias("is_b"),
     )
-    b = ev.filter(F.col("event_type") == _FUNNEL_B).select(
-        "user_id", F.col("ts").alias("ts_b")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, Window.unboundedFollowing)
     )
-    # one pass: the NEXT conversion after each entry (min later ts_b
-    # per entry); every window in the ladder then reads off the same
-    # per-entry latency — no per-window joins
-    nxt = (
-        a.join(b, "user_id", "left")
-        .filter(F.col("ts_b").isNull() | (F.col("ts_b") > F.col("ts_a")))
-        .groupBy("event_id", "ts_a")
-        .agg(F.min("ts_b").alias("next_b"))
+    next_b_us = F.min(F.when(F.col("is_b"), F.col("us"))).over(w_next)
+    lat = (
+        tagged.withColumn("lat_us", next_b_us - F.col("us"))
+        .filter(~F.col("is_b"))
+        .select("event_id", "lat_us")
     )
-    # left-join survivors above lose entries whose ONLY b rows are
-    # <= ts_a (filter drops all matches) — restore them via the
-    # original entry set
-    base = a.select("event_id").join(
-        nxt.select("event_id", "ts_a", "next_b"), "event_id", "left"
-    )
-    lat_us = F.unix_micros("next_b") - F.unix_micros("ts_a")
-    return funnel_ladder_from_latencies(
-        base.select("event_id", lat_us.alias("lat_us"))
-    )
+    return funnel_ladder_from_latencies(lat)
 
 
 # ---------------------------------------------------------------------------
