@@ -393,20 +393,32 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join: price-band histogram of parts.
 
-    The band table is tiny → Spark picks BroadcastNestedLoopJoin, so
-    the fact side streams once with no shuffle.
+    r13 (guide §3.3): the bands are uniform half-open intervals, so
+    the theta join IS a computable key — band = floor(price/500)·500
+    for price in [0, 10000). The old BroadcastNestedLoopJoin streamed
+    every part row through all 20 band predicates; now parts aggregate
+    straight to their band in one map-side pass and the 20-row band
+    axis left-joins the ≤20-row aggregate (broadcast hash) to restore
+    empty bands with zero counts — same rows per band, same fixed-
+    point sums, and the fact side is never widened or re-tested.
     """
     p = _t(spark, sf_dir, "part")
-    bands = spark.range(0, 10000, 500).select(F.col("id").alias("lo"))
-    return (
-        F.broadcast(bands)
-        .join(
-            p,
-            (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("lo") + 500),
-            "left",
+    pa = (
+        p.filter((p.p_retailprice >= 0) & (p.p_retailprice < 10000))
+        .groupBy((F.floor(p.p_retailprice / 500) * 500).cast("long").alias("lo"))
+        .agg(
+            F.count("p_partkey").alias("n_parts"),
+            dsum0("p_retailprice", "band_value"),
         )
-        .groupBy(F.col("lo").alias("band_lo"))
-        .agg(F.count("p_partkey").alias("n_parts"), dsum0("p_retailprice", "band_value"))
+    )
+    bands = spark.range(0, 10000, 500).select(F.col("id").alias("band_lo"))
+    return (
+        bands.join(F.broadcast(pa), bands.band_lo == pa.lo, "left")
+        .select(
+            "band_lo",
+            F.coalesce("n_parts", F.lit(0).cast("long")).alias("n_parts"),
+            F.coalesce("band_value", F.lit(0.0)).alias("band_value"),
+        )
         .orderBy("band_lo")
     )
 
