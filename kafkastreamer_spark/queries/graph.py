@@ -22,7 +22,7 @@ link-structure analysis over web-crawl corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkastreamer_spark.operators.deskew import md5_ranked
@@ -126,24 +126,38 @@ def graph_pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-dim star join; the DISTINCT collapses before any
     iteration runs.  This is exactly Pregel's per-superstep plan."""
     nation = load_table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir).persist()  # reused every iteration
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nc = nation.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        nation.select(F.col("n_nationkey").alias("node"))
-        .crossJoin(F.broadcast(nc))
-        .select("node", F.expr(f"{_R} div n").cast("long").alias("r"))
+    # carry the out-degree ON the cached edge rows (one window inside
+    # the one-time cache build) instead of re-aggregating deg from the
+    # cache and broadcast-joining it in every iteration — each
+    # superstep is then exactly one broadcast of the rank vector plus
+    # one map-side-combining sum by dst.
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()  # reused every iteration
     )
+    nc = nation.agg(F.count(F.lit(1)).alias("n"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.crossJoin(F.broadcast(nc)).select(
+        "node", F.expr(f"{_R} div n").cast("long").alias("r")
+    )
+    # r13: the update expression reads only (node, m, n) — never the
+    # previous r — so the node list comes from the STATIC nation scan
+    # instead of the previous ranks. The old form referenced ranks
+    # twice per iteration (contrib build + left-join update), doubling
+    # the unpersisted lineage every round (plan grew to 34 Exchanges
+    # for two iterations: 4 rank-seed subtrees, deg re-aggregated per
+    # reference). Now ranks_k references ranks_{k-1} exactly once —
+    # linear lineage, one |nodes| aggregate per superstep, same exact
+    # fixed-point arithmetic.
     for _ in range(2):
-        contrib = (
+        msgs = (
             edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("r div deg")).alias("m"))
         )
         ranks = (
-            ranks.select("node", "r")
-            .join(contrib, ranks.node == contrib.dst, "left")
+            nodes.join(F.broadcast(msgs), nodes.node == msgs.dst, "left")
             .crossJoin(F.broadcast(nc))
             .select(
                 "node",
@@ -455,10 +469,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation staying hash-partitioned in cache across steps.
     """
     edges = _trade_edges(spark, sf_dir)
+    # r13: single-explode symmetrize + self-loops (the CC fix applied
+    # here). The old union(edges, edges.swap) referenced the
+    # unpersisted 5-way trade-edge join TWICE, executing it once per
+    # branch inside the persist's first job; self-loops fold the
+    # "keep your own label" LEAST(own, min-neighbor) carry-over into
+    # the propagation min, so each superstep references lbl ONCE (one
+    # join + one min-agg) instead of twice (nbr build + left-join
+    # update) — linear lineage, no outer join, and min over the closed
+    # neighborhood {own} ∪ neighbors is bit-identical to the oracle's
+    # LEAST(own, COALESCE(min-neighbor, own)).
+    s, d = F.col("src"), F.col("dst")
     sym = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(s, d),
+                    F.struct(d.alias("src"), s.alias("dst")),
+                    F.struct(s, s.alias("dst")),
+                    F.struct(d.alias("src"), d.alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -468,18 +501,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
     )
     for _ in range(2):
-        nbr = (
-            sym.join(F.broadcast(lbl), sym.src == lbl.node)
-            .groupBy(F.col("dst").alias("n_node"))
-            .agg(F.min("lbl").alias("m"))
-        )
         lbl = (
-            lbl.join(F.broadcast(nbr), lbl.node == nbr.n_node, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+            sym.join(F.broadcast(lbl), sym.src == lbl.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
         )
     return lbl.select("node", F.col("lbl").alias("label")).orderBy("node")

@@ -479,7 +479,7 @@ def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
     from kafkastreamer_spark.queries.graph import graph_pagerank_two_iter
 
     plan = _physical_plan(graph_pagerank_two_iter(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 8  # dims + 2 iters × (rank, deg)
+    assert plan.count("BroadcastHashJoin") >= 8  # dims + 2 iters × (rank, msgs)
     assert plan.count("SortMergeJoin") <= 2  # only the fact-fact edge build
 
 
