@@ -233,11 +233,17 @@ def er_part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = nm.alias("a"), nm.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.noun") == F.col("b.noun"))
-        & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4),
-    ).select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+    edges = (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4),
+        )
+        .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+        # persist: each CC round references edges once, so the
+        # unpersisted levenshtein self-join executed 4x (r13)
+        .persist()
+    )
     labels = nm.select(F.col("name").alias("node"), F.col("name").alias("lbl"))
     for _ in range(4):
         labels = _er_cc_iter(edges, labels)
@@ -2168,6 +2174,9 @@ def part_substitution_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4),
         )
         .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+        # persist: each CC round references edges once, so the
+        # unpersisted levenshtein self-join executed 4x (r13)
+        .persist()
     )
     labels = nm.select(F.col("name").alias("node"), F.col("name").alias("lbl"))
     for _ in range(4):
@@ -4173,6 +4182,9 @@ def part_sku_rationalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4),
         )
         .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+        # persist: each CC round references edges once, so the
+        # unpersisted levenshtein self-join executed 4x (r13)
+        .persist()
     )
     labels = nm.select(F.col("name").alias("node"), F.col("name").alias("lbl"))
     for _ in range(4):

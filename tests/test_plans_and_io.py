@@ -46,11 +46,16 @@ def test_sort_limit_uses_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in _physical_plan(df)
 
 
-def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
-    """The banded theta join must broadcast the tiny band table, never
-    shuffle the fact side."""
+def test_range_join_computes_band_map_side(spark, sf_dir):
+    """The uniform price bands are a computable key (r13): parts
+    aggregate straight to floor(price/500)·500 map-side — no
+    nested-loop over the 20 band predicates — and only the ≤20-row
+    aggregate joins the band axis (broadcast hash)."""
     df = REGISTRY["join_range_bands"].fn(spark, sf_dir)
-    assert "BroadcastNestedLoopJoin" in _physical_plan(df)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_stage_chain_constant_folds(spark, sf_dir):
@@ -170,13 +175,15 @@ def test_q21_semi_and_anti_hash_joins(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
-def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
-    """The K-way distance eval is a broadcast nested-loop over K rows
-    — no shuffle of the embedding side before the argmin window."""
+def test_kmeans_assign_is_map_only(spark, sf_dir):
+    """The K-way distance eval + argmin is a per-row array_min over
+    inline centroid expressions (r13): no join of any kind and no
+    hash exchange — the only shuffle is the presentation sort's range
+    partitioning."""
     df = REGISTRY["embedding_kmeans_assign"].fn(spark, sf_dir)
     plan = _physical_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_chunking_is_map_only(spark, sf_dir):
