@@ -176,25 +176,17 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle's expression exactly, so scores stay
     bit-identical.
     """
+    import math
+
     e = _emb(spark, sf_dir)
-    # r13 (guide §5.1): the centroid stride used to come from a
-    # driver-side e.count() — a separate full-scan action before the
-    # query plan even built. Fold it into the plan as a one-row
-    # broadcast params relation (exactly the oracle's params CTE):
-    # step = greatest(1, n div greatest(1, floor(sqrt(n)))), the same
-    # integer arithmetic the Python round-trip computed.
-    params = e.agg(F.count(F.lit(1)).alias("cnt")).select(
-        F.expr(
-            "greatest(1L, cnt div greatest(1L,"
-            " cast(floor(sqrt(cast(cnt as double))) as bigint)))"
-        ).alias("step")
-    )
+    n = e.count()
+    ncent = max(1, int(math.floor(math.sqrt(float(n)))))
+    step = max(1, n // ncent)
     # norms materialized once per side: corpus persists (reused by the
     # assignment and the re-rank), the ~sqrt(n)-row centroid side too.
     ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
     cp = (
-        ep.crossJoin(F.broadcast(params))
-        .filter(F.col("vec_id") % F.col("step") == 0)
+        ep.filter(F.col("vec_id") % step == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
@@ -202,28 +194,26 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # r13 (guide §2.4): nearest-centroid assignment is a pure per-row
-    # function of the broadcast centroids — same map-side argmax as
-    # selection.py's _cluster_assign: collapse the centroid table to
-    # ONE broadcast row of (cent_id, cv, ncv) structs and take
-    # array_max(transform(...)) per vector. array_max uses the same
-    # struct ordering (cc desc, then -cent_id) as the previous
-    # max(struct) aggregate, so assignments are bit-identical — and
-    # the groupBy exchange that re-shuffled every (v, nv) payload
-    # disappears.
-    cents = cp.agg(F.collect_list(F.struct("cent_id", "cv", "ncv")).alias("cents"))
-    best = F.array_max(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (dot(F.col("v"), c["cv"]) / (F.col("nv") * c["ncv"])).alias("cc"),
-                (-c["cent_id"]).alias("nc"),
-            ),
-        )
-    )
+    # argmax via max(struct(score, -cent_id)) aggregation: partial
+    # (map-side) aggregation shuffles one row per vector, where a
+    # row_number window would shuffle the full n x n_centroids score
+    # matrix (measured 2.5x slower at sf0.1).
     assign = (
-        ep.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "nv", (-best["nc"]).alias("cent_id"))
+        ep.crossJoin(F.broadcast(cp))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "cent_id",
+            (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("cc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("cc"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "v", "nv", (-F.col("m.nc")).alias("cent_id"))
     )
     q = ep.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

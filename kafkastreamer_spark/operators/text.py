@@ -397,24 +397,19 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact — libm ln is NOT guaranteed bit-identical across
     engines, and the ranking it induces is the same.
 
-    Scale shape: tf is one shuffle on (doc_id, token) — the only pass
-    over the raw token stream; df is a count window over tf's one-row-
-    per-(doc, term) output partitioned by term (≡ count DISTINCT
-    doc_id, no second token shuffle, no tf-df join); the per-doc top-3
-    is a window over ≤|distinct tokens per doc| rows."""
+    Scale shape: tf is one shuffle on (doc_id, token); df is a
+    shuffle on token with map-side partial distinct; the tf-df join
+    is token-keyed (df is |vocab| rows — broadcastable for bounded
+    vocabularies, left as a hash join for web-scale vocab); the
+    per-doc top-3 is a window over ≤|distinct tokens per doc| rows."""
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(tokens("text")).alias("t")
     )
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    # r13 (guide §2.2): df used to be a SECOND full shuffle of the
-    # exploded token stream (groupBy(t) + count_distinct(doc_id))
-    # joined back onto tf. tf already holds exactly one row per
-    # (doc_id, t), so count(*) over a t-partitioned window of tf IS
-    # count(DISTINCT doc_id) per term — the raw token stream shuffles
-    # once instead of twice and the tf-df join disappears.
+    df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "df", "t")
     return (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("t")))
+        tf.join(df, "t")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("rnk").cast("long").alias("rnk"),

@@ -258,33 +258,23 @@ def _sql_assign_cte() -> str:
 
 
 def _assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cluster, d4): nearest-centroid assignment. r13
-    (guide §2.4): the K centroids are deterministic expressions of the
-    cluster id, so the K-way distance eval + argmin is a pure per-row
-    function — array_min over a K-element array of (d4, c) structs.
-    The struct ordering (d4 asc, then c asc) is exactly the old
-    row_number window's ORDER BY d4, c — bit-identical assignments —
-    and the K-rows-per-vector window exchange disappears: a single
-    map stage, no shuffle at all."""
+    """(vec_id, v, cluster, d4): nearest-centroid assignment. The
+    K-way distance eval is a broadcast cross join (K rows) + per-pair
+    fold — a pure map stage; the argmin is a K-row window per vector."""
     e = _vecs(spark, sf_dir)
-
-    def _d4(c: Column) -> Column:
-        diff = F.zip_with(F.col("v"), _centroid(c), lambda x, y: x - y)
-        return F.floor(dot(diff, diff) * SCALE).cast("long")
-
-    best = F.array_min(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(KMEANS_K - 1)),
-            lambda c: F.struct(
-                _d4(c.cast("int")).alias("d4"), c.cast("int").alias("c")
-            ),
-        )
-    )
-    return e.select(
+    cl = spark.range(KMEANS_K).select(F.col("id").cast("int").alias("c"))
+    diff = F.zip_with(F.col("v"), _centroid(F.col("c")), lambda x, y: x - y)
+    dists = e.crossJoin(F.broadcast(cl)).select(
         "vec_id",
         "v",
-        best["c"].alias("cluster"),
-        best["d4"].alias("d4"),
+        "c",
+        F.floor(dot(diff, diff) * SCALE).cast("long").alias("d4"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d4", "c")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("c").alias("cluster"), "d4")
     )
 
 
@@ -302,12 +292,12 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering primitive behind diversity sampling and IVF
     coarse quantization (similarity.py reuses the same shape).
 
-    Scale shape: the centroid expressions evaluate inline per row and
-    the argmin is a map-side array_min struct compare — no broadcast,
-    no shuffle before the presentation sort (the oracle still checks
-    the independent cross-join + window strategy on the DuckDB side).
-    Distances compare in fixed point so ties break identically across
-    engines."""
+    Scale shape: centroids broadcast; distance eval is map-side; the
+    only shuffle is the per-vector argmin window (K rows per vector;
+    at 100 TB replace with a map-side min_by struct compare — kept as
+    the window form here so the oracle checks an independent
+    strategy). Distances compare in fixed point so ties break
+    identically across engines."""
     return (
         _assign(spark, sf_dir).select("vec_id", "cluster", "d4").orderBy("vec_id")
     )
@@ -490,30 +480,21 @@ def embedding_kmeans_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["m"],
         ).alias("cv")
     )
-    # r13 (guide §2.4): same map-side argmin as iteration 1 — the K
-    # data-derived centroids collapse to ONE broadcast row of (c2, cv)
-    # structs and the reassignment is array_min over a K-element
-    # struct array per row; the struct ordering (d4 asc, c2 asc) is
-    # the old window's ORDER BY d4, c2, so assignments are identical
-    # and the K-rows-per-vector window exchange disappears.
-    cent2_arr = cent2.agg(F.collect_list(F.struct("c2", "cv")).alias("cents"))
-
-    def _d4_of(cv: Column) -> Column:
-        diff = F.zip_with(F.col("v"), cv, lambda x, y: x - y)
-        return F.floor(dot(diff, diff) * SCALE).cast("long")
-
-    best2 = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _d4_of(c["cv"]).alias("d4"), c["c2"].alias("c2")
-            ),
+    diff = F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y)
+    d2 = (
+        a1.select("vec_id", "v")
+        .crossJoin(F.broadcast(cent2))
+        .select(
+            "vec_id",
+            "c2",
+            F.floor(dot(diff, diff) * SCALE).cast("long").alias("d4"),
         )
     )
+    w = Window.partitionBy("vec_id").orderBy("d4", "c2")
     assign2 = (
-        a1.select("vec_id", "v")
-        .crossJoin(F.broadcast(cent2_arr))
-        .select("vec_id", best2["c2"].alias("cluster"), best2["d4"].alias("d4"))
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c2").alias("cluster"), "d4")
     )
     return (
         assign2.groupBy("cluster")

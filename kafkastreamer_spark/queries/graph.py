@@ -157,7 +157,7 @@ def graph_pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("r div deg")).alias("m"))
         )
         ranks = (
-            nodes.join(F.broadcast(msgs), nodes.node == msgs.dst, "left")
+            nodes.join(msgs, nodes.node == msgs.dst, "left")
             .crossJoin(F.broadcast(nc))
             .select(
                 "node",

@@ -784,12 +784,6 @@ def ml_woe_binning_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "merge", "scan")
 
 
-def _term_eq(term: str):
-    """Single-argument array-filter lambda (a two-parameter closure
-    would be read by PySpark as the (element, index) filter form)."""
-    return lambda t: t == term
-
-
 @register(
     "text_bm25_topk",
     oracle="""
@@ -848,50 +842,42 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; a 100 TB corpus shards the scoring per index partition
     before any product crosses the bound.
 
-    Scale shape (r13, guide §2.2/§4.4): the old form exploded the
-    token stream TWICE (dl and tf sides) and shuffled three aggregates
-    plus two joins. Per-document token totals and per-term counts are
-    pure array functions of one tokenization — size(w) and
-    size(filter(w, t = term)) — so the whole postings layer collapses
-    to ONE narrow per-doc projection (persisted: n_docs × 5 ints),
-    the corpus scalars (tot, n) and all three dfs fold into a SINGLE
-    one-row aggregate broadcast back, and scoring is a map-side
-    expression. A doc scores exactly as before: a term with tf = 0
-    contributes score 0 (22·tf numerator), and docs matching no query
-    term are filtered out (the oracle's tf CTE has no row for them).
-    The final top-20 stays a TakeOrderedAndProject with the doc_id
-    tie-break — no global sort, and no shuffle at all before it."""
+    Scale shape: the postings table is filtered to the query terms at
+    the scan (predicate pushdown on term), df and the two corpus
+    scalars broadcast, and the final top-20 is a TakeOrderedAndProject
+    with the doc_id tie-break — no global sort."""
     d = load_table(spark, sf_dir, "documents")
-    per_doc = d.select(
-        "doc_id", tokens("text").alias("w")
-    ).select(
-        "doc_id",
-        F.size("w").cast("long").alias("dl"),
-        *[
-            F.size(F.filter("w", _term_eq(term))).cast("long").alias(f"tf_{term}")
-            for term in _BM25_TERMS
-        ],
-    ).persist()  # pushdown barrier: tokenize once for stats + scoring
-    stats = per_doc.agg(
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.count_if(F.col(f"tf_{term}") > 0).cast("long").alias(f"df_{term}")
-            for term in _BM25_TERMS
-        ],
     )
-    term_score = " + ".join(
-        f"(((1000000 * 22 * tf_{t})"
-        f"     div (10 * tf_{t} + 3 + (9 * dl * n) div tot))"
-        f" * ((1000000 * (2*n - 2*df_{t} + 1)) div (2*df_{t} + 1))"
-        f" div 1000000)"
-        for t in _BM25_TERMS
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    any_match = " OR ".join(f"tf_{t} > 0" for t in _BM25_TERMS)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                "((1000000 * 22 * tf)"
+                "     div (10 * tf + 3 + (9 * dl * n) div tot))"
+                " * ((1000000 * (2*n - 2*df + 1)) div (2*df + 1))"
+                " div 1000000"
+            ).alias("term_score"),
+        )
+    )
     return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .filter(F.expr(any_match))
-        .select("doc_id", F.expr(term_score).cast("long").alias("bm25_fp6"))
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("long").alias("bm25_fp6"))
         .orderBy(F.desc("bm25_fp6"), "doc_id")
         .limit(20)
     )

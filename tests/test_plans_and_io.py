@@ -175,15 +175,13 @@ def test_q21_semi_and_anti_hash_joins(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
-def test_kmeans_assign_is_map_only(spark, sf_dir):
-    """The K-way distance eval + argmin is a per-row array_min over
-    inline centroid expressions (r13): no join of any kind and no
-    hash exchange — the only shuffle is the presentation sort's range
-    partitioning."""
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """The K-way distance eval is a broadcast nested-loop over K rows
+    — no shuffle of the embedding side before the argmin window."""
     df = REGISTRY["embedding_kmeans_assign"].fn(spark, sf_dir)
     plan = _physical_plan(df)
-    assert "Join" not in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_chunking_is_map_only(spark, sf_dir):
