@@ -588,6 +588,15 @@ def hierarchy_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(node == 0, F.lit(0)).otherwise(F.lit(1)).alias("d"),
     )
     for _ in range(5):
+        # persist each round's triple table: pointer doubling
+        # inherently references it twice (probe + hop sides), and with
+        # an unpersisted input those two references double the lineage
+        # every round — the r13 plan audit measured 2^5 = 32 customer
+        # scans and 0 ReusedExchange in the executed plan (exchange
+        # reuse does not fire across the differently-projected
+        # branches). One cached relation per round keeps the plan
+        # linear: each round reads the previous round's cache twice.
+        links = links.persist()
         hop = links.select(
             F.col("node").alias("jnode"),
             F.col("anc").alias("janc"),
