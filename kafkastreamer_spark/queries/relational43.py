@@ -473,6 +473,15 @@ def graph_harmonic_centrality_seeds(
     )
     dist = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("d"))
     for _ in range(_HC_ROUNDS):
+        # persist each round's frontier table: the relaxation
+        # references it twice (union carry-over + expansion join), and
+        # unpersisted that doubles the lineage per round — the r13
+        # plan audit measured 2^3 = 8 executed copies of the
+        # seed-selection top-5 (each a full degree aggregation) and 0
+        # ReusedExchange. One cached (seed, node, d) relation per
+        # round keeps it linear; the relation is seeds × reached
+        # nodes, tiny at any scale.
+        dist = dist.persist()
         dist = (
             dist.unionByName(
                 edges.join(dist, edges.src == dist.node).select(
