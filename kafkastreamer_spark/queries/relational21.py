@@ -468,6 +468,17 @@ def sample_facility_location_greedy(
         g = sims
         if sel is not None:
             g = g.join(F.broadcast(sel), "cand_id", "left_anti")
+        # persist each step's 1-row pick: it is referenced three ways
+        # (output union, coverage update, exclusion set) and —
+        # because cov_k reads cov_{k-1} both directly and through
+        # pick_k — an unpersisted pick doubled the coverage chain per
+        # step (2^K copies; the r13 plan audit counted 156 scan
+        # leaves, 0 ReusedExchange; 5.8 s steady at sf0.1). Caching
+        # pick bounds each chain re-derivation at the previous cached
+        # pick: 3.0 s steady. Counter-experiment: ALSO persisting the
+        # corpus-width cov per step measured 12.4 s — eight serialized
+        # cache-materialization barriers cost more than the remaining
+        # (now linear) recomputation, so cov stays lazy.
         pick = (
             g.join(cov, "vec_id")
             .groupBy("cand_id")
@@ -475,6 +486,7 @@ def sample_facility_location_greedy(
             .orderBy(F.desc("obj"), "cand_id")
             .limit(1)
             .select("cand_id", "obj", F.lit(step).alias("step"))
+            .persist()
         )
         chosen.append(pick)
         picked_sims = sims.join(
