@@ -76,7 +76,26 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality_score")
         .persist()
     )
-    reps = dedup_cluster_representatives(spark, sf_dir)
+    # Overlap independent jobs (r14, guide §2.6): the quality leg
+    # shares nothing with the pair/CC pipeline until the final join,
+    # and dedup_cluster_representatives' build below runs the CC
+    # rounds as driver-coordinated jobs anyway — so materialize the
+    # quality persist on a concurrent driver thread and let its tasks
+    # back-fill the CC stages' idle slots. Same per-run compute (the
+    # persist is fresh per call and cleared by the caller's
+    # clearCache protocol); only the serialization between the two
+    # legs is removed.
+    from pyspark import InheritableThread  # noqa: PLC0415
+
+    warm = InheritableThread(
+        target=lambda: quality.write.format("noop").mode("overwrite").save(),
+        daemon=True,
+    )
+    warm.start()
+    try:
+        reps = dedup_cluster_representatives(spark, sf_dir)
+    finally:
+        warm.join()
     keep = quality.filter(F.col("quality_score") >= MIN_QUALITY)
     return (
         keep.join(reps, "doc_id", "left")

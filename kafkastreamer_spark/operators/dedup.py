@@ -338,10 +338,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classic explode×perms + groupBy(doc,p) shuffle is gone entirely.
     # Same discipline: partition by the band join key at persist so
     # neither self-join side re-exchanges the band table.
+    # r14 (guide §2.3, the ngram-posting lesson): each band row also
+    # carries the doc's shingle-set size n — one extra long in the
+    # band shuffle — so candidate pairs emerge with (na, nb) attached
+    # and the two corpus-sized `sizes` sort-merge joins (plus the
+    # sizes aggregate and two full exchanges of the verified pair
+    # table) below are gone. n = size(sh) is exactly the old
+    # sizes-table value, so jaccard4 is bit-identical.
     bands = (
-        sh.select("doc_id", minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"))
+        sh.select(
+            "doc_id",
+            F.size("sh").alias("n"),
+            minhash_array(F.col("sh"), MINHASH_PERMS).alias("mh"),
+        )
         .select(
             "doc_id",
+            "n",
             F.posexplode(band_sigs(F.col("mh"), MINHASH_PERMS, MINHASH_BANDS)).alias(
                 "band", "sig"
             ),
@@ -368,12 +380,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()  # (na, nb) are functions of the doc ids — same pairs
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    # same reasoning as the band join: posting (doc x shingle) and
-    # sizes (one row per doc) both scale with the corpus
+    # posting (doc x shingle) scales with the corpus — pin sort-merge
     pa = posting.hint("merge").alias("pa")
     pb = posting.hint("merge").alias("pb")
     verified = (
@@ -382,18 +397,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             pb,
             (F.col("pb.doc_id") == F.col("doc_b")) & (F.col("pb.s") == F.col("pa.s")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.hint("merge").alias("sa")
-    sb = sizes.hint("merge").alias("sb")
     jacc = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        verified.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jacc >= JACCARD_THRESHOLD)
+        verified.filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.floor(jacc * 10000).alias("jaccard4"))
         .orderBy("doc_a", "doc_b")
     )
@@ -725,6 +736,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id,
     rep_id) with rep = smallest doc id in the component.
 
+    ``edges`` must be unique (src, dst) pairs with src < dst — the
+    caller's pair aggregate guarantees it, and the symmetrizer below
+    relies on it to skip a dedup exchange. (Duplicate edges would not
+    change the labels — min-propagation is idempotent — only waste
+    per-round join work.)
+
     The iterative-algorithm pattern on DataFrames (Pregel-style):
     each round joins labels to neighbors and takes the min; rounds are
     driver-coordinated with ``localCheckpoint`` truncating lineage so
@@ -742,6 +759,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # inside this checkpoint's job, the two branches racing the cache
     # (r13 stage profile: every heavy stage appeared as a duplicated
     # pair). The explode keeps a single reference: upstream runs once.
+    # No distinct on the symmetrized list (r14, guide §2.4): the input
+    # pair list is already unique with src < dst (it is the output of
+    # a (doc_a, doc_b) aggregate), so the explode's two copies cannot
+    # collide — the old distinct was a full exchange + aggregate of
+    # the edge volume for nothing. Min-label propagation is idempotent
+    # under duplicate edges anyway (duplicates cost work, never change
+    # the min), so this is purely physical.
     und = (
         edges.select(
             F.explode(
@@ -754,7 +778,6 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
         .localCheckpoint()
     )
     labels = (

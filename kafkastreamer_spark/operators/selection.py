@@ -209,15 +209,19 @@ def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme), nearest-centroid via map-side argmax over broadcast
     centroids. Returns (vec_id, v, nv, cent_id), persisted — callers
     self-join it."""
-    import math
-
     e = widen(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    n = e.count()
-    ncent = max(1, int(math.floor(math.sqrt(float(n)))))
-    step = max(1, n // ncent)
     ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    # r14 (ADVICE r13, as similarity_ivf_probe): centroid stride from a
+    # one-row params relation inside the plan instead of a build-time
+    # driver e.count() — plan-only consumers no longer run a scan job.
+    params = ep.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), cnt div greatest(CAST(1 AS BIGINT),"
+            " CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)))"
+        ).alias("step")
+    )
     # r13 (guide §2.4): the previous form crossJoined every vector
     # with the broadcast centroid table and took the argmax with a
     # groupBy(vec_id) — re-shuffling every (v, nv) payload through an
@@ -231,7 +235,8 @@ def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordering as the old max(struct) aggregate (cc desc, then
     # -cent_id), so assignments are bit-identical.
     cents = (
-        ep.filter(F.col("vec_id") % step == 0)
+        ep.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("step") == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),

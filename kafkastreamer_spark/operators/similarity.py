@@ -176,17 +176,28 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle's expression exactly, so scores stay
     bit-identical.
     """
-    import math
-
     e = _emb(spark, sf_dir)
-    n = e.count()
-    ncent = max(1, int(math.floor(math.sqrt(float(n)))))
-    step = max(1, n // ncent)
     # norms materialized once per side: corpus persists (reused by the
     # assignment and the re-rank), the ~sqrt(n)-row centroid side too.
     ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    # r14 (ADVICE r13): the centroid stride used to come from a
+    # DRIVER-side e.count() at DataFrame-BUILD time, so every caller —
+    # including plan-only consumers like the 541-plan audit — ran a
+    # full-scan Spark job just to construct the plan. The stride is
+    # now the same integer arithmetic over a one-row broadcast params
+    # relation (exactly the oracle's params CTE), evaluated inside the
+    # plan. Only the params fold moved — the measured max(struct)
+    # argmax below is unchanged (the r13 revert bundled both; this is
+    # the individually-measured half).
+    params = ep.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), cnt div greatest(CAST(1 AS BIGINT),"
+            " CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)))"
+        ).alias("step")
+    )
     cp = (
-        ep.filter(F.col("vec_id") % step == 0)
+        ep.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("step") == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
@@ -960,15 +971,19 @@ def similarity_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFram
     |queries|·n scan the curve exists to amortize — at 100 TB it runs
     on a held-out calibration slice exactly as here (N_QUERIES
     queries), never the full corpus."""
-    import math
-
     e = _emb(spark, sf_dir)
-    n = e.count()
-    ncent = max(1, int(math.floor(math.sqrt(float(n)))))
-    step = max(1, n // ncent)
     ep = e.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    # stride from a one-row broadcast params relation, not a build-time
+    # driver count() — see similarity_ivf_probe (same oracle CTE).
+    params = ep.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), cnt div greatest(CAST(1 AS BIGINT),"
+            " CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)))"
+        ).alias("step")
+    )
     cp = (
-        ep.filter(F.col("vec_id") % step == 0)
+        ep.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("step") == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),

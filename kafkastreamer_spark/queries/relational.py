@@ -106,7 +106,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join → agg → global top-10 by revenue.
 
-    customer is the small side → broadcast; orders⋈lineitem shuffles
+    customer joins by planner size estimate (r14: the explicit
+    broadcast hint was dropped — customer GROWS with SF, so a forced
+    broadcast is wrong at 100 TB; the base-scan estimate is
+    directionally correct and flips this to a shuffle join exactly
+    when customer outgrows the threshold). orders⋈lineitem shuffles
     on orderkey. The LIMIT after ORDER BY uses Spark's
     TakeOrderedAndProject (no full sort at scale).
     """
@@ -119,7 +123,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select(
@@ -170,7 +174,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -478,7 +478,11 @@ def sample_facility_location_greedy(
         # pick: 3.0 s steady. Counter-experiment: ALSO persisting the
         # corpus-width cov per step measured 12.4 s — eight serialized
         # cache-materialization barriers cost more than the remaining
-        # (now linear) recomputation, so cov stays lazy.
+        # (now linear) recomputation, so cov stays lazy. The 1-row
+        # pick caches are not unpersisted per step (ADVICE r13): they
+        # materialize only inside the final action, so build-time
+        # unpersist would revert the fix; clearCache between queries
+        # releases them (same trade-off note as relational8).
         pick = (
             g.join(cov, "vec_id")
             .groupBy("cand_id")

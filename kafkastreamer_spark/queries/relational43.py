@@ -480,7 +480,11 @@ def graph_harmonic_centrality_seeds(
         # seed-selection top-5 (each a full degree aggregation) and 0
         # ReusedExchange. One cached (seed, node, d) relation per
         # round keeps it linear; the relation is seeds × reached
-        # nodes, tiny at any scale.
+        # nodes, tiny at any scale. Not unpersisted per round
+        # (ADVICE r13): the caches materialize only inside the final
+        # action, so build-time unpersist would revert the fix; the
+        # clearCache-between-queries protocol releases them (same
+        # documented trade-off as relational8's pointer-doubling).
         dist = dist.persist()
         dist = (
             dist.unionByName(

@@ -75,7 +75,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the catalog build is the only lineitem-wide step and
     it partial-aggregates (l_partkey, l_suppkey) map-side before its
-    shuffle; part/supplier/nation/region are broadcast, and the
+    shuffle; nation/region stay hinted broadcasts (fixed <= 25 rows at
+    ANY SF), while part/supplier broadcast only by planner estimate
+    (r14: hints dropped — both tables grow with SF, so the estimate's
+    threshold crossing is the correct 100 TB behavior), and the
     part-side size/type filter prunes before the rank window. Cost
     stays in fixed-point BIGINT so MIN and the rank order are exact.
     """
@@ -91,8 +94,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     cand = (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -157,9 +160,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ) - fixed("p_retailprice") * F.col("l_quantity").cast("long")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -212,7 +215,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(fixed("l_extendedprice")).alias("value_fp"))
@@ -270,9 +273,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad),
+            bad,
             l.l_suppkey == bad.s_suppkey,
             "left_anti",
         )
@@ -332,7 +335,7 @@ def q20_excess_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("p_partkey")
     )
     q = (
-        l.join(F.broadcast(small), l.l_partkey == small.p_partkey, "left_semi")
+        l.join(small, l.l_partkey == small.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
     )
@@ -348,7 +351,7 @@ def q20_excess_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -429,7 +432,7 @@ def q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .join(o, F.col("o1_key") == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), F.col("s1_key") == s.s_suppkey)
+        .join(s, F.col("s1_key") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

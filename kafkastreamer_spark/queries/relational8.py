@@ -596,6 +596,14 @@ def hierarchy_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reuse does not fire across the differently-projected
         # branches). One cached relation per round keeps the plan
         # linear: each round reads the previous round's cache twice.
+        # Accepted cache-pressure trade-off (ADVICE r13): the round
+        # caches are NOT unpersisted here — they only materialize
+        # inside the query's single final action (unpersisting round
+        # k-1 at build time would revert to 2^k lineage), and the
+        # caller protocol (driver/bench clearCache between queries)
+        # releases them; MEMORY_AND_DISK eviction bounds a hostile
+        # long-lived session. Rounds are few (5) and rows are narrow
+        # (node, anc, d).
         links = links.persist()
         hop = links.select(
             F.col("node").alias("jnode"),

@@ -21,6 +21,28 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Always use the serialized sort-based shuffle writer (r14, guide
+    # §2.2/§7). The default bypassMergeThreshold (200) routes every
+    # map task of a <=200-partition shuffle through
+    # BypassMergeSortShuffleWriter, which opens one file PER REDUCE
+    # PARTITION and then concatenates them with mmap/transferTo —
+    # M x R tiny files per exchange. jstack during the bench showed
+    # task threads serialized in FileChannelImpl.map/unmap (munmap
+    # takes process-wide locks), the cause of the 32-core
+    # anti-scaling cluster in PERF_r13 (q2 0.25, dedup_exact 0.29,
+    # text_chunk_tokens 0.32 low/high-core ratios): stage runtime 12 s
+    # vs 4.6 s CPU on a 0.9 MB shuffle. With threshold=1 the
+    # UnsafeShuffleWriter buffers serialized rows and writes ONE
+    # spill file + index per map task — the exact writer every
+    # production shuffle (R > 200) already uses, so this makes local
+    # writer choice match scale instead of tuning for it. Interleaved
+    # A/B at sf0.1: dedup_exact 1.89->0.75 s, q2 1.94->1.41,
+    # text_chunk_tokens 1.14->0.47, dedup_ngram_jaccard 2.51->1.69,
+    # q3 1.25->0.83; no query measured worse at 32 or 8 cores.
+    # Static (core) conf: applied by get_spark's builder; a
+    # driver-built session can't set it at runtime (correctness is
+    # unaffected — it only picks the writer implementation).
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
     # Apply AQE inside cached (persisted) plan compilation too — the
     # default pins every shuffle under a .persist() to the raw
     # shuffle-partition count and pins downstream joins to that width

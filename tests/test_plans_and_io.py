@@ -480,11 +480,17 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
 def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
     """Each PageRank superstep must join the (tiny) rank vector to the
     edge list as a broadcast — never shuffling edges by rank key — and
-    the big lineitem⋈orders edge build is the only sort-merge join."""
+    the big lineitem⋈orders edge build is the only sort-merge join.
+
+    ADVICE r13: pin the INTENDED invariants only — at least the two
+    per-iteration rank joins broadcast, and no more sort-merge joins
+    than the fact-fact edge build. The old total-BroadcastHashJoin
+    count (>= 8) also counted unhinted joins whose strategy floats
+    with auto-broadcast estimation / partition settings."""
     from kafkastreamer_spark.queries.graph import graph_pagerank_two_iter
 
     plan = _physical_plan(graph_pagerank_two_iter(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 8  # dims + 2 iters × (rank, msgs)
+    assert plan.count("BroadcastHashJoin") >= 2  # 2 iters × rank join
     assert plan.count("SortMergeJoin") <= 2  # only the fact-fact edge build
 
 
