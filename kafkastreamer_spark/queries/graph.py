@@ -264,13 +264,19 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
-        # hash-partition by the (never-changing) join key before the
-        # persist: every round's join reuses this layout, and the
-        # cached relation is session-width partitions instead of the
-        # union's 4x width (cached plans bypass AQE coalescing) — the
-        # BFS fix (relational21.py) applied to the same loop shape
+        # hash-partition by the (never-changing) join key, THEN dedup
+        # (r14, guide §2.4 shared exchange): hash(src) satisfies the
+        # dedup aggregate's ClusteredDistribution([src, dst]) — rows
+        # equal on (src, dst) are equal on src — so dropDuplicates
+        # after the repartition plans WITHOUT its own exchange. The
+        # old distinct().repartition(src) order exchanged the edge
+        # volume twice (once clustered by (src,dst) for the distinct,
+        # once by src for the loop layout); this is one exchange of
+        # the same volume. Every round's join reuses the cached
+        # hash(src) layout as before, and the labels-init distinct on
+        # src is also exchange-free on it.
         .repartition(F.col("src"))
+        .dropDuplicates(["src", "dst"])
         .persist()  # reused every round
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
